@@ -1,0 +1,86 @@
+"""Vectorized tokenize+normalize stage.
+
+Reference analogue: the ingest processors that mutate each document
+before indexing (processor/FeatureProcessor.java:34-48,
+ip2geo/processor/Ip2GeoProcessor.java:112-136). Here the enrichment is
+text normalization: lowercase, split into [a-z0-9]+ runs, drop tokens
+longer than MAX_TOKEN_LEN (input-validation analogue of the geometry
+complexity caps in settings/GeospatialSettings.java:12-41).
+
+Three implementations share ONE spec so engine, pure-Python oracle and
+DuckDB oracle SQL produce identical token streams:
+  * tokenize_py      — pure Python (oracle)
+  * tokenize_pandas  — pandas/Arrow vectorized (Spark mapInPandas stage)
+  * Spark SQL expression builder (engine fast path, JVM-side regex)
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+MAX_TOKEN_LEN = 64
+
+# The same spec as SQL fragments, used to build oracle SQL for DuckDB and
+# JVM-side Spark expressions (regexp 'X' must be identical in both).
+SQL_TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize_py(text: str | None) -> list[str]:
+    """Reference implementation of the token spec."""
+    if not text:
+        return []
+    return [t for t in TOKEN_RE.findall(text.lower()) if len(t) <= MAX_TOKEN_LEN]
+
+
+def tokenize_pandas(texts: pd.Series) -> pd.Series:
+    """Vectorized tokenizer: Series[str] -> Series[list[str]].
+
+    No per-row Python in the hot loop beyond the final list comps on the
+    already-split arrays; lowercase + findall run as pandas .str
+    vectorized ops.
+    """
+    lowered = texts.fillna("").str.lower()
+    token_lists = lowered.str.findall(TOKEN_RE)
+    return token_lists.map(lambda toks: [t for t in toks if len(t) <= MAX_TOKEN_LEN])
+
+
+def spark_tokens_col(text_col: str = "text"):
+    """JVM-side tokens column: array<string> of normalized tokens.
+
+    Stays inside whole-stage codegen (no Python). Matches tokenize_py
+    exactly: lower → split on non-alnum runs → drop empty and >64-char
+    tokens.
+    """
+    from pyspark.sql import functions as F
+
+    raw = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), SQL_TOKEN_SPLIT_RE)
+    return F.filter(raw, lambda t: (F.length(t) >= 1) & (F.length(t) <= MAX_TOKEN_LEN))
+
+
+def duckdb_tokens_sql(text_expr: str = "text") -> str:
+    """DuckDB expression producing the same token list."""
+    return (
+        f"list_filter(string_split_regex(lower(coalesce({text_expr}, '')), "
+        f"'{SQL_TOKEN_SPLIT_RE}'), t -> len(t) >= 1 AND len(t) <= {MAX_TOKEN_LEN})"
+    )
+
+
+def tokenize_partition(
+    batches: Iterator[pd.DataFrame], text_col: str = "text"
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: adds `tokens` (list[str]) and `dl` (int32).
+
+    Usage:
+        df.mapInPandas(tokenize_partition, schema=...)
+    Kept as a standalone function so tests can drive it without Spark.
+    """
+    for batch in batches:
+        toks = tokenize_pandas(batch[text_col])
+        out = batch.copy()
+        out["tokens"] = toks
+        out["dl"] = toks.map(len).astype("int32")
+        yield out

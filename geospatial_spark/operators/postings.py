@@ -1,0 +1,79 @@
+"""Posting-tuple construction and corpus statistics — pure DataFrame ops.
+
+Reference analogue: the field indexers turning values into index
+structures (index/mapper/xypoint/XYPointIndexer.java:37-69,
+index/mapper/xyshape/XYShapeIndexer.java:35-38). Spark-first design:
+tokenization is a JVM-side expression (whole-stage codegen), tf counting
+is explode + partial/final hash aggregation — Catalyst does map-side
+combine automatically, so the (term, doc) shuffle moves pre-aggregated
+rows only.
+
+Scale notes (100 TB / 10^12 turns):
+  * explode + groupBy(term, doc_id) shuffles once on a composite key
+    whose cardinality is ~unique-terms-per-doc × docs — well spread;
+    per-doc tf dedup happens map-side (partial count).
+  * doclens/stats are a second cheap agg over the tokenized scan; both
+    aggs share the one parquet scan per run when cached, and at scale
+    each is a single pass with column pruning (only conv_id, turn_idx,
+    text read — verified via .explain ReadSchema).
+  * df(term) (the term dictionary) is tiny relative to postings and is
+    broadcast to scorers (the ip2geo broadcast-dictionary analogue,
+    ip2geo/dao/Ip2GeoCachedDao.java:119-138).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geospatial_spark.functions.tokenize import spark_tokens_col
+from geospatial_spark.sources.transcripts import with_doc_id
+
+
+def tokenized_generic(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """any (id, text) table -> (doc_id, tokens: array<string>, dl: int)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), spark_tokens_col(text_col).alias("tokens"))
+        .withColumn("dl", F.size("tokens").cast("int"))
+    )
+
+
+def tokenized(df: DataFrame) -> DataFrame:
+    """transcripts -> (doc_id, tokens: array<string>, dl: int)."""
+    return tokenized_generic(with_doc_id(df))
+
+
+def posting_tuples_from(tok: DataFrame) -> DataFrame:
+    """tokenized -> (term, doc_id, tf). Partial count happens map-side."""
+    return (
+        tok.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def posting_tuples(df: DataFrame) -> DataFrame:
+    """transcripts -> (term, doc_id, tf). The tokenize+normalize emit stage."""
+    return posting_tuples_from(tokenized(df))
+
+
+def doclens(df: DataFrame) -> DataFrame:
+    """transcripts -> (doc_id, dl) side table (doc-values analogue)."""
+    return tokenized(df).select("doc_id", "dl")
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) -> (term, df, max_tf) dictionary."""
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("int").alias("df"),
+        F.max("tf").alias("max_tf"),
+    )
+
+
+def corpus_stats(dl: DataFrame) -> tuple[int, float]:
+    """(N, avgdl) — one tiny driver-side row (never a full collect)."""
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    ).first()
+    n = int(row["n"])
+    return n, float(row["avgdl"]) if n else 0.0

@@ -1,0 +1,64 @@
+"""Naive (relational) BM25 scorer — the always-correct second oracle.
+
+Reference analogue: the query processors that turn a parsed query into
+an executable plan (index/query/xyshape/XYShapeQueryProcessor.java:40-54).
+Plan shape, all Catalyst-optimizable:
+
+  query terms (tiny, broadcast)
+    ⋈ postings(term, doc_id, tf)      -- broadcast hash join, no shuffle
+    ⋈ doclens(doc_id, dl)             -- shuffle join on doc_id (or b-cast)
+    → per-term BM25 score (JVM expression, whole-stage codegen)
+    → groupBy(doc_id).sum(score)       -- partial+final agg
+    → orderBy(score desc, doc_id) limit k   -- Spark TakeOrderedAndProject
+
+At 100 TB the probe side (postings of the query's terms) is filtered by
+the broadcast semi-join before any shuffle, so cost is proportional to
+the matched postings, not the corpus. Empty query terms short-circuit to
+an empty DataFrame without launching a job (the MatchNoDocsQuery
+analogue, XYShapeQueryProcessor.java:49-53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospatial_spark.functions import bm25
+from geospatial_spark.functions.tokenize import tokenize_py
+
+
+def score_expr(n_docs: int, avgdl: float):
+    """Per-(term,doc) BM25 score as a JVM-side Column over columns tf, dl, df."""
+    return F.expr(bm25.score_sql("tf", "dl", repr(float(avgdl)), "df", str(int(n_docs))))
+
+
+def bm25_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    dl: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact BM25 top-k as one declarative plan. Returns (doc_id, score)."""
+    terms = sorted(set(tokenize_py(query)))
+    if not terms or n_docs == 0:
+        # empty fast path, doc_id typed like the postings' doc_id
+        return postings.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+
+    qterms = spark.createDataFrame([(t,) for t in terms], ["term"])
+    term_df = postings.groupBy("term").agg(F.count(F.lit(1)).cast("int").alias("df"))
+
+    matched = postings.join(F.broadcast(qterms), "term", "inner")
+    scored = (
+        matched.join(F.broadcast(term_df.join(F.broadcast(qterms), "term", "inner")), "term")
+        .join(dl, "doc_id")
+        .withColumn("s", score_expr(n_docs, avgdl))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

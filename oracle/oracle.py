@@ -1,0 +1,62 @@
+"""Pure-Python reference oracle: dict-based inverted index + exact BM25.
+
+The independent-oracle pattern mirrors the reference's randomized tests,
+which build the expected aggregation in plain Java and compare
+(src/test/java/.../geogrid/GeoHexGridAggregatorTests.java:94-120,
+GeoHexAggregationIT.java:73-75). This oracle never touches Spark; the
+engine's results must be rank- AND score-identical to it.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+from geospatial_spark.functions.bm25 import term_score
+from geospatial_spark.functions.tokenize import tokenize_py
+
+
+@dataclass
+class OracleIndex:
+    # term -> {doc_id: tf}
+    postings: dict[str, dict[str, int]] = field(default_factory=dict)
+    doclens: dict[str, int] = field(default_factory=dict)
+    n_docs: int = 0
+    avgdl: float = 0.0
+
+    @classmethod
+    def build(cls, rows: list[tuple[str, int, str]]) -> "OracleIndex":
+        """rows: (conv_id, turn_idx, text)."""
+        idx = cls()
+        total = 0
+        for conv_id, turn_idx, text in rows:
+            doc_id = f"{conv_id}:{turn_idx}"
+            toks = tokenize_py(text)
+            idx.doclens[doc_id] = len(toks)
+            total += len(toks)
+            for term, tf in Counter(toks).items():
+                idx.postings.setdefault(term, {})[doc_id] = tf
+        idx.n_docs = len(idx.doclens)
+        idx.avgdl = (total / idx.n_docs) if idx.n_docs else 0.0
+        return idx
+
+    def search(self, query: str, k: int = 10) -> list[tuple[str, float]]:
+        """Exact BM25 top-k; unique query terms (no idf double-count);
+        per-doc score = sum over terms in canonical sorted order (so
+        float64 summation order is pinned on both oracle and engine);
+        tie-break score desc then doc_id asc (= (conv_id, turn_idx) asc
+        because turn_idx < 10^6 is zero-padded? No — doc_id is
+        'conv:turn' with unpadded turn; ties use the same string key on
+        both sides, so ordering is consistent engine-vs-oracle)."""
+        terms = sorted(set(tokenize_py(query)))
+        scores: dict[str, float] = {}
+        for t in terms:
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            df_t = len(plist)
+            for doc_id, tf in plist.items():
+                s = term_score(tf, self.doclens[doc_id], self.avgdl, df_t, self.n_docs)
+                scores[doc_id] = scores.get(doc_id, 0.0) + s
+        hits = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return hits[:k]

@@ -1,0 +1,100 @@
+"""Replicates the driver's correctness gate: for every queries() entry,
+run the Spark DataFrame at sf0.01 AND the oracle SQL in DuckDB over the
+same parquet tables; compare row count, schema width and (order-
+insensitive) values."""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(SF_DIR) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def _pairs():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    return q, o
+
+
+def test_every_query_has_oracle():
+    q, o = _pairs()
+    assert set(o) <= set(q)
+
+
+QUERY_NAMES = None
+
+
+def pytest_generate_tests(metafunc):
+    if "qname" in metafunc.fixturenames:
+        import __spark_entry__ as e
+
+        metafunc.parametrize("qname", sorted(e.queries().keys()))
+
+
+def test_driver_gate(spark, qname):
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    sdf = q[qname](spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    if qname not in o:
+        pytest.skip(f"{qname}: rows-only check (no oracle sql)")
+
+    con = _duck()
+    res = con.execute(o[qname])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
+    assert len(spark_rows) == len(duck_rows), (len(spark_rows), len(duck_rows))
+
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    for a, b in zip(ns, nd):
+        for va, vb in zip(a, b):
+            if isinstance(va, float) and isinstance(vb, float):
+                assert math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-9), (qname, a, b)
+            else:
+                assert va == vb, (qname, a, b)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["doc_id", "score"]

@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geospatial_spark.functions.tokenize import (
+    duckdb_tokens_sql,
+    tokenize_pandas,
+    tokenize_py,
+)
+
+
+def test_basic():
+    assert tokenize_py("Deploy the SPARK job!") == ["deploy", "the", "spark", "job"]
+    assert tokenize_py("") == []
+    assert tokenize_py(None) == []
+    assert tokenize_py("?!... ---") == []
+    assert tokenize_py("a1-b2_c3") == ["a1", "b2", "c3"]
+    assert tokenize_py("x" * 65) == []  # over MAX_TOKEN_LEN dropped
+    assert tokenize_py("x" * 64) == ["x" * 64]
+
+
+def test_pandas_matches_py():
+    texts = pd.Series(["Deploy the SPARK job!", "", None, "?!...", "a1-b2", "x" * 65])
+    got = tokenize_pandas(texts)
+    for raw, toks in zip(texts, got):
+        assert toks == tokenize_py(raw)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_pandas_matches_py_property(s):
+    assert tokenize_pandas(pd.Series([s]))[0] == tokenize_py(s)
+
+
+def test_duckdb_sql_matches_py():
+    texts = ["Deploy the SPARK job!", "", "?!... ---", "a1-b2_c3", "x" * 65,
+             "MiXeD CaSe, punct; tokens?", "7 numbers 42 and13x"]
+    con = duckdb.connect()
+    df = pd.DataFrame({"text": texts})
+    con.register("t", df)
+    rows = con.execute(f"select {duckdb_tokens_sql('text')} from t").fetchall()
+    for raw, (toks,) in zip(texts, rows):
+        assert list(toks) == tokenize_py(raw), raw
+
+
+def test_spark_tokens_col_matches_py(spark, tiny_transcripts):
+    from pyspark.sql import functions as F
+
+    from geospatial_spark.functions.tokenize import spark_tokens_col
+
+    rows = (
+        tiny_transcripts.select("text", spark_tokens_col("text").alias("toks"))
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert list(r["toks"]) == tokenize_py(r["text"]), r["text"]
