@@ -1,0 +1,144 @@
+"""Posting-list codec: delta-gap + varint (LEB128), FOR blocks of 128
+docs, per-block maxima for block-max WAND.
+
+Reference analogue: the custom field indexers pack values into Lucene's
+block-structured index trees (index/mapper/xyshape/XYShapeFieldMapper.java:38-45
+packs 7-dim × 4-byte BKD blocks). We own the packing because Spark has
+no Lucene: doc ordinals are delta-gapped then LEB128-varint encoded per
+block; tfs are varint encoded per block (no gap — tfs are small).
+
+All encode/decode paths are numpy-vectorized (no per-value Python in
+the hot loop); exact integer math throughout — the reference's silent
+double→float downcast (index/common/xyshape/XYShapeConverter.java:121-124)
+is the cautionary tale: precision contracts here are explicit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128  # docs per FOR block (Lucene's postings block size)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # bytes needed per value (1..10)
+    counts = np.ones(n, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        counts += tmp > 0
+        tmp >>= np.uint64(7)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(counts[:-1], out=starts[1:])
+    out = np.zeros(int(counts.sum()), dtype=np.uint8)
+    cur = v.copy()
+    remaining = np.arange(n)
+    offset = 0
+    while len(remaining):
+        idx = starts[remaining] + offset
+        chunk = cur[remaining]
+        more = (chunk >> np.uint64(7)) > 0
+        out[idx] = (chunk & np.uint64(0x7F)).astype(np.uint8) | (
+            more.astype(np.uint8) << 7
+        )
+        cur[remaining] >>= np.uint64(7)
+        remaining = remaining[more]
+        offset += 1
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode a LEB128 byte string to a uint64 array, vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty(len(ends), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # position of each byte within its value
+    idx_in_val = np.arange(len(b), dtype=np.uint64) - np.repeat(
+        starts.astype(np.uint64), (ends - starts + 1)
+    )
+    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * idx_in_val)
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """Strictly-increasing uint64 → first value + gaps-1? No: classic
+    delta-gap: d[0]=v[0], d[i]=v[i]-v[i-1] (gaps ≥ 1 for unique docs)."""
+    v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    if len(v) == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(gaps.astype(np.uint64), dtype=np.uint64)
+
+
+def encode_posting(doc_ords: np.ndarray, tfs: np.ndarray):
+    """One term's full posting (doc ordinals strictly increasing) →
+    (doc_blocks, tf_blocks, block_max_tf, block_last_doc).
+
+    Blocks of BLOCK docs; doc ordinals delta-gapped within each block
+    (gap base = previous block's last doc, so blocks decode
+    independently — required for WAND block skipping).
+    """
+    assert len(doc_ords) == len(tfs)
+    doc_ords = np.ascontiguousarray(doc_ords, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    doc_blocks, tf_blocks, bmax_tf, blast = [], [], [], []
+    prev_last = np.uint64(0)
+    first = True
+    for i in range(0, len(doc_ords), BLOCK):
+        d = doc_ords[i : i + BLOCK]
+        t = tfs[i : i + BLOCK]
+        gaps = delta_encode(d)
+        if not first:
+            gaps = gaps.copy()
+            gaps[0] = d[0] - prev_last
+        doc_blocks.append(varint_encode(gaps))
+        tf_blocks.append(varint_encode(t))
+        bmax_tf.append(int(t.max()))
+        blast.append(int(d[-1]))
+        prev_last = d[-1]
+        first = False
+    return doc_blocks, tf_blocks, bmax_tf, blast
+
+
+def decode_block(doc_block: bytes, tf_block: bytes, prev_last: int):
+    """One block → (doc_ords, tfs). prev_last = last doc of the previous
+    block (0 for the first block)."""
+    gaps = varint_decode(doc_block)
+    if len(gaps):
+        gaps = gaps.copy()
+        gaps[0] += np.uint64(prev_last)
+    docs = delta_decode(gaps)
+    tfs = varint_decode(tf_block)
+    return docs, tfs
+
+
+def decode_posting(doc_blocks, tf_blocks):
+    """All blocks → (doc_ords, tfs)."""
+    docs_all, tfs_all = [], []
+    prev_last = 0
+    for db, tb in zip(doc_blocks, tf_blocks):
+        docs, tfs = decode_block(bytes(db), bytes(tb), prev_last)
+        if len(docs) == 0:
+            continue
+        docs_all.append(docs)
+        tfs_all.append(tfs)
+        prev_last = int(docs[-1])
+    if not docs_all:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    return np.concatenate(docs_all), np.concatenate(tfs_all)

@@ -40,8 +40,14 @@ def bm25_topk(
     avgdl: float,
     query: str,
     k: int = 10,
+    tie_break=None,
 ) -> DataFrame:
-    """Exact BM25 top-k as one declarative plan. Returns (doc_id, score)."""
+    """Exact BM25 top-k as one declarative plan. Returns (doc_id, score).
+
+    tie_break: list of Columns ordering equal scores; default doc_id asc.
+    Transcript callers pass transcript_tie_break() for the pinned
+    (conv_id, turn_idx) contract.
+    """
     terms = sorted(set(tokenize_py(query)))
     if not terms or n_docs == 0:
         # empty fast path, doc_id typed like the postings' doc_id
@@ -56,9 +62,19 @@ def bm25_topk(
         .join(dl, "doc_id")
         .withColumn("s", score_expr(n_docs, avgdl))
     )
+    if tie_break is None:
+        tie_break = [F.asc("doc_id")]
     return (
         scored.groupBy("doc_id")
         .agg(F.sum("s").alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .orderBy(F.desc("score"), *tie_break)
         .limit(k)
     )
+
+
+def transcript_tie_break():
+    """(conv_id, turn_idx) asc, parsed from doc_id = conv ':' turn
+    (conv_id may contain ':'; turn is after the LAST colon)."""
+    conv = F.expr("substring(doc_id, 1, length(doc_id) - length(substring_index(doc_id, ':', -1)) - 1)")
+    turn = F.substring_index("doc_id", ":", -1).cast("int")
+    return [conv.asc(), turn.asc()]

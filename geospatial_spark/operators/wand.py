@@ -1,0 +1,128 @@
+"""Block-max WAND top-k scorer — the engine's central query operator.
+
+Reference analogue: per-shard collect + coordinator reduce of the grid
+aggregation (SURVEY.md §2.6 T2; GeoHexGridAggregatorFactory.java:92-128
+collects per shard, core reduces). Here each shard runs a vectorized
+block-max scorer over its compressed segments and returns its local
+top-k; the driver k-way merges.
+
+Exact pruning rule (per shard): process query terms in descending
+whole-posting upper-bound order, keeping a running threshold θ = the
+k-th largest *partial* score so far (a valid lower bound of the final
+k-th score, since scores only grow). A block B of term i may be
+skipped iff
+
+    max_partial(B) + ub_i(B) + Σ_{j>i} ub_j  <  θ
+
+because every doc in B then finishes strictly below the k-th score —
+ties at exactly θ are never skipped, preserving the (conv_id, turn_idx)
+tie-break. Upper bounds come from stored (block_max_tf, block_min_dl):
+BM25 is monotone ↑ in tf and ↓ in dl, so score(max_tf, min_dl) bounds
+every doc in the block. Single-term queries degrade to classic
+block-max skipping; all arithmetic is numpy-vectorized (block decode,
+scatter-add, reduceat for per-block partial maxima).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geospatial_spark.functions.bm25 import B, K1, idf
+
+
+def _block_ubs(idf_t: float, bmax_tf: np.ndarray, bmin_dl: np.ndarray,
+               avgdl: float) -> np.ndarray:
+    tf = bmax_tf.astype(np.float64)
+    norm = K1 * (1.0 - B + B * (bmin_dl.astype(np.float64) / avgdl))
+    return idf_t * (tf / (tf + norm))
+
+
+def wand_shard(
+    seg_rows: list[dict],
+    n_local_docs: int,
+    base_ord: int,
+    df_global: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    stats: dict | None = None,
+):
+    """Score one shard. seg_rows: matched segment rows (dicts) for the
+    query's terms in THIS shard; doc lengths are decoded from the
+    segments' dl_blocks (impact storage — no docmap needed). Returns
+    (local_doc_idx, score) arrays of the shard's top-k (exact scores).
+    """
+    from geospatial_spark.functions.codec import decode_block, varint_decode
+
+    if not seg_rows or n_local_docs == 0 or avgdl <= 0.0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    # per-term query-time stats (global df → idf)
+    prepped = []
+    for r in seg_rows:
+        idf_t = idf(int(df_global[r["term"]]), n_docs)
+        bmax_tf = np.asarray(r["block_max_tf"], dtype=np.int64)
+        bmin_dl = np.asarray(r["block_min_dl"], dtype=np.int64)
+        ubs = _block_ubs(idf_t, bmax_tf, bmin_dl, avgdl)
+        prepped.append((float(ubs.max()), idf_t, r, ubs))
+    # descending whole-posting upper bound
+    prepped.sort(key=lambda x: -x[0])
+    term_ubs = np.array([p[0] for p in prepped])
+    suffix_ub = np.concatenate((np.cumsum(term_ubs[::-1])[::-1], [0.0]))
+
+    scores = np.zeros(n_local_docs, dtype=np.float64)
+    theta = 0.0
+    blocks_skipped = 0
+    blocks_read = 0
+    terms_skipped = 0
+
+    for i, (term_ub, idf_t, r, ubs) in enumerate(prepped):
+        remaining = float(suffix_ub[i + 1])
+        if theta > 0.0 and term_ub + remaining + float(scores.max(initial=0.0)) < theta:
+            # no doc can reach θ through this or later terms
+            blocks_skipped += len(ubs)
+            terms_skipped += 1
+            continue
+        blast_local = np.asarray(r["block_last_doc"], dtype=np.int64) - base_ord
+        doc_blocks, tf_blocks, dl_blocks = r["doc_blocks"], r["tf_blocks"], r["dl_blocks"]
+        bstarts_local = np.concatenate(([0], blast_local[:-1] + 1))
+        if theta > 0.0:
+            # coarse per-block partial max over [block start, block last]
+            seg_bounds = np.minimum(bstarts_local, n_local_docs - 1)
+            part_max = np.maximum.reduceat(scores, seg_bounds)
+        else:
+            part_max = None
+
+        prev_last_global = 0
+        for bi in range(len(doc_blocks)):
+            if theta > 0.0 and part_max[bi] + ubs[bi] + remaining < theta:
+                blocks_skipped += 1
+                prev_last_global = int(blast_local[bi]) + base_ord
+                continue
+            docs, tfs = decode_block(bytes(doc_blocks[bi]), bytes(tf_blocks[bi]),
+                                     prev_last_global)
+            dls = varint_decode(bytes(dl_blocks[bi])).astype(np.float64)
+            blocks_read += 1
+            prev_last_global = int(docs[-1])
+            local = docs.astype(np.int64) - base_ord
+            tff = tfs.astype(np.float64)
+            contrib = idf_t * (tff / (tff + K1 * (1.0 - B + B * (dls / avgdl))))
+            scores[local] += contrib
+        if n_local_docs > k:
+            theta = float(np.partition(scores, -k)[-k])
+
+    if stats is not None:
+        stats.update(blocks_read=blocks_read, blocks_skipped=blocks_skipped,
+                     terms_skipped=terms_skipped)
+
+    nz = np.flatnonzero(scores > 0.0)
+    if len(nz) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    if len(nz) > k:
+        top = nz[np.argpartition(scores[nz], -k)[-k:]]
+    else:
+        top = nz
+    # stable order: score desc, doc_ord asc
+    order = np.lexsort((top, -scores[top]))
+    top = top[order]
+    return top, scores[top]

@@ -51,24 +51,60 @@ DOCLEN_SCHEMA = StructType(
     ]
 )
 
-# Compressed posting segment rows: one row per (term) per partition-run,
-# FOR-block varint payloads with block-max metadata (the plugin's BKD
-# leaf-block analogue; XYShapeFieldMapper.java:38-45 packs 7-dim blocks).
+# Compressed posting segment rows: one row per (shard, term), FOR-block
+# varint payloads with block-max metadata (the plugin's BKD leaf-block
+# analogue; XYShapeFieldMapper.java:38-45 packs 7-dim blocks).
+# Shards partition the DOC space by (conv_id, turn_idx) range — the
+# OpenSearch shard model: each shard holds complete postings for its
+# own docs, queries fan out and reduce (coordinator merge).
+# df here is SHARD-LOCAL; global df(term) = sum over shards.
+# Block score bounds are derived at query time from (block_max_tf,
+# block_min_dl) + global stats, so segments need no rebuild when other
+# shards change df.
 SEGMENT_SCHEMA = StructType(
     [
+        StructField("shard", IntegerType(), False),
         StructField("term", StringType(), False),
         StructField("df", IntegerType(), False),
         StructField("max_tf", IntegerType(), False),
-        # upper bound of BM25 score for this term over the whole posting
-        StructField("max_score", DoubleType(), False),
+        StructField("min_dl", IntegerType(), False),
         # delta-gap + varint encoded doc ordinals, one binary per block
         StructField("doc_blocks", ArrayType(BinaryType()), False),
         # varint encoded tfs, aligned with doc_blocks
         StructField("tf_blocks", ArrayType(BinaryType()), False),
+        # varint encoded per-posting doc lengths (impact storage: scoring
+        # never touches the docmap, so queries shuffle no per-doc table)
+        StructField("dl_blocks", ArrayType(BinaryType()), False),
         # per-block metadata for block-max WAND
         StructField("block_max_tf", ArrayType(IntegerType()), False),
-        StructField("block_max_score", ArrayType(DoubleType()), False),
+        StructField("block_min_dl", ArrayType(IntegerType()), False),
         StructField("block_last_doc", ArrayType(LongType()), False),
+    ]
+)
+
+# Per-doc side table per shard (doc-values analogue): local ordinal →
+# identity + length. doc_ord = (shard << 40) | local_idx preserves the
+# global (conv_id, turn_idx) order across range-partitioned shards.
+DOCMAP_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType(), False),
+        StructField("doc_ord", LongType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("dl", IntegerType(), False),
+    ]
+)
+
+# Per-shard build metrics / checkpoint rows (UploadMetric analogue,
+# stats/upload/UploadMetric.java:44-65).
+BUILD_METRIC_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType(), False),
+        StructField("docs_tokenized", LongType(), False),
+        StructField("postings_written", LongType(), False),
+        StructField("bytes_compressed", LongType(), False),
+        StructField("total_tokens", LongType(), False),
+        StructField("fingerprint", StringType(), False),
+        StructField("skipped", IntegerType(), False),
     ]
 )
 

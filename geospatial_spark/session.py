@@ -8,8 +8,24 @@ segment build) are what carry to a real cluster.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip the geospatial_spark package for worker distribution — the
+    spark-submit --py-files mechanism, used automatically so Python
+    workers can unpickle our kernels regardless of driver cwd."""
+    pkg_dir = Path(__file__).resolve().parent
+    fd, path = tempfile.mkstemp(suffix=".zip", prefix="geospatial_spark_")
+    os.close(fd)
+    with zipfile.ZipFile(path, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, f"geospatial_spark/{p.relative_to(pkg_dir)}")
+    return path
 
 
 def get_spark(
@@ -38,4 +54,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(package_zip())
     return spark

@@ -40,14 +40,19 @@ class OracleIndex:
         idx.avgdl = (total / idx.n_docs) if idx.n_docs else 0.0
         return idx
 
+    @staticmethod
+    def doc_sort_key(doc_id: str) -> tuple[str, int]:
+        """Tie-break contract (FIXTURES.md §3): ascending
+        (conv_id, turn_idx). doc_id = conv_id ':' turn_idx, conv_id may
+        itself contain ':' so split at the LAST colon."""
+        conv, _, turn = doc_id.rpartition(":")
+        return (conv, int(turn))
+
     def search(self, query: str, k: int = 10) -> list[tuple[str, float]]:
         """Exact BM25 top-k; unique query terms (no idf double-count);
-        per-doc score = sum over terms in canonical sorted order (so
-        float64 summation order is pinned on both oracle and engine);
-        tie-break score desc then doc_id asc (= (conv_id, turn_idx) asc
-        because turn_idx < 10^6 is zero-padded? No — doc_id is
-        'conv:turn' with unpadded turn; ties use the same string key on
-        both sides, so ordering is consistent engine-vs-oracle)."""
+        per-doc score = sum over terms in canonical sorted term order
+        (float64 summation order pinned on oracle and engine);
+        tie-break score desc then (conv_id, turn_idx) asc."""
         terms = sorted(set(tokenize_py(query)))
         scores: dict[str, float] = {}
         for t in terms:
@@ -58,5 +63,5 @@ class OracleIndex:
             for doc_id, tf in plist.items():
                 s = term_score(tf, self.doclens[doc_id], self.avgdl, df_t, self.n_docs)
                 scores[doc_id] = scores.get(doc_id, 0.0) + s
-        hits = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        hits = sorted(scores.items(), key=lambda kv: (-kv[1], self.doc_sort_key(kv[0])))
         return hits[:k]

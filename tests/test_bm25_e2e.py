@@ -13,12 +13,13 @@ from tests.conftest import QUERIES
 
 def _spark_topk(spark, transcripts, query, k):
     from geospatial_spark.operators.postings import corpus_stats, doclens, posting_tuples
-    from geospatial_spark.operators.scorer import bm25_topk
+    from geospatial_spark.operators.scorer import bm25_topk, transcript_tie_break
 
     p = posting_tuples(transcripts)
     dl = doclens(transcripts)
     n, avgdl = corpus_stats(dl)
-    return bm25_topk(spark, p, dl, n, avgdl, query, k).collect()
+    return bm25_topk(spark, p, dl, n, avgdl, query, k,
+                     tie_break=transcript_tie_break()).collect()
 
 
 def test_corpus_stats_match(spark, small_transcripts, small_oracle):

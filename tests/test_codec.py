@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geospatial_spark.functions.codec import (
+    BLOCK,
+    decode_posting,
+    delta_decode,
+    delta_encode,
+    encode_posting,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_roundtrip_basic():
+    for vals in ([0], [1], [127], [128], [300], [2**32], [2**63], [0, 0, 0],
+                 list(range(1000))):
+        a = np.array(vals, dtype=np.uint64)
+        assert list(varint_decode(varint_encode(a))) == vals
+
+
+def test_varint_empty():
+    assert varint_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert len(varint_decode(b"")) == 0
+
+
+def test_varint_vs_manual():
+    # 300 = 0b1_0010_1100 → LEB128: 0xAC 0x02
+    assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+    assert varint_encode(np.array([1], dtype=np.uint64)) == b"\x01"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+def test_varint_roundtrip_property(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert list(varint_decode(varint_encode(a))) == vals
+
+
+def test_delta_roundtrip():
+    v = np.array([3, 7, 8, 100, 101], dtype=np.uint64)
+    assert list(delta_decode(delta_encode(v))) == list(v)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=500))
+def test_posting_roundtrip_property(docset):
+    docs = np.array(sorted(docset), dtype=np.uint64)
+    rng = np.random.default_rng(7)
+    tfs = rng.integers(1, 50, size=len(docs)).astype(np.uint64)
+    db, tb, bmax, blast = encode_posting(docs, tfs)
+    d2, t2 = decode_posting(db, tb)
+    assert list(d2) == list(docs)
+    assert list(t2) == list(tfs)
+    # block metadata invariants
+    assert len(db) == len(tb) == len(bmax) == len(blast)
+    assert len(db) == (len(docs) + BLOCK - 1) // BLOCK
+    assert blast[-1] == int(docs[-1])
+    for i in range(0, len(docs), BLOCK):
+        assert bmax[i // BLOCK] == int(tfs[i : i + BLOCK].max())
+
+
+def test_blocks_decode_independently():
+    docs = np.arange(0, 1000, 3, dtype=np.uint64)
+    tfs = (docs % 7 + 1).astype(np.uint64)
+    db, tb, bmax, blast = encode_posting(docs, tfs)
+    from geospatial_spark.functions.codec import decode_block
+
+    # decode only block 2 using block 1's last doc — no earlier blocks
+    d, t = decode_block(db[2], tb[2], blast[1])
+    lo, hi = 2 * BLOCK, 3 * BLOCK
+    assert list(d) == list(docs[lo:hi])
+    assert list(t) == list(tfs[lo:hi])

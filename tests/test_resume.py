@@ -1,0 +1,103 @@
+"""M6 gate: resumable build — kill/rerun semantics via per-shard
+fingerprint checkpoints (the shouldUpdate sha256-skip analogue,
+DatasourceUpdateService.java:282-292) + generation/manifest lifecycle."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+
+def _build(spark, df, root, **kw):
+    from geospatial_spark.plans.build import build_index
+
+    return build_index(spark, df, root, n_shards=4, **kw)
+
+
+def test_rerun_skips_all_shards(spark, tiny_transcripts, tmp_path):
+    root = str(tmp_path / "idx")
+    m1 = _build(spark, tiny_transcripts, root)
+    assert all(s["skipped"] == 0 for s in m1["shards"])
+    m2 = _build(spark, tiny_transcripts, root)
+    assert all(s["skipped"] == 1 for s in m2["shards"])  # idempotent re-run
+    # stats identical
+    assert m1["n_docs"] == m2["n_docs"]
+    assert m1["avgdl"] == m2["avgdl"]
+
+
+def test_partial_resume_rebuilds_only_missing(spark, tiny_transcripts, tmp_path):
+    from geospatial_spark.plans import lifecycle as lc
+
+    root = str(tmp_path / "idx")
+    m1 = _build(spark, tiny_transcripts, root)
+    gdir = lc.gen_dir(root, m1["generation"])
+    # simulate a killed build: shard 2's artifacts vanish
+    lc.segment_path(gdir, 2).unlink()
+    lc.checkpoint_path(gdir, 2).unlink()
+
+    m2 = _build(spark, tiny_transcripts, root)
+    skipped = {s["shard"]: s["skipped"] for s in m2["shards"]}
+    assert skipped[2] == 0          # rebuilt
+    assert all(v == 1 for sh, v in skipped.items() if sh != 2)
+    assert lc.segment_path(gdir, 2).exists()
+
+
+def test_stale_checkpoint_fingerprint_mismatch_rebuilds(spark, tiny_transcripts, tmp_path):
+    from geospatial_spark.plans import lifecycle as lc
+
+    root = str(tmp_path / "idx")
+    m1 = _build(spark, tiny_transcripts, root)
+    gdir = lc.gen_dir(root, m1["generation"])
+    cp = lc.checkpoint_path(gdir, 1)
+    stale = json.loads(cp.read_text())
+    stale["fingerprint"] = "deadbeef"
+    cp.write_text(json.dumps(stale))
+
+    m2 = _build(spark, tiny_transcripts, root)
+    skipped = {s["shard"]: s["skipped"] for s in m2["shards"]}
+    assert skipped[1] == 0
+
+
+def test_new_generation_and_swap(spark, tiny_transcripts, tmp_path):
+    from geospatial_spark.plans import lifecycle as lc
+    from geospatial_spark.plans.query import IndexSearcher
+
+    root = str(tmp_path / "idx")
+    _build(spark, tiny_transcripts, root, generation="g0001")
+    _build(spark, tiny_transcripts, root, generation="g0002")
+    m = lc.read_manifest(root)
+    assert m["generation"] == "g0002"
+    assert lc.list_generations(root) == ["g0001", "g0002"]
+    # searcher follows the manifest swap
+    s = IndexSearcher(spark, root)
+    assert s.gdir.name == "gen-g0002"
+    # guarded delete keeps only the current generation
+    deleted = lc.delete_unused_generations(root)
+    assert deleted == ["g0001"]
+    assert lc.list_generations(root) == ["g0002"]
+
+
+def test_failed_build_marks_create_failed(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geospatial_spark.plans import lifecycle as lc
+    from geospatial_spark.plans.build import build_index
+
+    root = str(tmp_path / "idx")
+    # poison: text column is numeric → tokenizer raises inside the kernel
+    spark_df = spark.range(3).select(
+        F.lit("c").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("id").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.current_timestamp().alias("ts"),
+    )
+    with pytest.raises(Exception):
+        build_index(spark, spark_df, root, n_shards=2, generation="gX")
+    # no AVAILABLE manifest was published; CREATE_FAILED marker exists
+    assert lc.read_manifest(root) is None
+    markers = list(Path(root).glob("manifest.FAILED-*.json"))
+    assert len(markers) == 1
+    assert json.loads(markers[0].read_text())["state"] == "CREATE_FAILED"
