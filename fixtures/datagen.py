@@ -118,6 +118,72 @@ def write_parquet(df: pd.DataFrame, path: str) -> None:
     df.to_parquet(path, index=False)
 
 
+def _gen_conv_range(start: int, end: int, seed: int,
+                    min_turns: int = 3, max_turns: int = 8,
+                    min_tokens: int = 5, max_tokens: int = 120) -> pd.DataFrame:
+    """Vectorized bulk generator for convs [start, end) — deterministic
+    for a given (start, end, seed) regardless of partition layout
+    (each conv range re-derives its rng from (seed, start))."""
+    rng = np.random.default_rng((seed << 32) ^ start)
+    vocab = _vocab()
+    probs = _zipf_probs(len(vocab))
+    n_convs = end - start
+    turns_per_conv = rng.integers(min_turns, max_turns + 1, size=n_convs)
+    n_rows = int(turns_per_conv.sum())
+
+    conv_idx = np.repeat(np.arange(start, end), turns_per_conv)
+    conv_ids = np.array([f"conv-{i:08d}" for i in range(start, end)], dtype=object)
+    conv_col = np.repeat(conv_ids, turns_per_conv)
+    turn_idx = np.concatenate([np.arange(t) for t in turns_per_conv]).astype(np.int32)
+
+    roles = ROLES[rng.integers(0, 3, size=n_rows)]
+    n_tok = rng.integers(min_tokens, max_tokens + 1, size=n_rows)
+    total = int(n_tok.sum())
+    flat = vocab[rng.choice(len(vocab), size=total, p=probs)].astype(object)
+    # sparse embellishment (mixed case + punctuation), vectorized on subsets
+    up = rng.random(total) < 0.05
+    flat[up] = np.char.upper(flat[up].astype(str)).astype(object)
+    pn = rng.random(total) < 0.10
+    flat[pn] = flat[pn] + rng.choice([",", ".", "!", "?"], size=int(pn.sum())).astype(object)
+
+    bounds = np.concatenate(([0], np.cumsum(n_tok)))
+    texts = np.array(
+        [" ".join(flat[bounds[i]: bounds[i + 1]]) for i in range(n_rows)],
+        dtype=object,
+    )
+    tools = np.where(roles == "tool",
+                     TOOLS[rng.integers(0, 4, size=n_rows)], None)
+    ts = (np.datetime64("2026-01-01T00:00:00", "us")
+          + (conv_idx * 60 + turn_idx) * np.timedelta64(7, "s"))
+    return pd.DataFrame(
+        {"conv_id": conv_col, "turn_idx": turn_idx, "role": roles,
+         "text": texts, "tool": tools, "ts": ts}
+    )
+
+
+def gen_transcripts_spark(spark, n_convs: int, seed: int = 42,
+                          n_partitions: int = 64):
+    """Distributed deterministic transcript generation: each partition
+    generates a contiguous conv range with a range-derived rng, so the
+    table is reproducible at any scale without a driver-side loop."""
+    from pyspark.sql import functions as F
+
+    from geospatial_spark.schemas import TRANSCRIPT_SCHEMA
+
+    step = (n_convs + n_partitions - 1) // n_partitions
+    ranges = [(i, min(i + step, n_convs)) for i in range(0, n_convs, step)]
+    rdf = spark.createDataFrame(ranges, ["start", "end"]).repartition(len(ranges))
+
+    def gen(batches):
+        for b in batches:
+            for s, e in zip(b["start"], b["end"]):
+                out = _gen_conv_range(int(s), int(e), seed)
+                out["ts"] = out["ts"].astype("datetime64[us]")
+                yield out
+
+    return rdf.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+
+
 if __name__ == "__main__":
     import sys
 

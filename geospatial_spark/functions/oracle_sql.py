@@ -89,3 +89,332 @@ WITH {_tok_ctes(table, id_col, text_col)}
 SELECT term, doc_id, tf FROM tf
 WHERE term IN (SELECT term FROM (VALUES {vals}) AS q(term))
 """.strip()
+
+
+# ---------- text analysis (operators/analysis.py mirrors) ----------
+
+_STOP_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+_BPE_RE_SQL = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _docs_cte(table: str = "documents", id_col: str = "doc_id",
+              text_col: str = "text") -> str:
+    return (f"docs AS (SELECT {id_col} AS doc_id, coalesce({text_col}, '') AS text, "
+            f"{duckdb_tokens_sql(text_col)} AS toks FROM {table})")
+
+
+def token_stats_sql(table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    return f"""
+WITH {_docs_cte(table, id_col, text_col)}
+SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) >= 1))::INT AS n_ws_tokens,
+  len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}'))::INT AS n_bpe_pieces,
+  len(toks)::INT AS n_tokens,
+  len(text)::INT AS n_chars
+FROM docs
+""".strip()
+
+
+def quality_sql(table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    return f"""
+WITH {_docs_cte(table, id_col, text_col)},
+f AS (
+  SELECT doc_id,
+    len(toks)::DOUBLE AS n_tok,
+    len(list_filter(toks, t -> t IN {_STOP_SQL}))::DOUBLE AS n_stop,
+    len(lower(text))::DOUBLE AS n_chars,
+    len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))::DOUBLE AS n_alnum,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS mean_tok
+  FROM docs
+),
+r AS (
+  SELECT doc_id,
+    CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio,
+    CASE WHEN n_chars > 0 THEN n_alnum / n_chars ELSE 0.0 END AS alnum_ratio,
+    mean_tok,
+    CASE WHEN n_tok >= 5 AND n_tok <= 400 THEN 1.0
+         WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END AS len_band,
+    n_tok
+  FROM f
+)
+SELECT doc_id,
+  round(stop_ratio, {ROUND_DP}) AS stop_ratio,
+  round(alnum_ratio, {ROUND_DP}) AS alnum_ratio,
+  round(mean_tok, {ROUND_DP}) AS mean_token_len,
+  round(len_band * (0.5 + 0.5 * least(stop_ratio * 10, 1.0)) * alnum_ratio,
+        {ROUND_DP}) AS quality
+FROM r
+""".strip()
+
+
+def langid_sql(table: str = "documents", id_col: str = "doc_id",
+               text_col: str = "text") -> str:
+    return f"""
+WITH {_docs_cte(table, id_col, text_col)}
+SELECT doc_id,
+  CASE WHEN len(toks) > 0 AND
+    len(list_filter(toks, t -> t IN {_STOP_SQL}))::DOUBLE / len(toks) >= 0.02
+  THEN 'en' ELSE 'unk' END AS lang
+FROM docs
+""".strip()
+
+
+def fingerprint_sql(table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    return f"""
+WITH {_docs_cte(table, id_col, text_col)}
+SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint FROM docs
+""".strip()
+
+
+# ---------- dedup (operators/dedup.py mirrors) ----------
+
+def _shingles_cte(table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """Distinct 3-token shingles per doc (DuckDB lists are 1-indexed)."""
+    return f"""
+{_docs_cte(table, id_col, text_col)},
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      ELSE [] END AS sh
+  FROM docs
+)""".strip()
+
+
+def dedup_exact_sql(table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    return f"""
+WITH {_docs_cte(table, id_col, text_col)},
+fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint FROM docs)
+SELECT doc_id, fingerprint,
+  count(*) OVER (PARTITION BY fingerprint) AS group_size,
+  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+FROM fp
+""".strip()
+
+
+def _minhash_sig_exprs(n_seeds: int) -> str:
+    return ",\n    ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}' || ':' || s))) AS sig_{i}"
+        for i in range(n_seeds)
+    )
+
+
+def minhash_sigs_sql(n_seeds: int = 16, table: str = "documents",
+                     id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+WITH {_shingles_cte(table, id_col, text_col)}
+SELECT doc_id,
+    {_minhash_sig_exprs(n_seeds)}
+FROM sh WHERE len(sh) > 0
+""".strip()
+
+
+def minhash_lsh_pairs_sql(n_seeds: int = 16, n_bands: int = 4,
+                          table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    rows = n_seeds // n_bands
+    band_selects = []
+    for b in range(n_bands):
+        concat = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sigs"
+        )
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_shingles_cte(table, id_col, text_col)},
+sigs AS (
+  SELECT doc_id, {_minhash_sig_exprs(n_seeds)}
+  FROM sh WHERE len(sh) > 0
+),
+bk AS ({bands_union})
+SELECT l.doc_id AS a, r.doc_id AS b, count(*)::INT AS n_bands
+FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket
+WHERE l.doc_id < r.doc_id
+GROUP BY 1, 2
+""".strip()
+
+
+def ngram_jaccard_sql(threshold: float = 0.5, table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+WITH {_shingles_cte(table, id_col, text_col)},
+nz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+sizes AS (SELECT doc_id, len(sh)::BIGINT AS n_sh FROM nz),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM nz),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS inter
+  FROM ex l JOIN ex r ON l.s = r.s
+  WHERE l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), {ROUND_DP}) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= {threshold}
+""".strip()
+
+
+def simhash_sql(table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    return f"""
+WITH {_docs_cte(table, id_col, text_col)},
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS h FROM tf),
+bits AS (
+  SELECT doc_id, b,
+    sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h, (SELECT unnest(range(0, 32)) AS b)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+  sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+""".strip()
+
+
+# ---------- embeddings (operators/similarity.py mirrors) ----------
+
+_VEC_CTE = """v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings
+),
+nv AS (
+  SELECT vec_id, ve,
+    sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm
+  FROM v
+)"""
+
+
+def embed_norm_sql() -> str:
+    return f"""
+WITH {_VEC_CTE}
+SELECT vec_id, round(nrm, {ROUND_DP}) AS l2_norm FROM nv
+""".strip()
+
+
+def ann_topk_sql(query_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH {_VEC_CTE},
+q AS (SELECT vec_id AS q, ve AS qv, nrm AS qn FROM nv WHERE vec_id IN ({ids})),
+pairs AS (
+  SELECT q.q, nv.vec_id,
+    list_sum(list_transform(list_zip(q.qv, nv.ve), p -> p[1] * p[2])) / (q.qn * nv.nrm) AS raw
+  FROM nv, q WHERE nv.vec_id != q.q
+),
+ranked AS (
+  SELECT q, vec_id, raw,
+    row_number() OVER (PARTITION BY q ORDER BY round(raw, {ORDER_DP}) DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT q, vec_id, round(raw, {ROUND_DP}) AS cos, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+def cosine_dup_pairs_sql(threshold: float = 0.98) -> str:
+    return f"""
+WITH {_VEC_CTE},
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+    list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS raw
+  FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+)
+SELECT a, b, round(raw, {ROUND_DP}) AS cos FROM pairs WHERE raw >= {threshold}
+""".strip()
+
+
+# ---------- relational / reference-op analogues ----------
+
+def enrich_region_stats_sql() -> str:
+    """ip2geo enrichment-join analogue over the star schema."""
+    return f"""
+SELECT r.r_name AS region, count(*)::BIGINT AS n_events,
+  round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+""".strip()
+
+
+def multi_value_join_sql() -> str:
+    """J3 analogue: per order, sorted distinct supplier list."""
+    return """
+SELECT l_orderkey AS order_id,
+  array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS suppliers
+FROM lineitem WHERE l_orderkey < 1000
+GROUP BY 1
+""".strip()
+
+
+def stats_by_source_sql() -> str:
+    """A4 stats fan-out analogue: per-source corpus metrics."""
+    return f"""
+WITH {_docs_cte('documents')}
+, d2 AS (SELECT d.doc_id, s.source, len(d.toks) AS n_tokens, len(d.text) AS n_chars
+         FROM docs d JOIN documents s ON d.doc_id = s.doc_id)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(n_tokens)::BIGINT AS total_tokens,
+  round(avg(n_chars), {ROUND_DP}) AS avg_chars
+FROM d2 GROUP BY source
+""".strip()
+
+
+def events_hourly_sql() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""".strip()
+
+
+def tpch_q1_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""".strip()
+
+
+def tpch_q3ish_sql() -> str:
+    return """
+SELECT o.o_orderkey AS orderkey,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  o.o_orderdate AS orderdate
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY 1, 3
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 20
+""".strip()
+
+
+def multimodal_features_sql(table: str = "documents", id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """Oracle for the binary-payload feature kernel: payload is the
+    utf-8 bytes of text; features are byte length, md5, first-4-bytes
+    hex."""
+    return f"""
+SELECT {id_col} AS doc_id,
+  octet_length(encode(coalesce({text_col}, '')))::INT AS n_bytes,
+  md5(coalesce({text_col}, '')) AS content_md5,
+  upper(to_hex(encode(substr(coalesce({text_col}, ''), 1, 4)))) AS head_hex
+FROM {table}
+""".strip()

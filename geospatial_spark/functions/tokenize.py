@@ -48,6 +48,32 @@ def tokenize_pandas(texts: pd.Series) -> pd.Series:
     return token_lists.map(lambda toks: [t for t in toks if len(t) <= MAX_TOKEN_LEN])
 
 
+def tokenize_flat(texts: pd.Series):
+    """Hot-path tokenizer for the index-build kernel: one flat token
+    array + per-doc kept-token counts, all filtering vectorized on the
+    flat array (no per-doc Python). Token stream identical to
+    tokenize_py doc-by-doc.
+
+    Returns (flat_tokens: np.ndarray[U], doc_idx: np.ndarray[int64],
+    dl: np.ndarray[int64]).
+    """
+    import numpy as np
+
+    lowered = texts.fillna("").str.lower()
+    token_lists = lowered.str.findall(TOKEN_RE)
+    counts_raw = token_lists.str.len().to_numpy(dtype=np.int64)
+    n = len(texts)
+    if counts_raw.sum() == 0:
+        return (np.empty(0, dtype="U1"), np.empty(0, dtype=np.int64),
+                np.zeros(n, dtype=np.int64))
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists]).astype("U")
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts_raw)
+    keep = np.char.str_len(flat) <= MAX_TOKEN_LEN
+    flat, doc_idx = flat[keep], doc_idx[keep]
+    dl = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    return flat, doc_idx, dl
+
+
 def spark_tokens_col(text_col: str = "text"):
     """JVM-side tokens column: array<string> of normalized tokens.
 

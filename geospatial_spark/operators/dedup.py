@@ -1,0 +1,152 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design:
+  * exact        — one hash-groupBy on a 16-byte key; map-side partial.
+  * minhash LSH  — signatures are per-row projections (no shuffle);
+    candidate generation shuffles on (band, bucket) — bounded fan-out,
+    never the O(n²) pair space.
+  * ngram-jaccard — exact verifier; meant to run on LSH candidates at
+    scale (the shingle self-join is quadratic in the worst case, so
+    it's the small-side verify stage, not the discovery stage).
+  * simhash      — per-row 32-bit sketch via explode + bit-bucket agg.
+  * embedding    — see similarity.py (brute-force verify / LSH buckets).
+
+Portability: every hash is md5-based (functions/oracle_sql.py builds the
+identical DuckDB SQL), never Spark's xxhash/murmur, so the DuckDB oracle
+reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geospatial_spark.functions.tokenize import spark_tokens_col
+from geospatial_spark.operators.analysis import norm_text_col
+
+SHINGLE_K = 3
+MINHASH_SEEDS = 16
+LSH_BANDS = 4  # 4 bands × 4 rows
+
+
+def shingles_col(text_col: str = "text"):
+    """k-token shingles of the normalized token stream (distinct)."""
+    toks = spark_tokens_col(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - SHINGLE_K)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+    )
+    return F.when(n >= SHINGLE_K, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Per-doc exact-dup assignment: (doc_id, fingerprint, group_size,
+    canonical_id = min doc_id of the group). Docs with group_size == 1
+    are unique."""
+    fp = df.select(F.col(id_col).alias("doc_id"),
+                   F.md5(norm_text_col(text_col)).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id", "fingerprint",
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
+                       n_seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = lexicographic min of
+    md5(i ':' shingle) — string-min is portable across engines.
+    Returns (doc_id, sig_0..sig_{n-1}); docs with no shingles dropped."""
+    sh = df.select(F.col(id_col).alias("doc_id"), shingles_col(text_col).alias("sh")) \
+           .where(F.size("sh") > 0)
+    cols = [
+        F.array_min(F.transform("sh", lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s))))
+        .alias(f"sig_{i}")
+        for i in range(n_seeds)
+    ]
+    return sh.select("doc_id", *cols)
+
+
+def lsh_buckets(sigs: DataFrame, n_bands: int = LSH_BANDS,
+                n_seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """Band the signature: bucket = md5(concat of the band's rows).
+    Returns (doc_id, band, bucket) — the shuffle key for candidate
+    generation."""
+    rows_per_band = n_seeds // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    return (
+        sigs.select("doc_id", F.explode(F.array(*bands)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Docs sharing ≥1 LSH band bucket: (a, b, n_bands) with a < b."""
+    bk = lsh_buckets(sigs)
+    l = bk.alias("l")
+    r = bk.alias("r")
+    return (
+        l.join(r, on=["band", "bucket"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                        threshold: float = 0.5, round_dp: int = 4) -> DataFrame:
+    """Exact Jaccard over distinct k-shingles for all pairs ≥ threshold.
+    Quadratic discovery — at scale, feed LSH candidates instead of the
+    full cross space (this is the verify stage)."""
+    sh = df.select(F.col(id_col).alias("doc_id"), shingles_col(text_col).alias("sh")) \
+           .where(F.size("sh") > 0)
+    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    inter = (
+        ex.alias("l").join(ex.alias("r"), "s")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return j.select("a", "b", F.round("jaccard", round_dp).alias("jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash: per distinct token, a md5-derived 32-bit hash,
+    weighted by tf; bit b of the sketch is 1 iff the tf-weighted sum of
+    (±1 per token hash bit) is positive. Returns (doc_id, simhash)."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(spark_tokens_col(text_col)).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    h = tf.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
+    bits = h.select(
+        "doc_id", "tf", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).withColumn(
+        # shiftright with a Column shift count needs the SQL form
+        "w", F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN tf ELSE -tf END"),
+    )
+    agg = bits.groupBy("doc_id", "b").agg(F.sum("w").alias("s"))
+    return agg.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END"))
+        .cast("long").alias("simhash")
+    )

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast of the (tiny) query
+set against the corpus, JVM-side arithmetic (zip_with + aggregate inside
+whole-stage codegen, no Python). Scale path: random-hyperplane LSH
+bucketing — probes only matching buckets, shuffle keyed on (plane-sign
+bucket), the embedding analogue of the term-salted postings story.
+
+Cosine arithmetic is float64, summed in element order on both engines
+(Spark F.aggregate and DuckDB list_dot_product both fold left-to-right),
+with rounded emit for the value-hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND_DP = 4
+ORDER_DP = 6
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def with_norm(df: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    return df.select(F.col(id_col).alias("vec_id"),
+                     F.round(_norm(F.col(vec_col)), ROUND_DP).alias("l2_norm"))
+
+
+def brute_force_topk(df: DataFrame, query_ids: list[int], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """For each query vector (selected by id), exact cosine top-k over
+    the corpus (self excluded). Returns (q, vec_id, cos) ordered within
+    each q by cos desc then vec_id. Query side is broadcast — probe cost
+    is one corpus scan for ALL queries."""
+    from pyspark.sql.window import Window
+
+    q = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q"), F.col(vec_col).alias("qv"))
+    c = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q"))
+    cos = pairs.select(
+        "q", "vec_id",
+        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("raw"),
+    )
+    w = Window.partitionBy("q").orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("vec_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", "vec_id", F.round("raw", ROUND_DP).alias("cos"), "rank")
+    )
+
+
+def cosine_dup_pairs(df: DataFrame, threshold: float = 0.98,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs (a < b, cosine ≥ threshold).
+    Quadratic verify stage — at scale, run per LSH bucket."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = pairs.select(
+        "a", "b",
+        (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("raw"),
+    )
+    return cos.where(F.col("raw") >= threshold) \
+              .select("a", "b", F.round("raw", ROUND_DP).alias("cos"))
+
+
+def hyperplane_lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           dim: int = 64) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string of <v, h_i> for
+    n_planes deterministic pseudo-random hyperplanes (seeded, generated
+    driver-side). Returns (vec_id, bucket). Scale path for ANN: group by
+    bucket, search within buckets (+ multi-probe neighbors)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bits = []
+    for i in range(n_planes):
+        h = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bits.append(F.when(_dot(F.col(vec_col), h) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(F.col(id_col).alias("vec_id"), F.concat(*bits).alias("bucket"))
+
+
+def lsh_topk(df: DataFrame, query_ids: list[int], k: int = 10,
+             n_planes: int = 4, seed: int = 42, n_tables: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64) -> DataFrame:
+    """Bucketed ANN with multi-probe: exact cosine within the query's
+    LSH bucket plus every bucket at Hamming distance 1 (flip one plane
+    sign) — the standard recall repair for sign-LSH. Approximate by
+    construction; the brute-force op is the small-scale oracle. At
+    scale: corpus side shuffles once on bucket; the probe set per query
+    is n_planes+1 buckets, i.e. cost ∝ (n_planes+1)/2^n_planes of the
+    corpus."""
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    cands = None
+    for t in range(n_tables):
+        bk = hyperplane_lsh_buckets(df, n_planes, seed + 1000 * t, id_col, vec_col, dim)
+        vecs = base.join(bk, "vec_id")
+        q0 = vecs.where(F.col("vec_id").isin(query_ids)) \
+                 .select(F.col("vec_id").alias("q"), F.col("bucket").alias("qb"))
+        # multi-probe: the bucket itself + each one-bit flip
+        probes = F.array(
+            F.col("qb"),
+            *[
+                F.concat(
+                    F.substring("qb", 1, i),
+                    F.when(F.substring("qb", i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+                    F.substring("qb", i + 2, n_planes - i - 1),
+                )
+                for i in range(n_planes)
+            ],
+        )
+        q = q0.select("q", F.explode(probes).alias("qb"))
+        hit = vecs.join(F.broadcast(q), vecs["bucket"] == q["qb"]) \
+                  .select("q", "vec_id")
+        cands = hit if cands is None else cands.unionByName(hit)
+    cand = (
+        cands.distinct()
+        .where(F.col("vec_id") != F.col("q"))
+        .join(base, "vec_id")
+        .join(F.broadcast(base.where(F.col("vec_id").isin(query_ids))
+                          .select(F.col("vec_id").alias("q"), F.col("v").alias("qv"))), "q")
+    )
+    cos = cand.select(
+        "q", "vec_id",
+        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("raw"),
+    )
+    w = Window.partitionBy("q").orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("vec_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", "vec_id", F.round("raw", ROUND_DP).alias("cos"), "rank")
+    )

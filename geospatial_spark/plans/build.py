@@ -39,13 +39,44 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geospatial_spark.functions.codec import encode_posting, varint_encode
-from geospatial_spark.functions.tokenize import tokenize_pandas
+from geospatial_spark.functions.codec import encode_shard_postings
+from geospatial_spark.functions.tokenize import tokenize_flat
 from geospatial_spark.plans import lifecycle as lc
 from geospatial_spark.schemas import BUILD_METRIC_SCHEMA
 from geospatial_spark.sources.transcripts import with_doc_id
 
 ORD_SHARD_SHIFT = 40  # doc_ord = (shard << 40) | local_idx
+
+DICT_SALTS = 16  # salt fan-out for the term-keyed dictionary aggregation
+
+
+def _build_dictionary(spark: SparkSession, gdir: Path, n_shards: int) -> int:
+    """Global term dictionary: term → df (sum of shard-local dfs).
+
+    The one term-KEYED shuffle in the engine, so it gets explicit
+    salted-key skew handling (north rule): stage 1 aggregates on
+    (term, salt) — a hot term's rows spread over DICT_SALTS reducers —
+    stage 2 merges the salt partials. (The postings themselves never
+    shuffle on term: the doc-sharded layout spreads hot terms
+    structurally.) Input is already pre-aggregated to ≤ n_shards rows
+    per term, so this is metadata-sized at any corpus scale.
+    """
+    seg = spark.read.parquet(str(gdir / "segments-*.parquet"))
+    partial = (
+        seg.withColumn("salt", F.pmod(F.col("shard"), F.lit(DICT_SALTS)))
+        .groupBy("term", "salt")
+        .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
+    )
+    dictionary = partial.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df"),
+        F.max("max_tf").cast("int").alias("max_tf"),
+    )
+    out = gdir / "dictionary"
+    dictionary.coalesce(max(1, n_shards // 16)).write.mode("overwrite").parquet(str(out))
+    # term count from parquet footers (no extra Spark job)
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(p).num_rows for p in out.glob("*.parquet"))
 
 
 def _fingerprint(doc_ids: pd.Series, texts: pd.Series) -> str:
@@ -60,64 +91,58 @@ def _fingerprint(doc_ids: pd.Series, texts: pd.Series) -> str:
 def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series):
     """Tokenize + posting encode one shard. Returns (segments_df,
     docmap_df, stats dict). All hot paths vectorized."""
-    tokens = tokenize_pandas(texts)
-    dl = tokens.map(len).to_numpy(dtype=np.int64)
     n = len(doc_ids)
+    flat_terms, flat_doc_idx, dl = tokenize_flat(texts)
     doc_ords = (np.int64(shard) << ORD_SHARD_SHIFT) | np.arange(n, dtype=np.int64)
-
-    # flatten (doc, term) pairs
-    counts = dl
-    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tokens]) \
-        if n else np.empty(0, dtype=object)
-    flat_docs = np.repeat(doc_ords, counts) if n else np.empty(0, dtype=np.int64)
-    flat_dls = np.repeat(dl, counts) if n else np.empty(0, dtype=np.int64)
-
-    if len(flat_terms):
-        tf = (
-            pd.DataFrame({"term": flat_terms, "doc": flat_docs, "dl": flat_dls})
-            .groupby(["term", "doc"], sort=True)
-            .agg(tf=("term", "size"), dl=("dl", "first"))
-            .reset_index()
-        )
-    else:
-        tf = pd.DataFrame({"term": [], "doc": [], "tf": [], "dl": []})
+    flat_docs = doc_ords[flat_doc_idx] if len(flat_doc_idx) else np.empty(0, dtype=np.int64)
+    flat_dls = dl[flat_doc_idx] if len(flat_doc_idx) else np.empty(0, dtype=np.int64)
 
     seg_rows = []
     n_postings = 0
     n_bytes = 0
-    if len(tf):
-        terms_arr = tf["term"].to_numpy()
-        docs_arr = tf["doc"].to_numpy(dtype=np.uint64)
-        tfs_arr = tf["tf"].to_numpy(dtype=np.uint64)
-        dls_arr = tf["dl"].to_numpy(dtype=np.int64)
-        # groupby sorted by (term, doc): term boundaries
-        change = np.flatnonzero(terms_arr[1:] != terms_arr[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(terms_arr)]))
-        for s, e in zip(starts, ends):
-            d, t, l = docs_arr[s:e], tfs_arr[s:e], dls_arr[s:e]
-            db, tb, bmax_tf, blast = encode_posting(d, t)
-            # per-block min dl for score upper bounds + per-posting dls
-            # (impact storage: queries score without the docmap)
-            bmin_dl = [int(l[i : i + 128].min()) for i in range(0, len(l), 128)]
-            lb = [varint_encode(l[i : i + 128].astype(np.uint64))
-                  for i in range(0, len(l), 128)]
+    if len(flat_terms):
+        # all-numpy tf computation: unique-code terms, lexsort,
+        # run-length segmentation (no object-dtype groupby)
+        uniq_terms, codes = np.unique(flat_terms, return_inverse=True)
+        order = np.lexsort((flat_docs, codes))
+        tc = codes[order]
+        dc = flat_docs[order]
+        lc_ = flat_dls[order]
+        # run boundaries of identical (term, doc) → tf = run length
+        change = np.flatnonzero((tc[1:] != tc[:-1]) | (dc[1:] != dc[:-1])) + 1
+        run_starts = np.concatenate(([0], change))
+        run_ends = np.concatenate((change, [len(tc)]))
+        tfs_arr = (run_ends - run_starts).astype(np.uint64)
+        term_codes = tc[run_starts]
+        docs_arr = dc[run_starts].astype(np.uint64)
+        dls_arr = lc_[run_starts]
+        # term boundaries over the (term, doc) runs
+        tchange = np.flatnonzero(term_codes[1:] != term_codes[:-1]) + 1
+        starts = np.concatenate(([0], tchange)).astype(np.int64)
+        ends = np.concatenate((tchange, [len(term_codes)])).astype(np.int64)
+        terms_sorted = uniq_terms[term_codes[starts]]
+        # bulk block encode: one varint pass over the whole shard stream
+        db_l, tb_l, lb_l, bmax_l, bmin_l, blast_l = encode_shard_postings(
+            docs_arr, tfs_arr, dls_arr.astype(np.uint64), starts, ends
+        )
+        n_postings = int(len(term_codes))
+        for ti, (s, e) in enumerate(zip(starts, ends)):
+            db, tb, lb = db_l[ti], tb_l[ti], lb_l[ti]
             nb = sum(len(x) for x in db) + sum(len(x) for x in tb) + sum(len(x) for x in lb)
-            n_postings += int(e - s)
             n_bytes += nb
             seg_rows.append(
                 {
                     "shard": shard,
-                    "term": str(terms_arr[s]),
+                    "term": str(terms_sorted[ti]),
                     "df": int(e - s),
-                    "max_tf": int(t.max()),
-                    "min_dl": int(l.min()),
+                    "max_tf": int(max(bmax_l[ti])),
+                    "min_dl": int(min(bmin_l[ti])),
                     "doc_blocks": db,
                     "tf_blocks": tb,
                     "dl_blocks": lb,
-                    "block_max_tf": bmax_tf,
-                    "block_min_dl": bmin_dl,
-                    "block_last_doc": blast,
+                    "block_max_tf": bmax_l[ti],
+                    "block_min_dl": bmin_l[ti],
+                    "block_last_doc": blast_l[ti],
                 }
             )
 
@@ -168,7 +193,10 @@ def _atomic_parquet(df: pd.DataFrame, path: Path) -> None:
             ]
         )
     table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
-    pq.write_table(table, tmp)
+    # small row groups: terms are sorted within the file, so parquet
+    # min/max stats let a query's term filter prune to the few row
+    # groups that contain its terms (I/O ∝ matched postings)
+    pq.write_table(table, tmp, row_group_size=256)
     os.replace(tmp, path)
 
 
@@ -235,7 +263,9 @@ def build_index(
         n_docs = sum(m["docs_tokenized"] for m in metrics)
         total_tokens = sum(m["total_tokens"] for m in metrics)
         avgdl = (total_tokens / n_docs) if n_docs else 0.0
+        n_terms = _build_dictionary(spark, gdir, n_shards)
         manifest = {
+            "n_terms": n_terms,
             "state": lc.STATE_AVAILABLE,
             "generation": generation,
             "n_shards": n_shards,

@@ -85,10 +85,198 @@ BM25_Q_MULTI = "spark merge table scan"
 BM25_Q_SINGLE = "spark"
 BM25_Q_MISSING = "qqqqzzz"
 POSTING_TERMS = ["spark", "window", "vector"]
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---- text analysis ----
+
+def _token_stats(spark, sf_dir):
+    from geospatial_spark.operators.analysis import with_token_stats
+
+    return with_token_stats(_docs(spark, sf_dir), "doc_id")
+
+
+def _quality(spark, sf_dir):
+    from geospatial_spark.operators.analysis import with_quality
+
+    return with_quality(_docs(spark, sf_dir), "doc_id")
+
+
+def _langid(spark, sf_dir):
+    from geospatial_spark.operators.analysis import with_langid
+
+    return with_langid(_docs(spark, sf_dir), "doc_id")
+
+
+def _fingerprint(spark, sf_dir):
+    from geospatial_spark.operators.analysis import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir), "doc_id")
+
+
+# ---- dedup ----
+
+def _dedup_exact(spark, sf_dir):
+    from geospatial_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir), "doc_id")
+
+
+def _minhash_sigs(spark, sf_dir):
+    from geospatial_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), "doc_id")
+
+
+def _minhash_lsh_pairs(spark, sf_dir):
+    from geospatial_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    return lsh_candidate_pairs(minhash_signatures(_docs(spark, sf_dir), "doc_id"))
+
+
+def _ngram_jaccard(spark, sf_dir):
+    from geospatial_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5)
+
+
+def _simhash(spark, sf_dir):
+    from geospatial_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), "doc_id")
+
+
+# ---- embeddings ----
+
+def _embed_norm(spark, sf_dir):
+    from geospatial_spark.operators.similarity import with_norm
+
+    return with_norm(_emb(spark, sf_dir))
+
+
+def _ann_topk(spark, sf_dir):
+    from geospatial_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+def _cosine_dups(spark, sf_dir):
+    from geospatial_spark.operators.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.98)
+
+
+def _ann_lsh(spark, sf_dir):
+    """Rows-only check (approximate by construction — no SQL oracle)."""
+    from geospatial_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+# ---- relational / reference-op analogues ----
+
+def _enrich_region(spark, sf_dir):
+    """ip2geo lookup-join analogue: broadcast dims enrich the event
+    stream (inner joins — the oracle SQL uses inner joins too)."""
+    e = _events(spark, sf_dir)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    enriched = (
+        e.join(F.broadcast(c), e["user_id"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return enriched.groupBy(F.col("r_name").alias("region")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _multi_value_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_orderkey") < 1000)
+        .groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(F.array_join(
+            F.transform(F.sort_array(F.collect_set("l_suppkey")),
+                        lambda x: x.cast("string")),
+            ",").alias("suppliers"))
+    )
+
+
+def _stats_by_source(spark, sf_dir):
+    from geospatial_spark.functions.tokenize import spark_tokens_col
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("source",
+                 F.size(spark_tokens_col("text")).alias("n_tokens"),
+                 F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("total_tokens"),
+             F.round(F.avg("n_chars"), osql.ROUND_DP).alias("avg_chars"))
+    )
+
+
+def _events_hourly(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"),
+                  "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def _tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+              .alias("sum_disc_price"),
+             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+             F.count(F.lit(1)).cast("long").alias("count_order"))
+    )
+
+
+def _tpch_q3ish(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        o.where(F.col("o_orderstatus") == "O")
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_orderkey").alias("orderkey"),
+                 F.col("o_orderdate").alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+              .alias("revenue"))
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(20)
+    )
+
+
+def _multimodal(spark, sf_dir):
+    from geospatial_spark.sources.multimodal import extract_features, with_payload
+
+    return extract_features(with_payload(_docs(spark, sf_dir), "doc_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # BM25 / index family
         "bm25_topk_multi": _bm25(BM25_Q_MULTI, 10),
         "bm25_topk_single": _bm25(BM25_Q_SINGLE, 10),
         "bm25_topk_missing": _bm25(BM25_Q_MISSING, 10),
@@ -96,6 +284,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclens": _doclens,
         "corpus_stats": _corpus_stats,
         "postings_sample": _postings_of(POSTING_TERMS),
+        # text analysis
+        "text_token_stats": _token_stats,
+        "text_quality": _quality,
+        "text_langid": _langid,
+        "text_fingerprint": _fingerprint,
+        # dedup
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_sigs": _minhash_sigs,
+        "dedup_minhash_lsh_pairs": _minhash_lsh_pairs,
+        "dedup_ngram_jaccard": _ngram_jaccard,
+        "dedup_simhash": _simhash,
+        # embeddings / similarity
+        "embed_norm": _embed_norm,
+        "ann_topk_bruteforce": _ann_topk,
+        "embed_cosine_dups": _cosine_dups,
+        "ann_topk_lsh": _ann_lsh,  # rows-only: approximate op
+        # relational / reference-op analogues
+        "enrich_region_stats": _enrich_region,
+        "multi_value_join": _multi_value_join,
+        "stats_by_source": _stats_by_source,
+        "events_hourly": _events_hourly,
+        "tpch_q1": _tpch_q1,
+        "tpch_q3ish": _tpch_q3ish,
+        # multimodal plumbing (binary payload → Arrow feature kernel)
+        "multimodal_features": _multimodal,
     }
 
 
@@ -108,4 +321,24 @@ def oracle_sql() -> dict[str, str]:
         "doclens": osql.doclens_sql(),
         "corpus_stats": osql.corpus_stats_sql(),
         "postings_sample": osql.postings_sql(POSTING_TERMS),
+        "text_token_stats": osql.token_stats_sql(),
+        "text_quality": osql.quality_sql(),
+        "text_langid": osql.langid_sql(),
+        "text_fingerprint": osql.fingerprint_sql(),
+        "dedup_exact": osql.dedup_exact_sql(),
+        "dedup_minhash_sigs": osql.minhash_sigs_sql(),
+        "dedup_minhash_lsh_pairs": osql.minhash_lsh_pairs_sql(),
+        "dedup_ngram_jaccard": osql.ngram_jaccard_sql(threshold=0.5),
+        "dedup_simhash": osql.simhash_sql(),
+        "embed_norm": osql.embed_norm_sql(),
+        "ann_topk_bruteforce": osql.ann_topk_sql(ANN_QUERY_IDS, 10),
+        "embed_cosine_dups": osql.cosine_dup_pairs_sql(threshold=0.98),
+        # ann_topk_lsh: intentionally no oracle (approximate op)
+        "enrich_region_stats": osql.enrich_region_stats_sql(),
+        "multi_value_join": osql.multi_value_join_sql(),
+        "stats_by_source": osql.stats_by_source_sql(),
+        "events_hourly": osql.events_hourly_sql(),
+        "tpch_q1": osql.tpch_q1_sql(),
+        "tpch_q3ish": osql.tpch_q3ish_sql(),
+        "multimodal_features": osql.multimodal_features_sql(),
     }

@@ -47,6 +47,28 @@ class IndexSearcher:
         self.avgdl = float(m["avgdl"])
         self.shard_docs = {int(s["shard"]): int(s["docs_tokenized"])
                            for s in m["shards"]}
+        # driver-cached term dictionary (the LRU-cache-in-front-of-
+        # lookup analogue, Ip2GeoCachedDao.java:119-138; sound because
+        # the generation is frozen/immutable). Only when the vocabulary
+        # is metadata-sized; giant vocabularies fall back to a filtered
+        # dictionary scan per query.
+        self._dict: dict[str, int] | None = None
+        self._dict_small = int(m.get("n_terms", 0)) <= self.DICT_CACHE_MAX
+
+    DICT_CACHE_MAX = 2_000_000
+
+    def _df_for(self, terms: list[str]) -> dict[str, int]:
+        dpath = str(self.gdir / "dictionary")
+        if self._dict_small:
+            if self._dict is None:
+                rows = self.spark.read.parquet(dpath).select("term", "df").collect()
+                self._dict = {r["term"]: int(r["df"]) for r in rows}
+            return {t: self._dict[t] for t in terms if t in self._dict}
+        rows = (
+            self.spark.read.parquet(dpath)
+            .where(F.col("term").isin(terms)).select("term", "df").collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
 
     def _segments(self) -> DataFrame:
         return self.spark.read.parquet(str(self.gdir / "segments-*.parquet"))
@@ -61,41 +83,45 @@ class IndexSearcher:
         if not terms or self.n_docs == 0:
             return []
 
-        matched = self._segments().where(F.col("term").isin(terms))
-        # global df per query term (sum of shard-local dfs) — tiny collect
-        df_rows = matched.groupBy("term").agg(F.sum("df").alias("df")).collect()
-        df_global = {r["term"]: int(r["df"]) for r in df_rows}
+        # global df per query term from the build-time dictionary
+        # (driver-cached for small vocabularies → zero extra jobs)
+        df_global = self._df_for(terms)
         if not df_global:
             return []
 
+        matched = self._segments().where(F.col("term").isin(list(df_global)))
         n_docs, avgdl, shard_docs = self.n_docs, self.avgdl, self.shard_docs
         kk = int(k)
+        gdir_str = str(self.gdir)
 
         def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            from geospatial_spark.plans import lifecycle as lc_w
+
             shard = int(pdf["shard"].iloc[0])
             base = shard << ORD_SHARD_SHIFT
-            rows = pdf.to_dict("records")
             local, scores = wand_shard(
-                rows, shard_docs.get(shard, 0), base, df_global,
-                n_docs, avgdl, kk,
+                pdf.to_dict("records"), shard_docs.get(shard, 0), base,
+                df_global, n_docs, avgdl, kk,
             )
+            if len(local) == 0:
+                return pd.DataFrame({"doc_ord": pd.Series([], dtype="int64"),
+                                     "doc_id": pd.Series([], dtype=object),
+                                     "score": pd.Series([], dtype="float64")})
+            # resolve doc_ids shard-locally from the docmap file — no
+            # third Spark job, no docmap shuffle
+            import pyarrow.parquet as pq
+
+            ids = pq.read_table(
+                lc_w.docmap_path(lc_w.Path(gdir_str), shard), columns=["doc_id"]
+            ).column("doc_id").take(local.tolist()).to_pylist()
             return pd.DataFrame(
                 {"doc_ord": (local + base).astype(np.int64),
+                 "doc_id": ids,
                  "score": scores.astype(np.float64)}
             )
 
         per_shard = matched.groupBy("shard").applyInPandas(
-            run_shard, schema="doc_ord long, score double"
+            run_shard, schema="doc_ord long, doc_id string, score double"
         )
-        top = per_shard.orderBy(F.desc("score"), F.asc("doc_ord")).limit(kk)
-        hits = top.collect()
-        if not hits:
-            return []
-
-        ords = [int(r["doc_ord"]) for r in hits]
-        idmap = {
-            int(r["doc_ord"]): r["doc_id"]
-            for r in self._docmap().where(F.col("doc_ord").isin(ords))
-                     .select("doc_ord", "doc_id").collect()
-        }
-        return [(idmap[int(r["doc_ord"])], float(r["score"])) for r in hits]
+        hits = per_shard.orderBy(F.desc("score"), F.asc("doc_ord")).limit(kk).collect()
+        return [(r["doc_id"], float(r["score"])) for r in hits]

@@ -63,6 +63,46 @@ def test_posting_roundtrip_property(docset):
         assert bmax[i // BLOCK] == int(tfs[i : i + BLOCK].max())
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sets(st.integers(min_value=0, max_value=10**6),
+                        min_size=1, max_size=400), min_size=1, max_size=8))
+def test_bulk_encoder_byte_identical(term_docsets):
+    """encode_shard_postings must emit the exact bytes of the per-term
+    encode_posting path (same on-disk format)."""
+    import numpy as np
+
+    from geospatial_spark.functions.codec import (
+        encode_posting,
+        encode_shard_postings,
+        varint_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    docs_l, tfs_l, dls_l, starts, ends = [], [], [], [], []
+    pos = 0
+    for ds in term_docsets:
+        d = np.array(sorted(ds), dtype=np.uint64)
+        docs_l.append(d)
+        tfs_l.append(rng.integers(1, 30, size=len(d)).astype(np.uint64))
+        dls_l.append(rng.integers(1, 500, size=len(d)).astype(np.uint64))
+        starts.append(pos)
+        pos += len(d)
+        ends.append(pos)
+    docs = np.concatenate(docs_l); tfs = np.concatenate(tfs_l); dls = np.concatenate(dls_l)
+    out = encode_shard_postings(docs, tfs, dls,
+                                np.array(starts, dtype=np.int64),
+                                np.array(ends, dtype=np.int64))
+    db_l, tb_l, lb_l, bmax_l, bmin_l, blast_l = out
+    for i, (d, t, l) in enumerate(zip(docs_l, tfs_l, dls_l)):
+        rdb, rtb, rbmax, rblast = encode_posting(d, t)
+        assert db_l[i] == rdb
+        assert tb_l[i] == rtb
+        assert bmax_l[i] == rbmax
+        assert blast_l[i] == rblast
+        assert lb_l[i] == [varint_encode(l[j : j + BLOCK]) for j in range(0, len(l), BLOCK)]
+        assert bmin_l[i] == [int(l[j : j + BLOCK].min()) for j in range(0, len(l), BLOCK)]
+
+
 def test_blocks_decode_independently():
     docs = np.arange(0, 1000, 3, dtype=np.uint64)
     tfs = (docs % 7 + 1).astype(np.uint64)

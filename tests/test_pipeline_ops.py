@@ -1,0 +1,87 @@
+"""Training-data pipeline operators: properties the driver gate can't
+check (approximate-op recall, stub behavior, operator invariants)."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    from geospatial_spark.plans import catalog
+
+    q = catalog.queries()
+    bf = {(r["q"], r["vec_id"]) for r in q["ann_topk_bruteforce"](spark, SF).collect()}
+    ls = {(r["q"], r["vec_id"]) for r in q["ann_topk_lsh"](spark, SF).collect()}
+    recall = len(bf & ls) / len(bf)
+    assert recall >= 0.9, recall
+
+
+def test_multimodal_decode_is_stubbed():
+    from geospatial_spark.sources.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_multimodal_plumbing_batches(spark):
+    """Binary payloads flow through Arrow batches with the declared
+    schema regardless of batch boundaries."""
+    from geospatial_spark.plans import catalog
+
+    df = catalog.queries()["multimodal_features"](spark, SF)
+    rows = df.collect()
+    assert len(rows) == 500
+    assert df.columns == ["doc_id", "n_bytes", "content_md5", "head_hex"]
+    r0 = next(r for r in rows if r["doc_id"] == 0)
+    assert r0["n_bytes"] > 0 and len(r0["content_md5"]) == 32
+
+
+def test_exact_dedup_finds_injected_dups(spark, tmp_path):
+    import pandas as pd
+
+    from geospatial_spark.operators.dedup import exact_dup_groups
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["Same text!", "same TEXT", "unique one", "same, text"],
+    })
+    p = tmp_path / "d.parquet"
+    pdf.to_parquet(p, index=False)
+    out = exact_dup_groups(spark.read.parquet(str(p)), "doc_id").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # normalization collapses case/punct: docs 1, 2, 4 are one group
+    assert by_id[1]["group_size"] == 3
+    assert by_id[1]["canonical_id"] == 1
+    assert by_id[4]["canonical_id"] == 1
+    assert by_id[3]["group_size"] == 1
+
+
+def test_salted_agg_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from geospatial_spark.operators.grid import salted_agg
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("k"), F.lit(1).alias("v"))
+    got = {r["k"]: r["sum_v"] for r in salted_agg(df, "k", "v", salts=8).collect()}
+    want = {r["k"]: r["s"] for r in
+            df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert got == want
+
+
+def test_multi_value_lookup_sorted(spark):
+    import pandas as pd
+
+    from geospatial_spark.operators.enrich import multi_value_lookup
+
+    facts = spark.createDataFrame(
+        [(1, ["b", "a"]), (2, ["c"]), (3, [])], ["id", "keys"])
+    dim = spark.createDataFrame(
+        [("a", "A"), ("b", "B"), ("c", "C")], ["k", "payload"])
+    out = {r["id"]: r["payloads"] for r in
+           multi_value_lookup(facts, "id", "keys", dim, "k", "payload").collect()}
+    assert out[1] == ["A", "B"]
+    assert out[2] == ["C"]
+    assert out[3] == []

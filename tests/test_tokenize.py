@@ -35,6 +35,31 @@ def test_pandas_matches_py_property(s):
     assert tokenize_pandas(pd.Series([s]))[0] == tokenize_py(s)
 
 
+def test_flat_matches_py():
+    import numpy as np
+
+    from geospatial_spark.functions.tokenize import tokenize_flat
+
+    texts = pd.Series(["Deploy the SPARK job!", "", None, "?!...", "a1-b2",
+                       "x" * 65, "one two one"])
+    flat, doc_idx, dl = tokenize_flat(texts)
+    for i, raw in enumerate(texts):
+        expect = tokenize_py(raw)
+        got = list(flat[doc_idx == i])
+        assert got == expect, raw
+        assert dl[i] == len(expect)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(max_size=80), min_size=1, max_size=10))
+def test_flat_matches_py_property(texts):
+    from geospatial_spark.functions.tokenize import tokenize_flat
+
+    flat, doc_idx, dl = tokenize_flat(pd.Series(texts, dtype=object))
+    for i, raw in enumerate(texts):
+        assert list(flat[doc_idx == i]) == tokenize_py(raw)
+
+
 def test_duckdb_sql_matches_py():
     texts = ["Deploy the SPARK job!", "", "?!... ---", "a1-b2_c3", "x" * 65,
              "MiXeD CaSe, punct; tokens?", "7 numbers 42 and13x"]
