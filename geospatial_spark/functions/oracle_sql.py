@@ -91,6 +91,29 @@ WHERE term IN (SELECT term FROM (VALUES {vals}) AS q(term))
 """.strip()
 
 
+def posting_intersection_sql(terms: list[str], table: str = "documents",
+                             id_col: str = "doc_id", text_col: str = "text") -> str:
+    uniq = sorted(set(terms))
+    vals = ", ".join(f"('{t}')" for t in uniq)
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)}
+SELECT doc_id FROM tf
+WHERE term IN (SELECT term FROM (VALUES {vals}) AS q(term))
+GROUP BY doc_id HAVING count(*) = {len(uniq)}
+""".strip()
+
+
+def posting_union_sql(terms: list[str], table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    uniq = sorted(set(terms))
+    vals = ", ".join(f"('{t}')" for t in uniq)
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)}
+SELECT DISTINCT doc_id FROM tf
+WHERE term IN (SELECT term FROM (VALUES {vals}) AS q(term))
+""".strip()
+
+
 # ---------- text analysis (operators/analysis.py mirrors) ----------
 
 _STOP_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"

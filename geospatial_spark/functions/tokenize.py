@@ -74,6 +74,22 @@ def tokenize_flat(texts: pd.Series):
     return flat, doc_idx, dl
 
 
+def normalize_flat(flat, mapping: dict[str, str]):
+    """Apply a token→canonical dictionary to a flat token array,
+    vectorized (the tokenizer's ip2geo-style enrichment lookup: the
+    dictionary is broadcast-sized and immutable). Tokens not in the
+    dictionary pass through; tokens are NORMALIZED AFTER the base spec,
+    so doc lengths are unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    if not mapping or len(flat) == 0:
+        return flat
+    s = pd.Series(flat)
+    out = s.map(mapping).fillna(s)
+    return out.to_numpy().astype("U")
+
+
 def spark_tokens_col(text_col: str = "text"):
     """JVM-side tokens column: array<string> of normalized tokens.
 

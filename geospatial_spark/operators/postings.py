@@ -70,6 +70,30 @@ def term_stats(postings: DataFrame) -> DataFrame:
     )
 
 
+def posting_intersection(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """B1 (FILTER conjunction, XYPointQueryVisitor.java:165-178): docs
+    containing ALL terms — semi-join style: filter to the term set, then
+    require a distinct-term count equal to |terms| (terms are unique in
+    postings per doc, so count == distinct count)."""
+    uniq = sorted(set(terms))
+    return (
+        postings.where(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") == len(uniq))
+        .select("doc_id")
+    )
+
+
+def posting_union(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """B2 (disjunction over geometries, XYShapeQueryProcessor.java:56-68):
+    docs containing ANY term."""
+    return (
+        postings.where(F.col("term").isin(sorted(set(terms))))
+        .select("doc_id").distinct()
+    )
+
+
 def corpus_stats(dl: DataFrame) -> tuple[int, float]:
     """(N, avgdl) — one tiny driver-side row (never a full collect)."""
     row = dl.agg(

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geospatial_spark.functions.codec import encode_shard_postings
-from geospatial_spark.functions.tokenize import tokenize_flat
+from geospatial_spark.functions.tokenize import normalize_flat, tokenize_flat
 from geospatial_spark.plans import lifecycle as lc
 from geospatial_spark.schemas import BUILD_METRIC_SCHEMA
 from geospatial_spark.sources.transcripts import with_doc_id
@@ -88,11 +88,14 @@ def _fingerprint(doc_ids: pd.Series, texts: pd.Series) -> str:
     return h.hexdigest()
 
 
-def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series):
+def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
+                  normalization: dict[str, str] | None = None):
     """Tokenize + posting encode one shard. Returns (segments_df,
     docmap_df, stats dict). All hot paths vectorized."""
     n = len(doc_ids)
     flat_terms, flat_doc_idx, dl = tokenize_flat(texts)
+    if normalization:
+        flat_terms = normalize_flat(flat_terms, normalization)
     doc_ords = (np.int64(shard) << ORD_SHARD_SHIFT) | np.arange(n, dtype=np.int64)
     flat_docs = doc_ords[flat_doc_idx] if len(flat_doc_idx) else np.empty(0, dtype=np.int64)
     flat_dls = dl[flat_doc_idx] if len(flat_doc_idx) else np.empty(0, dtype=np.int64)
@@ -200,9 +203,9 @@ def _atomic_parquet(df: pd.DataFrame, path: Path) -> None:
     os.replace(tmp, path)
 
 
-def _make_shard_builder(gdir_str: str):
-    """Returns the mapInPandas kernel. gdir passed by value (no driver
-    globals captured by reference)."""
+def _make_shard_builder(gdir_str: str, normalization: dict[str, str] | None = None):
+    """Returns the mapInPandas kernel. gdir + dictionary passed by value
+    (no driver globals captured by reference)."""
 
     def build_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -229,7 +232,8 @@ def _make_shard_builder(gdir_str: str):
                                  "fingerprint": fp, "skipped": 1}])
             return
 
-        segments, docmap, stats = _encode_shard(shard, data["doc_id"], data["text"])
+        segments, docmap, stats = _encode_shard(shard, data["doc_id"], data["text"],
+                                                normalization)
         _atomic_parquet(segments, seg_path)
         _atomic_parquet(docmap, dm_path)
         # checkpoint written LAST: its presence implies complete files
@@ -245,8 +249,17 @@ def build_index(
     index_root: str,
     n_shards: int | None = None,
     generation: str = "g0001",
+    append: bool = False,
+    normalization: dict[str, str] | None = None,
 ) -> dict:
-    """Build (or resume) the index; returns the published manifest."""
+    """Build (or resume) the index; returns the published manifest.
+
+    append=True adds this build as a DELTA generation: prior
+    generations keep serving their docs, global BM25 stats (N, avgdl,
+    df) are summed across generations at query time, so scores equal a
+    full rebuild (the Lucene multi-segment model). append=False
+    replaces the active set with this single generation.
+    """
     if n_shards is None:
         n_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
     gdir = lc.gen_dir(index_root, generation)
@@ -256,24 +269,45 @@ def build_index(
         docs = with_doc_id(transcripts).select("conv_id", "turn_idx", "doc_id", "text")
         parts = docs.repartitionByRange(n_shards, "conv_id", "turn_idx") \
                     .sortWithinPartitions("conv_id", "turn_idx")
-        metrics_df = parts.mapInPandas(_make_shard_builder(str(gdir)),
+        metrics_df = parts.mapInPandas(_make_shard_builder(str(gdir), normalization),
                                        schema=BUILD_METRIC_SCHEMA)
         metrics = [r.asDict() for r in metrics_df.collect()]
 
-        n_docs = sum(m["docs_tokenized"] for m in metrics)
-        total_tokens = sum(m["total_tokens"] for m in metrics)
-        avgdl = (total_tokens / n_docs) if n_docs else 0.0
+        n_docs_g = sum(m["docs_tokenized"] for m in metrics)
+        total_tokens_g = sum(m["total_tokens"] for m in metrics)
         n_terms = _build_dictionary(spark, gdir, n_shards)
-        manifest = {
+        gen_entry = {
+            "id": generation,
+            "n_shards": n_shards,
+            "n_docs": n_docs_g,
+            "total_tokens": total_tokens_g,
             "n_terms": n_terms,
+            "shards": sorted(metrics, key=lambda m: m["shard"]),
+        }
+
+        prior = lc.read_manifest(index_root)
+        if append and prior and prior.get("state") == lc.STATE_AVAILABLE:
+            gens = [g for g in prior.get("generations", []) if g["id"] != generation]
+            gens.append(gen_entry)
+        else:
+            gens = [gen_entry]
+        n_docs = sum(g["n_docs"] for g in gens)
+        total_tokens = sum(g["total_tokens"] for g in gens)
+        avgdl = (total_tokens / n_docs) if n_docs else 0.0
+        manifest = {
             "state": lc.STATE_AVAILABLE,
             "generation": generation,
-            "n_shards": n_shards,
+            "generations": gens,
             "n_docs": n_docs,
             "total_tokens": total_tokens,
             "avgdl": avgdl,
             "bm25": {"k1": 1.2, "b": 0.75},
-            "shards": sorted(metrics, key=lambda m: m["shard"]),
+            # queries must normalize through the same dictionary
+            "normalization": normalization or {},
+            # single-generation compatibility block (tests, tooling)
+            "n_shards": n_shards,
+            "n_terms": n_terms,
+            "shards": gen_entry["shards"],
         }
         lc.publish_manifest(index_root, manifest)
         return manifest

@@ -81,6 +81,26 @@ def _postings_of(terms: list[str]):
     return run
 
 
+def _intersection_of(terms: list[str]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.operators.postings import posting_intersection
+
+        post, *_ = _doc_index(spark, sf_dir)
+        return posting_intersection(post, terms)
+
+    return run
+
+
+def _union_of(terms: list[str]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.operators.postings import posting_union
+
+        post, *_ = _doc_index(spark, sf_dir)
+        return posting_union(post, terms)
+
+    return run
+
+
 BM25_Q_MULTI = "spark merge table scan"
 BM25_Q_SINGLE = "spark"
 BM25_Q_MISSING = "qqqqzzz"
@@ -284,6 +304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclens": _doclens,
         "corpus_stats": _corpus_stats,
         "postings_sample": _postings_of(POSTING_TERMS),
+        "boolean_and": _intersection_of(POSTING_TERMS),
+        "boolean_or": _union_of(POSTING_TERMS),
         # text analysis
         "text_token_stats": _token_stats,
         "text_quality": _quality,
@@ -321,6 +343,8 @@ def oracle_sql() -> dict[str, str]:
         "doclens": osql.doclens_sql(),
         "corpus_stats": osql.corpus_stats_sql(),
         "postings_sample": osql.postings_sql(POSTING_TERMS),
+        "boolean_and": osql.posting_intersection_sql(POSTING_TERMS),
+        "boolean_or": osql.posting_union_sql(POSTING_TERMS),
         "text_token_stats": osql.token_stats_sql(),
         "text_quality": osql.quality_sql(),
         "text_langid": osql.langid_sql(),

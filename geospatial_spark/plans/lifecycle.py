@@ -99,10 +99,14 @@ def delete_unused_generations(root: str | Path) -> list[str]:
     import shutil
 
     m = read_manifest(root)
-    current = m.get("generation") if m else None
+    live: set[str] = set()
+    if m:
+        if m.get("generation"):
+            live.add(m["generation"])
+        live.update(g["id"] for g in m.get("generations", []))
     deleted = []
     for g in list_generations(root):
-        if g != current:
+        if g not in live:
             shutil.rmtree(gen_dir(root, g))
             deleted.append(g)
     return deleted

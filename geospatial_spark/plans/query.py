@@ -1,17 +1,24 @@
-"""Query-side plan: parse → plan (driver) → per-shard WAND → merge.
+"""Query-side plan: parse → plan (driver) → per-(generation, shard)
+WAND → merge.
 
 Reference lifecycle analogue (SURVEY.md §3.2): coordinator parses the
 query and rewrites builders, shards execute, coordinator reduces.
 
+Multi-generation model (the Lucene multi-segment analogue): an index is
+a set of frozen generations (one after a batch build; many under the
+streaming delta writer). Global BM25 stats are summed across
+generations at query time — N, avgdl from the manifest, df(term) from
+the per-generation dictionaries — so scores are identical to a full
+rebuild over the union.
+
 Scale shape per query (independent of corpus size N):
-  * segments scan filtered by term — parquet predicate pushdown +
-    row-group stats (segments are written sorted by term within each
-    shard file), so I/O ∝ matched postings, not the index;
-  * global df(term) for the query's terms: driver-side lookup from the
-    tiny matched-segment aggregate (broadcast to the scorers);
-  * one applyInPandas over shard groups → k rows per shard;
-  * driver merges n_shards × k rows; doc_id resolution is a semi-join
-    of k ordinals against the docmap (file-pruned by doc_ord ranges).
+  * segments scan filtered by term — parquet predicate pushdown + small
+    row groups over term-sorted files, so I/O ∝ matched postings;
+  * df(term): driver-cached merged dictionary (small vocabularies) or a
+    term-filtered dictionary scan;
+  * one applyInPandas over (gen, shard) groups → k rows per group;
+  * driver merges groups × k rows; doc_ids resolve inside the kernel
+    from the shard's docmap file (no per-query docmap shuffle).
 Empty/unknown query terms short-circuit without launching a job
 (MatchNoDocsQuery analogue, XYShapeQueryProcessor.java:49-53).
 """
@@ -30,10 +37,20 @@ from geospatial_spark.plans import lifecycle as lc
 from geospatial_spark.plans.build import ORD_SHARD_SHIFT
 
 
+def merge_tie_break():
+    """(conv_id, turn_idx) asc parsed from doc_id (conv may contain ':';
+    turn is after the LAST colon)."""
+    conv = F.expr("substring(doc_id, 1, length(doc_id) - length(substring_index(doc_id, ':', -1)) - 1)")
+    turn = F.substring_index("doc_id", ":", -1).cast("int")
+    return [conv.asc(), turn.asc()]
+
+
 class IndexSearcher:
-    """Immutable view over one published generation (the frozen-index
+    """Immutable view over the published generation set (the frozen-index
     read path: freeze + immutability is what makes caching sound in the
     reference, Ip2GeoCachedDao.java:263-267)."""
+
+    DICT_CACHE_MAX = 2_000_000
 
     def __init__(self, spark: SparkSession, index_root: str):
         self.spark = spark
@@ -42,86 +59,138 @@ class IndexSearcher:
         if not m or m.get("state") != lc.STATE_AVAILABLE:
             raise ValueError(f"index at {index_root} not AVAILABLE: {m and m.get('state')}")
         self.manifest = m
-        self.gdir = lc.gen_dir(index_root, m["generation"])
+        self.gens = m.get("generations") or [
+            {"id": m["generation"], "n_shards": m["n_shards"],
+             "n_docs": m["n_docs"], "shards": m["shards"]}
+        ]
         self.n_docs = int(m["n_docs"])
         self.avgdl = float(m["avgdl"])
-        self.shard_docs = {int(s["shard"]): int(s["docs_tokenized"])
-                           for s in m["shards"]}
-        # driver-cached term dictionary (the LRU-cache-in-front-of-
-        # lookup analogue, Ip2GeoCachedDao.java:119-138; sound because
-        # the generation is frozen/immutable). Only when the vocabulary
-        # is metadata-sized; giant vocabularies fall back to a filtered
-        # dictionary scan per query.
+        self.gdirs = {g["id"]: str(lc.gen_dir(index_root, g["id"])) for g in self.gens}
+        self.shard_docs = {
+            (g["id"], int(s["shard"])): int(s["docs_tokenized"])
+            for g in self.gens for s in g["shards"]
+        }
+        total_terms = sum(int(g.get("n_terms", 0)) for g in self.gens)
+        self._dict_small = total_terms <= self.DICT_CACHE_MAX
         self._dict: dict[str, int] | None = None
-        self._dict_small = int(m.get("n_terms", 0)) <= self.DICT_CACHE_MAX
+        # single-generation conveniences (used by tests/tools)
+        self.gdir = lc.gen_dir(index_root, m["generation"])
 
-    DICT_CACHE_MAX = 2_000_000
+    # -- dictionary ---------------------------------------------------
+
+    def _dict_df(self) -> DataFrame:
+        parts = []
+        for g in self.gens:
+            p = f"{self.gdirs[g['id']]}/dictionary"
+            parts.append(self.spark.read.parquet(p).select("term", "df"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _df_for(self, terms: list[str]) -> dict[str, int]:
-        dpath = str(self.gdir / "dictionary")
+        """Global df per term = sum over generations."""
         if self._dict_small:
             if self._dict is None:
-                rows = self.spark.read.parquet(dpath).select("term", "df").collect()
+                rows = self._dict_df().groupBy("term").agg(F.sum("df").alias("df")).collect()
                 self._dict = {r["term"]: int(r["df"]) for r in rows}
             return {t: self._dict[t] for t in terms if t in self._dict}
         rows = (
-            self.spark.read.parquet(dpath)
-            .where(F.col("term").isin(terms)).select("term", "df").collect()
+            self._dict_df().where(F.col("term").isin(terms))
+            .groupBy("term").agg(F.sum("df").alias("df")).collect()
         )
         return {r["term"]: int(r["df"]) for r in rows}
 
+    # -- scans --------------------------------------------------------
+
     def _segments(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.gdir / "segments-*.parquet"))
+        parts = []
+        for g in self.gens:
+            df = self.spark.read.parquet(f"{self.gdirs[g['id']]}/segments-*.parquet")
+            parts.append(df.withColumn("gen", F.lit(g["id"])))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _docmap(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.gdir / "docmap-*.parquet"))
+        parts = []
+        for g in self.gens:
+            df = self.spark.read.parquet(f"{self.gdirs[g['id']]}/docmap-*.parquet")
+            parts.append(df.withColumn("gen", F.lit(g["id"])))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
-    def search(self, query: str, k: int = 10) -> list[tuple[str, float]]:
-        """Top-k (doc_id, score), exact BM25, rank/score-identical to the
-        oracle; tie-break (conv_id, turn_idx) asc via doc_ord."""
-        terms = sorted(set(tokenize_py(query)))
+    # -- search -------------------------------------------------------
+
+    def search_df(self, query: str, k: int = 10) -> DataFrame | None:
+        """Top-k as a DataFrame (doc_id, score); None for the empty fast
+        path."""
+        norm = self.manifest.get("normalization") or {}
+        terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
         if not terms or self.n_docs == 0:
-            return []
-
-        # global df per query term from the build-time dictionary
-        # (driver-cached for small vocabularies → zero extra jobs)
+            return None
         df_global = self._df_for(terms)
         if not df_global:
-            return []
+            return None
 
         matched = self._segments().where(F.col("term").isin(list(df_global)))
-        n_docs, avgdl, shard_docs = self.n_docs, self.avgdl, self.shard_docs
+        n_docs, avgdl = self.n_docs, self.avgdl
+        shard_docs, gdirs = self.shard_docs, self.gdirs
         kk = int(k)
-        gdir_str = str(self.gdir)
 
-        def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from pathlib import Path as _P
+
+            import pyarrow.parquet as pq
+
             from geospatial_spark.plans import lifecycle as lc_w
 
-            shard = int(pdf["shard"].iloc[0])
+            gen, shard = str(key[0]), int(key[1])
             base = shard << ORD_SHARD_SHIFT
             local, scores = wand_shard(
-                pdf.to_dict("records"), shard_docs.get(shard, 0), base,
+                pdf.to_dict("records"), shard_docs.get((gen, shard), 0), base,
                 df_global, n_docs, avgdl, kk,
             )
             if len(local) == 0:
-                return pd.DataFrame({"doc_ord": pd.Series([], dtype="int64"),
-                                     "doc_id": pd.Series([], dtype=object),
+                return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
                                      "score": pd.Series([], dtype="float64")})
-            # resolve doc_ids shard-locally from the docmap file — no
-            # third Spark job, no docmap shuffle
-            import pyarrow.parquet as pq
-
             ids = pq.read_table(
-                lc_w.docmap_path(lc_w.Path(gdir_str), shard), columns=["doc_id"]
+                lc_w.docmap_path(_P(gdirs[gen]), shard), columns=["doc_id"]
             ).column("doc_id").take(local.tolist()).to_pylist()
-            return pd.DataFrame(
-                {"doc_ord": (local + base).astype(np.int64),
-                 "doc_id": ids,
-                 "score": scores.astype(np.float64)}
-            )
+            return pd.DataFrame({"doc_id": ids, "score": scores.astype(np.float64)})
 
-        per_shard = matched.groupBy("shard").applyInPandas(
-            run_shard, schema="doc_ord long, doc_id string, score double"
+        per_shard = matched.groupBy("gen", "shard").applyInPandas(
+            run_shard, schema="doc_id string, score double"
         )
-        hits = per_shard.orderBy(F.desc("score"), F.asc("doc_ord")).limit(kk).collect()
-        return [(r["doc_id"], float(r["score"])) for r in hits]
+        return per_shard.orderBy(F.desc("score"), *merge_tie_break()).limit(kk)
+
+    def search(self, query: str, k: int = 10) -> list[tuple[str, float]]:
+        """Top-k (doc_id, score), exact BM25, rank/score-identical to the
+        oracle; tie-break (conv_id, turn_idx) asc."""
+        df = self.search_df(query, k)
+        if df is None:
+            return []
+        return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
+    def fetch_doc_text(self, doc_id: str, transcripts: DataFrame) -> str | None:
+        """1-row lookup of a doc's text (limit-1 dictionary search
+        analogue, GeoIpDataDao.java:252)."""
+        from geospatial_spark.sources.transcripts import with_doc_id
+
+        row = with_doc_id(transcripts).where(F.col("doc_id") == doc_id) \
+                                      .select("text").limit(1).collect()
+        return row[0]["text"] if row else None
+
+    def search_by_doc(self, doc_id: str, transcripts: DataFrame,
+                      k: int = 10) -> list[tuple[str, float]]:
+        """Query-by-indexed-doc (more-like-this): two-phase fetch-then-
+        query — the indexed-shape query analogue
+        (XYShapeQueryBuilder.java:49-51, :105-115: fetch the stored
+        shape by id, then use it as the probe)."""
+        text = self.fetch_doc_text(doc_id, transcripts)
+        if text is None:
+            return []
+        return self.search(text, k)

@@ -81,7 +81,8 @@ def test_wand_pruning_actually_skips(spark, built_index):
                  seg.groupBy("term").agg(F.sum("df").alias("df")).collect()}
     one = seg.where(F.col("shard") == 0).toPandas()
     stats = {}
-    wand_shard(one.to_dict("records"), s.shard_docs[0], 0 << ORD_SHARD_SHIFT,
+    n_local = s.shard_docs[(m["generation"], 0)]
+    wand_shard(one.to_dict("records"), n_local, 0 << ORD_SHARD_SHIFT,
                df_global, s.n_docs, s.avgdl, 3, stats=stats)
     assert stats["blocks_read"] > 0
     # with k=3 and a dominant hot term, some pruning should occur

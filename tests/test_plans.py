@@ -1,0 +1,128 @@
+"""Physical-plan shape gates: the properties that keep the engine fast
+at 100 TB must be visible in .explain output, not assumed.
+
+  * column pruning  — tokenize stage reads ONLY the needed columns
+  * predicate pushdown — query-term filters reach the parquet scan
+  * broadcast joins — dictionary sides never shuffle the fact side
+  * whole-stage codegen — relational scoring stays JVM-side
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._sc is not None and df._jdf.queryExecution().explainString("formatted") or ""
+
+
+def explain(df) -> str:
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    buf = StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_tokenize_scan_prunes_columns(spark):
+    """Posting build over transcripts must read only conv_id, turn_idx,
+    text — never role/tool/ts (ReadSchema check)."""
+    from geospatial_spark.operators.postings import posting_tuples
+    from geospatial_spark.sources.transcripts import read_transcripts
+
+    # use the real parquet reader path
+    import tempfile
+
+    from fixtures.datagen import gen_transcripts
+
+    d = tempfile.mkdtemp()
+    gen_transcripts(10).to_parquet(f"{d}/t.parquet", index=False)
+    tx = read_transcripts(spark, f"{d}/t.parquet")
+    plan = explain(posting_tuples(tx))
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    line = scan[0]
+    assert "text" in line
+    assert "role" not in line and "tool" not in line and "ts" not in line
+
+
+def test_segment_scan_pushes_term_filter(spark, tmp_path):
+    """The query path's term filter must appear in PushedFilters on the
+    segments parquet scan."""
+    from pyspark.sql import functions as F
+
+    from fixtures.datagen import gen_transcripts
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.sources.transcripts import read_transcripts
+
+    p = tmp_path / "t.parquet"
+    gen_transcripts(30).to_parquet(p, index=False)
+    tx = read_transcripts(spark, str(p))
+    root = str(tmp_path / "idx")
+    build_index(spark, tx, root, n_shards=2)
+    s = IndexSearcher(spark, root)
+    matched = s._segments().where(F.col("term").isin(["spark", "the"]))
+    plan = explain(matched)
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "In(term" in pushed or "term" in pushed, pushed
+
+
+def test_scorer_uses_broadcast_join(spark, small_transcripts):
+    """Naive relational scorer: query terms join must be broadcast (no
+    shuffle of the postings side on the term key)."""
+    from geospatial_spark.operators.postings import corpus_stats, doclens, posting_tuples
+    from geospatial_spark.operators.scorer import bm25_topk
+
+    post = posting_tuples(small_transcripts)
+    dl = doclens(small_transcripts)
+    n, avgdl = corpus_stats(dl)
+    topk = bm25_topk(spark, post, dl, n, avgdl, "deploy the spark job", 10)
+    plan = explain(topk)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scorer_stays_in_codegen(spark, small_transcripts):
+    """BM25 scoring expressions must sit inside WholeStageCodegen spans
+    (no Python in the relational path)."""
+    from geospatial_spark.operators.postings import corpus_stats, doclens, posting_tuples
+    from geospatial_spark.operators.scorer import bm25_topk
+
+    post = posting_tuples(small_transcripts)
+    dl = doclens(small_transcripts)
+    n, avgdl = corpus_stats(dl)
+    topk = bm25_topk(spark, post, dl, n, avgdl, "deploy the spark job", 10)
+    plan = explain(topk)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    buf = StringIO()
+    with redirect_stdout(buf):
+        topk.explain("codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_enrich_join_broadcasts_dims(spark):
+    from geospatial_spark.plans import catalog
+
+    df = catalog.queries()["enrich_region_stats"](spark, "/root/testdata/sf0.001")
+    plan = explain(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_topk_is_take_ordered(spark, small_transcripts):
+    """orderBy + limit must compile to TakeOrderedAndProject (per-
+    partition heap + driver merge), not a global sort."""
+    from geospatial_spark.operators.postings import corpus_stats, doclens, posting_tuples
+    from geospatial_spark.operators.scorer import bm25_topk
+
+    post = posting_tuples(small_transcripts)
+    dl = doclens(small_transcripts)
+    n, avgdl = corpus_stats(dl)
+    topk = bm25_topk(spark, post, dl, n, avgdl, "spark table", 10)
+    plan = explain(topk)
+    assert "TakeOrderedAndProject" in plan, plan
