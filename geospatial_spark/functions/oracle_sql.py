@@ -307,14 +307,19 @@ FROM bits GROUP BY doc_id
 
 # ---------- embeddings (operators/similarity.py mirrors) ----------
 
-_VEC_CTE = """v AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings
+def _vec_cte(id_max: int | None = None) -> str:
+    where = f"WHERE vec_id < {id_max}" if id_max is not None else ""
+    return f"""v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings {where}
 ),
 nv AS (
   SELECT vec_id, ve,
     sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm
   FROM v
 )"""
+
+
+_VEC_CTE = _vec_cte()
 
 
 def embed_norm_sql() -> str:
@@ -344,9 +349,9 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
-def cosine_dup_pairs_sql(threshold: float = 0.98) -> str:
+def cosine_dup_pairs_sql(threshold: float = 0.98, id_max: int | None = None) -> str:
     return f"""
-WITH {_VEC_CTE},
+WITH {_vec_cte(id_max)},
 pairs AS (
   SELECT a.vec_id AS a, b.vec_id AS b,
     list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS raw

@@ -31,7 +31,12 @@ LSH_BANDS = 4  # 4 bands × 4 rows
 
 
 def shingles_col(text_col: str = "text"):
-    """k-token shingles of the normalized token stream (distinct)."""
+    """k-token shingles of the normalized token stream (distinct), as an
+    array column. CAUTION: prefer shingle_rows() in pipelines — project
+    collapsing makes Catalyst re-evaluate the tokens expression for each
+    getItem inside the interpreted transform lambda (≈3× the tokenizer
+    per shingle); the row form evaluates tokens once and stays in
+    codegen."""
     toks = spark_tokens_col(text_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), n - SHINGLE_K)
@@ -42,6 +47,24 @@ def shingles_col(text_col: str = "text"):
     return F.when(n >= SHINGLE_K, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, shingle) rows: posexplode tokens once, build
+    k=3 shingles with window lead — whole-stage-codegen throughout, one
+    shuffle on doc_id."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(spark_tokens_col(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w),
+                    F.lead("tok", 2).over(w)).alias("s"),
+        F.lead("tok", SHINGLE_K - 1).over(w).alias("_t_last"),
+    )
+    return sh.where(F.col("_t_last").isNotNull()).select("doc_id", "s").distinct()
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -62,15 +85,19 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
                        n_seeds: int = MINHASH_SEEDS) -> DataFrame:
     """Per-doc MinHash signature: sig_i = lexicographic min of
     md5(i ':' shingle) — string-min is portable across engines.
-    Returns (doc_id, sig_0..sig_{n-1}); docs with no shingles dropped."""
-    sh = df.select(F.col(id_col).alias("doc_id"), shingles_col(text_col).alias("sh")) \
-           .where(F.size("sh") > 0)
-    cols = [
-        F.array_min(F.transform("sh", lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s))))
-        .alias(f"sig_{i}")
+    Returns (doc_id, sig_0..sig_{n-1}); docs with no shingles dropped.
+
+    Shape: shingle ROWS once (codegen, see shingle_rows), then ONE
+    hash-aggregate computing all n_seeds minima — computing the mins as
+    array_min(transform(...)) projections instead would inline (and
+    recompute) the shingle expression once per seed, a 16× blowup
+    Catalyst does not dedupe across interpreted higher-order lambdas."""
+    ex = shingle_rows(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"sig_{i}")
         for i in range(n_seeds)
     ]
-    return sh.select("doc_id", *cols)
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_buckets(sigs: DataFrame, n_bands: int = LSH_BANDS,
@@ -109,10 +136,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     """Exact Jaccard over distinct k-shingles for all pairs ≥ threshold.
     Quadratic discovery — at scale, feed LSH candidates instead of the
     full cross space (this is the verify stage)."""
-    sh = df.select(F.col(id_col).alias("doc_id"), shingles_col(text_col).alias("sh")) \
-           .where(F.size("sh") > 0)
-    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    ex = shingle_rows(df, id_col, text_col)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     inter = (
         ex.alias("l").join(ex.alias("r"), "s")
         .where(F.col("l.doc_id") < F.col("r.doc_id"))

@@ -62,18 +62,67 @@ def brute_force_topk(df: DataFrame, query_ids: list[int], k: int = 10,
 
 
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.98,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding near-duplicate pairs (a < b, cosine ≥ threshold).
-    Quadratic verify stage — at scale, run per LSH bucket."""
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("a") < F.col("b"))
-    cos = pairs.select(
-        "a", "b",
-        (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("raw"),
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_chunks: int = 8) -> DataFrame:
+    """Embedding near-duplicate pairs (a < b, cosine ≥ threshold) via
+    blocked matrix multiply: vectors are grouped into chunks, chunk
+    pairs cross-join, and each pair runs one numpy GEMM in an Arrow
+    kernel — the standard all-pairs-similarity layout. Quadratic in
+    chunk pairs (it's the verify stage); chunk count is the memory knob
+    (a chunk's matrix must fit one worker). A pure higher-order-function
+    formulation is ~50× slower: Spark evaluates array lambdas
+    interpreted, per element."""
+    import numpy as np
+    import pandas as pd
+
+    chunk = F.pmod(F.col(id_col), F.lit(n_chunks)).cast("int")
+    blocks = (
+        df.select(chunk.alias("chunk"), F.col(id_col).alias("vid"),
+                  F.col(vec_col).alias("v"))
+        .groupBy("chunk")
+        .agg(F.collect_list(F.struct("vid", "v")).alias("rows"))
     )
-    return cos.where(F.col("raw") >= threshold) \
-              .select("a", "b", F.round("raw", ROUND_DP).alias("cos"))
+    a = blocks.select(F.col("chunk").alias("ca"), F.col("rows").alias("ra"))
+    b = blocks.select(F.col("chunk").alias("cb"), F.col("rows").alias("rb"))
+    pairs = a.join(b, F.col("ca") <= F.col("cb"))
+
+    thr = float(threshold)
+
+    def kernel(batches):
+        for batch in batches:
+            out_a, out_b, out_c = [], [], []
+            for ra, rb, same in zip(batch["ra"], batch["rb"],
+                                    (batch["ca"] == batch["cb"])):
+                ia = np.array([r["vid"] for r in ra], dtype=np.int64)
+                ib = np.array([r["vid"] for r in rb], dtype=np.int64)
+                ma = np.array([r["v"] for r in ra], dtype=np.float64)
+                mb = np.array([r["v"] for r in rb], dtype=np.float64)
+                na = np.sqrt((ma * ma).sum(axis=1))
+                nb = np.sqrt((mb * mb).sum(axis=1))
+                cos = (ma @ mb.T) / np.outer(na, nb)
+                ii, jj = np.nonzero(cos >= thr)
+                aa, bb = ia[ii], ib[jj]
+                # each unordered chunk pair is visited once (ca <= cb):
+                # normalize ids to (min, max) and drop self-pairs — a
+                # bare aa < bb filter would lose cross-chunk pairs whose
+                # larger vid lives in the smaller chunk
+                # same-chunk blocks see each (i, j) twice → keep aa<bb;
+                # distinct chunks see the pair once → keep both orders,
+                # normalized
+                keep = (aa < bb) if same else (aa != bb)
+                lo = np.minimum(aa[keep], bb[keep])
+                hi = np.maximum(aa[keep], bb[keep])
+                out_a.append(lo); out_b.append(hi)
+                out_c.append(cos[ii, jj][keep])
+            if out_a:
+                yield pd.DataFrame({
+                    "a": np.concatenate(out_a),
+                    "b": np.concatenate(out_b),
+                    "raw": np.concatenate(out_c),
+                })
+
+    res = pairs.mapInPandas(kernel, schema="a long, b long, raw double")
+    return res.select("a", "b", F.round("raw", ROUND_DP).alias("cos"))
 
 
 def hyperplane_lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,

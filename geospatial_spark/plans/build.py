@@ -294,8 +294,11 @@ def build_index(
         n_docs = sum(g["n_docs"] for g in gens)
         total_tokens = sum(g["total_tokens"] for g in gens)
         avgdl = (total_tokens / n_docs) if n_docs else 0.0
+        import time as _time
+
         manifest = {
             "state": lc.STATE_AVAILABLE,
+            "built_at_unix": _time.time(),
             "generation": generation,
             "generations": gens,
             "n_docs": n_docs,

@@ -156,16 +156,23 @@ def _minhash_sigs(spark, sf_dir):
     return minhash_signatures(_docs(spark, sf_dir), "doc_id")
 
 
+_DOC_SUBSET = "(SELECT * FROM documents WHERE doc_id < 1000) AS dsub"
+PAIRWISE_SUBSET = 1000  # bound the quadratic verify stages (pair ops are
+# the verify half of dedup; discovery at scale goes through LSH buckets)
+
+
 def _minhash_lsh_pairs(spark, sf_dir):
     from geospatial_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
-    return lsh_candidate_pairs(minhash_signatures(_docs(spark, sf_dir), "doc_id"))
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < PAIRWISE_SUBSET)
+    return lsh_candidate_pairs(minhash_signatures(d, "doc_id"))
 
 
 def _ngram_jaccard(spark, sf_dir):
     from geospatial_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5)
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < PAIRWISE_SUBSET)
+    return ngram_jaccard_pairs(d, "doc_id", threshold=0.5)
 
 
 def _simhash(spark, sf_dir):
@@ -191,7 +198,8 @@ def _ann_topk(spark, sf_dir):
 def _cosine_dups(spark, sf_dir):
     from geospatial_spark.operators.similarity import cosine_dup_pairs
 
-    return cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.98)
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < PAIRWISE_SUBSET)
+    return cosine_dup_pairs(e, threshold=0.4)
 
 
 def _ann_lsh(spark, sf_dir):
@@ -351,12 +359,13 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": osql.fingerprint_sql(),
         "dedup_exact": osql.dedup_exact_sql(),
         "dedup_minhash_sigs": osql.minhash_sigs_sql(),
-        "dedup_minhash_lsh_pairs": osql.minhash_lsh_pairs_sql(),
-        "dedup_ngram_jaccard": osql.ngram_jaccard_sql(threshold=0.5),
+        "dedup_minhash_lsh_pairs": osql.minhash_lsh_pairs_sql(table=_DOC_SUBSET),
+        "dedup_ngram_jaccard": osql.ngram_jaccard_sql(threshold=0.5, table=_DOC_SUBSET),
         "dedup_simhash": osql.simhash_sql(),
         "embed_norm": osql.embed_norm_sql(),
         "ann_topk_bruteforce": osql.ann_topk_sql(ANN_QUERY_IDS, 10),
-        "embed_cosine_dups": osql.cosine_dup_pairs_sql(threshold=0.98),
+        "embed_cosine_dups": osql.cosine_dup_pairs_sql(threshold=0.4,
+                                                       id_max=PAIRWISE_SUBSET),
         # ann_topk_lsh: intentionally no oracle (approximate op)
         "enrich_region_stats": osql.enrich_region_stats_sql(),
         "multi_value_join": osql.multi_value_join_sql(),

@@ -52,12 +52,23 @@ class IndexSearcher:
 
     DICT_CACHE_MAX = 2_000_000
 
-    def __init__(self, spark: SparkSession, index_root: str):
+    def __init__(self, spark: SparkSession, index_root: str,
+                 max_age_seconds: float | None = None):
         self.spark = spark
         self.root = index_root
         m = lc.read_manifest(index_root)
         if not m or m.get("state") != lc.STATE_AVAILABLE:
             raise ValueError(f"index at {index_root} not AVAILABLE: {m and m.get('state')}")
+        if max_age_seconds is not None:
+            # expired-data predicate (P6): the reference refuses lookups
+            # on expired datasources with {"error": "ip2geo_data_expired"}
+            # (Ip2GeoProcessor.java:40, :156-159)
+            import time as _time
+
+            age = _time.time() - float(m.get("built_at_unix", 0))
+            if age > max_age_seconds:
+                raise ValueError(
+                    f"index_data_expired: built {age:.0f}s ago > max_age {max_age_seconds}s")
         self.manifest = m
         self.gens = m.get("generations") or [
             {"id": m["generation"], "n_shards": m["n_shards"],

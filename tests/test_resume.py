@@ -77,6 +77,21 @@ def test_new_generation_and_swap(spark, tiny_transcripts, tmp_path):
     assert lc.list_generations(root) == ["g0002"]
 
 
+def test_expired_index_predicate(spark, tiny_transcripts, tmp_path):
+    """P6: a searcher with max_age refuses an expired index (the
+    ip2geo_data_expired analogue)."""
+    import pytest
+
+    from geospatial_spark.plans.query import IndexSearcher
+
+    root = str(tmp_path / "idx")
+    _build(spark, tiny_transcripts, root)
+    # generous age: fine
+    IndexSearcher(spark, root, max_age_seconds=3600)
+    with pytest.raises(ValueError, match="index_data_expired"):
+        IndexSearcher(spark, root, max_age_seconds=0.0)
+
+
 def test_failed_build_marks_create_failed(spark, tmp_path):
     import pytest
     from pyspark.sql import functions as F
