@@ -117,6 +117,16 @@ def main_default():
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     idx_root = tempfile.mkdtemp(prefix="bench_idx_")
     try:
+        # warmup: python workers + JIT, untimed
+        from geospatial_spark.plans.build import build_index
+        from geospatial_spark.sources.transcripts import read_transcripts
+
+        sf = sf_of(SF_DIR)
+        warm_tx = read_transcripts(spark, ensure_transcripts(spark, sf)).limit(20_000)
+        warm_root = tempfile.mkdtemp(prefix="bench_warm_")
+        build_index(spark, warm_tx, warm_root, n_shards=CPUS)
+        shutil.rmtree(warm_root, ignore_errors=True)
+
         timings, n_turns = run_suite(spark, SF_DIR, idx_root, n_shards=CPUS * 2)
         timings.update(run_catalog(spark, SF_DIR))
     finally:

@@ -407,6 +407,16 @@ FROM events GROUP BY 1, 2
 """.strip()
 
 
+def json_props_sql() -> str:
+    return """
+SELECT event_type, count(*)::BIGINT AS n,
+  sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+  min(json_extract(props, '$.k')::INT)::INT AS min_k,
+  max(json_extract(props, '$.k')::INT)::INT AS max_k
+FROM events GROUP BY event_type
+""".strip()
+
+
 def tpch_q1_sql() -> str:
     return """
 SELECT l_returnflag, l_linestatus,

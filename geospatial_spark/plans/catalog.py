@@ -296,6 +296,21 @@ def _tpch_q3ish(spark, sf_dir):
     )
 
 
+def _json_props(spark, sf_dir):
+    """F4 analogue (GeospatialParser map/JSON access): typed extraction
+    from the events JSON props column + aggregation."""
+    e = _events(spark, sf_dir)
+    return (
+        e.select("event_type",
+                 F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("k").cast("long").alias("sum_k"),
+             F.min("k").cast("int").alias("min_k"),
+             F.max("k").cast("int").alias("max_k"))
+    )
+
+
 def _multimodal(spark, sf_dir):
     from geospatial_spark.sources.multimodal import extract_features, with_payload
 
@@ -335,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_value_join": _multi_value_join,
         "stats_by_source": _stats_by_source,
         "events_hourly": _events_hourly,
+        "json_props_agg": _json_props,
         "tpch_q1": _tpch_q1,
         "tpch_q3ish": _tpch_q3ish,
         # multimodal plumbing (binary payload → Arrow feature kernel)
@@ -371,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_value_join": osql.multi_value_join_sql(),
         "stats_by_source": osql.stats_by_source_sql(),
         "events_hourly": osql.events_hourly_sql(),
+        "json_props_agg": osql.json_props_sql(),
         "tpch_q1": osql.tpch_q1_sql(),
         "tpch_q3ish": osql.tpch_q3ish_sql(),
         "multimodal_features": osql.multimodal_features_sql(),

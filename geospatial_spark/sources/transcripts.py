@@ -33,6 +33,22 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return validate_schema(df, TRANSCRIPT_SCHEMA, "transcripts")
 
 
+def flatten_conversations(conv_df: DataFrame) -> DataFrame:
+    """S2 analogue (GeospatialParser.getFeatures flattens a
+    FeatureCollection into per-feature docs, GeospatialParser.java:82-92):
+    nested conversation rows (conv_id, turns: array<struct<turn_idx,
+    role, text, tool, ts>>) → one row per turn, transcript schema."""
+    ex = conv_df.select("conv_id", F.explode("turns").alias("t"))
+    return ex.select(
+        "conv_id",
+        F.col("t.turn_idx").cast("int").alias("turn_idx"),
+        F.col("t.role").alias("role"),
+        F.col("t.text").alias("text"),
+        F.col("t.tool").alias("tool"),
+        F.col("t.ts").cast("timestamp").alias("ts"),
+    )
+
+
 def with_doc_id(df: DataFrame) -> DataFrame:
     """Stable document identity (FeatureProcessor's stable _id analogue,
     action/upload/geojson/ContentBuilder.java:63-67)."""

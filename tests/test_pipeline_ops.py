@@ -71,6 +71,40 @@ def test_salted_agg_matches_plain(spark):
     assert got == want
 
 
+def test_flatten_conversations(spark, tiny_transcripts):
+    """S2: nested conv rows → per-turn rows, lossless round-trip."""
+    from pyspark.sql import functions as F
+
+    from geospatial_spark.sources.transcripts import flatten_conversations
+
+    nested = tiny_transcripts.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list(
+            F.struct("turn_idx", "role", "text", "tool", "ts"))).alias("turns"))
+    flat = flatten_conversations(nested)
+    a = sorted([tuple(r) for r in flat.collect()], key=repr)
+    b = sorted([tuple(r) for r in tiny_transcripts.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts").collect()], key=repr)
+    assert a == b
+
+
+def test_fetch_doc_text_and_search_by_doc(spark, small_transcripts, small_oracle, tmp_path):
+    """T1 limit-1 lookup + J4 query-by-indexed-doc (fetch-then-query)."""
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.query import IndexSearcher
+
+    root = str(tmp_path / "idx")
+    build_index(spark, small_transcripts, root, n_shards=4)
+    s = IndexSearcher(spark, root)
+    doc_id = "conv-00000002:0"  # the 'singleton' edge row
+    text = s.fetch_doc_text(doc_id, small_transcripts)
+    assert text == "singleton"
+    got = s.search_by_doc(doc_id, small_transcripts, 5)
+    expected = small_oracle.search(text, 5)
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    assert s.fetch_doc_text("conv-zzz:0", small_transcripts) is None
+    assert s.search_by_doc("conv-zzz:0", small_transcripts, 5) == []
+
+
 def test_multi_value_lookup_sorted(spark):
     import pandas as pd
 
