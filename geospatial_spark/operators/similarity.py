@@ -125,6 +125,103 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.98,
     return res.select("a", "b", F.round("raw", ROUND_DP).alias("cos"))
 
 
+def spherical_kmeans_centroids(df: DataFrame, k: int = 16, dim: int = 64,
+                               seed: int = 42, sample: int = 4096,
+                               iters: int = 10,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding"):
+    """Driver-side spherical k-means (Lloyd's on cosine) over a
+    deterministic sample — the IVF coarse quantizer. The sample is tiny
+    and the centroid matrix broadcasts; training never shuffles the
+    corpus."""
+    import numpy as np
+
+    rows = (df.orderBy(id_col).limit(sample)
+              .select(vec_col).collect())
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            m = X[assign == j]
+            if len(m):
+                c = m.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cluster): nearest-centroid assignment via one numpy
+    GEMM per Arrow batch (broadcast centroids, no shuffle)."""
+    import numpy as np
+    import pandas as pd
+
+    C = centroids.tolist()
+
+    def kernel(batches):
+        Cm = np.array(C, dtype=np.float64)
+        for b in batches:
+            X = np.array(list(b[vec_col]), dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame({
+                "vec_id": b[id_col].to_numpy(),
+                "cluster": np.argmax(X @ Cm.T, axis=1).astype(np.int32),
+            })
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel, schema="vec_id long, cluster int")
+
+
+def ivf_topk(df: DataFrame, query_ids: list[int], k: int = 10,
+             n_clusters: int = 16, nprobe: int = 4, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into n_clusters inverted
+    lists; each query probes its nprobe nearest centroids and scores
+    exactly within them. Cost ∝ nprobe/n_clusters of the corpus per
+    query; the corpus shuffles once on cluster id. Approximate by
+    construction (recall tunable via nprobe)."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    C = spherical_kmeans_centroids(df, n_clusters, dim, seed,
+                                   id_col=id_col, vec_col=vec_col)
+    assign = ivf_assign(df, C, id_col, vec_col)
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    vecs = base.join(assign, "vec_id")
+
+    # queries' nprobe nearest clusters (driver-side: queries are few)
+    qrows = df.where(F.col(id_col).isin(query_ids)) \
+              .select(F.col(id_col).alias("q"), F.col(vec_col).alias("qv")).collect()
+    probes = []
+    for r in qrows:
+        x = np.array(r["qv"], dtype=np.float64)
+        x = x / max(np.linalg.norm(x), 1e-12)
+        near = np.argsort(-(C @ x))[:nprobe]
+        probes.extend((int(r["q"]), int(c)) for c in near)
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(probes, ["q", "cluster"])
+
+    cand = vecs.join(F.broadcast(probe_df), "cluster") \
+               .where(F.col("vec_id") != F.col("q"))
+    qv = base.where(F.col("vec_id").isin(query_ids)) \
+             .select(F.col("vec_id").alias("q"), F.col("v").alias("qv"))
+    cos = cand.join(F.broadcast(qv), "q").select(
+        "q", "vec_id",
+        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("raw"),
+    )
+    w = Window.partitionBy("q").orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("vec_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", "vec_id", F.round("raw", ROUND_DP).alias("cos"), "rank")
+    )
+
+
 def hyperplane_lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            dim: int = 64) -> DataFrame:

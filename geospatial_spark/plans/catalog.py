@@ -209,6 +209,17 @@ def _ann_lsh(spark, sf_dir):
     return lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
 
 
+def _ann_ivf(spark, sf_dir):
+    """Rows-only check (approximate by construction — no SQL oracle)."""
+    from geospatial_spark.operators.similarity import ivf_topk
+
+    # nprobe half the clusters: this synthetic data is near-isotropic
+    # (max pairwise cosine ≈ 0.5), so neighbor lists aren't cluster-
+    # concentrated; real embedding corpora probe far smaller fractions
+    return ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10,
+                    n_clusters=16, nprobe=8)
+
+
 # ---- relational / reference-op analogues ----
 
 def _enrich_region(spark, sf_dir):
@@ -345,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": _ann_topk,
         "embed_cosine_dups": _cosine_dups,
         "ann_topk_lsh": _ann_lsh,  # rows-only: approximate op
+        "ann_topk_ivf": _ann_ivf,  # rows-only: approximate op
         # relational / reference-op analogues
         "enrich_region_stats": _enrich_region,
         "multi_value_join": _multi_value_join,

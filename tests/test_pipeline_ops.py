@@ -18,6 +18,16 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.9, recall
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    from geospatial_spark.plans import catalog
+
+    q = catalog.queries()
+    bf = {(r["q"], r["vec_id"]) for r in q["ann_topk_bruteforce"](spark, SF).collect()}
+    iv = {(r["q"], r["vec_id"]) for r in q["ann_topk_ivf"](spark, SF).collect()}
+    recall = len(bf & iv) / len(bf)
+    assert recall >= 0.8, recall
+
+
 def test_multimodal_decode_is_stubbed():
     from geospatial_spark.sources.multimodal import decode_image
 
