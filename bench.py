@@ -94,6 +94,17 @@ def run_suite(spark, sf_dir: str, index_root: str, n_shards: int,
         hits = searcher.search(qtext, 10)
         timings[name] = time.perf_counter() - t0
         assert isinstance(hits, list)
+
+    # batched path: all bench queries ×2 variants in ONE job
+    batch = {}
+    for i, (name, qtext) in enumerate(q for q in BENCH_QUERIES if q[1]):
+        batch[f"b{i}a"] = qtext
+        batch[f"b{i}b"] = qtext + " index"
+    t0 = time.perf_counter()
+    res = searcher.search_many(batch, 10)
+    dt = time.perf_counter() - t0
+    timings["q_bm25_batch10"] = dt
+    assert len(res) == len(batch)
     return timings, n_turns
 
 
@@ -140,6 +151,7 @@ def main_default():
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "sf": sf_of(SF_DIR),
         "build_turns_per_sec": round(n_turns / timings["q_build"], 1),
+        "queries_per_sec_batched": round(10 / timings["q_bm25_batch10"], 2),
         "n_turns": n_turns,
         "cores": CPUS,
     }

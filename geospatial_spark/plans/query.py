@@ -186,6 +186,83 @@ class IndexSearcher:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
 
+    def search_many(self, queries: dict[str, str], k: int = 10
+                    ) -> dict[str, list[tuple[str, float]]]:
+        """Batched top-k: ALL queries in one Spark job. The segment scan
+        filters on the union of query terms; each (gen, shard) kernel
+        scores every query against its shard (per-query exact WAND) and
+        returns qid-tagged top-k rows; one window pass truncates per
+        query. Amortizes the per-job fixed cost — the throughput path
+        for query workloads (one scan + one shuffle for the whole
+        batch)."""
+        from pyspark.sql.window import Window
+
+        norm = self.manifest.get("normalization") or {}
+        qterms: dict[str, list[str]] = {}
+        for qid, text in queries.items():
+            qterms[qid] = sorted({norm.get(t, t) for t in tokenize_py(text)})
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        out: dict[str, list[tuple[str, float]]] = {q: [] for q in queries}
+        if not all_terms or self.n_docs == 0:
+            return out
+        df_global = self._df_for(all_terms)
+        if not df_global:
+            return out
+
+        matched = self._segments().where(F.col("term").isin(list(df_global)))
+        n_docs, avgdl = self.n_docs, self.avgdl
+        shard_docs, gdirs = self.shard_docs, self.gdirs
+        kk = int(k)
+        q_spec = {qid: [t for t in ts if t in df_global]
+                  for qid, ts in qterms.items()}
+
+        def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from pathlib import Path as _P
+
+            import pyarrow.parquet as pq
+
+            from geospatial_spark.plans import lifecycle as lc_w
+
+            gen, shard = str(key[0]), int(key[1])
+            base = shard << ORD_SHARD_SHIFT
+            n_local = shard_docs.get((gen, shard), 0)
+            rows_by_term = {}
+            for rec in pdf.to_dict("records"):
+                rows_by_term[rec["term"]] = rec
+            docmap_col = None
+            outs = []
+            for qid, ts in q_spec.items():
+                rows = [rows_by_term[t] for t in ts if t in rows_by_term]
+                if not rows:
+                    continue
+                local, scores = wand_shard(rows, n_local, base, df_global,
+                                           n_docs, avgdl, kk)
+                if len(local) == 0:
+                    continue
+                if docmap_col is None:
+                    docmap_col = pq.read_table(
+                        lc_w.docmap_path(_P(gdirs[gen]), shard),
+                        columns=["doc_id"]).column("doc_id")
+                ids = docmap_col.take(local.tolist()).to_pylist()
+                outs.append(pd.DataFrame({
+                    "qid": qid, "doc_id": ids,
+                    "score": scores.astype(np.float64)}))
+            if outs:
+                return pd.concat(outs, ignore_index=True)
+            return pd.DataFrame({"qid": pd.Series([], dtype=object),
+                                 "doc_id": pd.Series([], dtype=object),
+                                 "score": pd.Series([], dtype="float64")})
+
+        per_shard = matched.groupBy("gen", "shard").applyInPandas(
+            run_shard, schema="qid string, doc_id string, score double"
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), *merge_tie_break())
+        top = (per_shard.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= kk))
+        for r in top.collect():
+            out[r["qid"]].append((r["doc_id"], float(r["score"])))
+        return out
+
     def fetch_doc_text(self, doc_id: str, transcripts: DataFrame) -> str | None:
         """1-row lookup of a doc's text (limit-1 dictionary search
         analogue, GeoIpDataDao.java:252)."""
