@@ -32,7 +32,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # sf → synthetic transcript scale (~5.5 turns/conv avg)
 CONVS_BY_SF = {"0.001": 500, "0.01": 5_000, "0.1": 50_000, "1": 500_000,
-               "scaling": 200_000}
+               "scaling": 800_000}
 
 # Scaling pair: N=2 vs 4N=8 cores. This box exposes 32 vCPUs but only
 # ~16 physical cores (SMT): a pure-CPU multiprocessing microbenchmark

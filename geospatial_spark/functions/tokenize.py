@@ -74,6 +74,51 @@ def tokenize_flat(texts: pd.Series):
     return flat, doc_idx, dl
 
 
+def tokenize_encoded(texts: pd.Series, normalization: dict[str, str] | None = None):
+    """Fastest build-path tokenizer: Arrow-native lower/split/filter +
+    dictionary encoding, so term identity is integer codes and only the
+    (tiny) vocabulary is ever sorted or normalized.
+
+    Returns (codes: int64 per kept token, vocab: np.ndarray[U] sorted
+    ascending, doc_idx: int64 per kept token, dl: int64 per doc) with
+    vocab[codes[i]] == the i-th token of tokenize_flat(texts) after
+    normalization.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    arr = pa.array(texts.fillna(""), type=pa.string())
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), SQL_TOKEN_SPLIT_RE)
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts, nan=0).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    keep = (lens >= 1) & (lens <= MAX_TOKEN_LEN)
+    flat = pc.filter(flat, pa.array(keep))
+    doc_idx = doc_idx[keep]
+    if len(doc_idx) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype="U1"),
+                doc_idx, np.zeros(n, dtype=np.int64))
+    dl = np.bincount(doc_idx, minlength=n).astype(np.int64)
+
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype="U")
+    if normalization:
+        # normalize the VOCAB (tiny), not the token stream
+        vocab = np.asarray(
+            [normalization.get(str(v), str(v)) for v in vocab], dtype="U")
+    # sort + dedupe the vocab (normalization can merge entries), then
+    # remap token codes into sorted-vocab space
+    uniq_vocab = np.unique(vocab)
+    rank_of_old = np.searchsorted(uniq_vocab, vocab)
+    codes = rank_of_old[codes]
+    return codes, uniq_vocab, doc_idx, dl
+
+
 def normalize_flat(flat, mapping: dict[str, str]):
     """Apply a token→canonical dictionary to a flat token array,
     vectorized (the tokenizer's ip2geo-style enrichment lookup: the

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geospatial_spark.functions.codec import encode_shard_postings
-from geospatial_spark.functions.tokenize import normalize_flat, tokenize_flat
+from geospatial_spark.functions.tokenize import tokenize_encoded
 from geospatial_spark.plans import lifecycle as lc
 from geospatial_spark.schemas import BUILD_METRIC_SCHEMA
 from geospatial_spark.sources.transcripts import with_doc_id
@@ -93,9 +93,9 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
     """Tokenize + posting encode one shard. Returns (segments_df,
     docmap_df, stats dict). All hot paths vectorized."""
     n = len(doc_ids)
-    flat_terms, flat_doc_idx, dl = tokenize_flat(texts)
-    if normalization:
-        flat_terms = normalize_flat(flat_terms, normalization)
+    # Arrow-native tokenize + dictionary encode: terms become int codes,
+    # only the vocab is sorted/normalized (functions/tokenize.tokenize_encoded)
+    codes, uniq_terms, flat_doc_idx, dl = tokenize_encoded(texts, normalization)
     doc_ords = (np.int64(shard) << ORD_SHARD_SHIFT) | np.arange(n, dtype=np.int64)
     flat_docs = doc_ords[flat_doc_idx] if len(flat_doc_idx) else np.empty(0, dtype=np.int64)
     flat_dls = dl[flat_doc_idx] if len(flat_doc_idx) else np.empty(0, dtype=np.int64)
@@ -103,10 +103,9 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
     seg_rows = []
     n_postings = 0
     n_bytes = 0
-    if len(flat_terms):
-        # all-numpy tf computation: unique-code terms, lexsort,
-        # run-length segmentation (no object-dtype groupby)
-        uniq_terms, codes = np.unique(flat_terms, return_inverse=True)
+    if len(codes):
+        # all-numpy tf computation: int-code lexsort + run-length
+        # segmentation (no object-dtype groupby, no string sort)
         order = np.lexsort((flat_docs, codes))
         tc = codes[order]
         dc = flat_docs[order]

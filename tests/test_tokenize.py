@@ -60,6 +60,34 @@ def test_flat_matches_py_property(texts):
         assert list(flat[doc_idx == i]) == tokenize_py(raw)
 
 
+def test_encoded_matches_py():
+    from geospatial_spark.functions.tokenize import tokenize_encoded
+
+    texts = pd.Series(["Deploy the SPARK job!", "", None, "?!...", "a1-b2",
+                       "x" * 65, "one two one", "PySpark and pyspark"])
+    codes, vocab, doc_idx, dl = tokenize_encoded(texts)
+    assert list(vocab) == sorted(set(vocab))
+    for i, raw in enumerate(texts):
+        expect = tokenize_py(raw)
+        got = list(vocab[codes[doc_idx == i]])
+        assert got == expect, raw
+        assert dl[i] == len(expect)
+    # with normalization: vocab-level mapping
+    codes, vocab, doc_idx, dl = tokenize_encoded(texts, {"pyspark": "spark"})
+    got = list(vocab[codes[doc_idx == 7]])
+    assert got == ["spark", "and", "spark"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(max_size=80), min_size=1, max_size=10))
+def test_encoded_matches_py_property(texts):
+    from geospatial_spark.functions.tokenize import tokenize_encoded
+
+    codes, vocab, doc_idx, dl = tokenize_encoded(pd.Series(texts, dtype=object))
+    for i, raw in enumerate(texts):
+        assert list(vocab[codes[doc_idx == i]]) == tokenize_py(raw)
+
+
 def test_duckdb_sql_matches_py():
     texts = ["Deploy the SPARK job!", "", "?!... ---", "a1-b2_c3", "x" * 65,
              "MiXeD CaSe, punct; tokens?", "7 numbers 42 and13x"]
