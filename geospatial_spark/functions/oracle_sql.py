@@ -444,6 +444,57 @@ LIMIT 20
 """.strip()
 
 
+def window_top_orders_sql() -> str:
+    return """
+WITH r AS (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+    round(o_totalprice, 2) AS totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT custkey, orderkey, totalprice, rn::INT AS rn
+FROM r WHERE rn <= 2 AND custkey < 200
+""".strip()
+
+
+def set_except_sql() -> str:
+    return """
+SELECT custkey FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders
+  EXCEPT
+  SELECT DISTINCT user_id AS custkey FROM events
+) WHERE custkey < 500
+""".strip()
+
+
+def rollup_region_sql() -> str:
+    return """
+SELECT r.r_name AS region, n.n_name AS nation,
+  count(*)::BIGINT AS n_customers, round(sum(c.c_acctbal), 2) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (region, nation)
+""".strip()
+
+
+def distinct_users_sql() -> str:
+    return """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type
+""".strip()
+
+
+def tpch_q6_sql() -> str:
+    return """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24
+""".strip()
+
+
 def multimodal_features_sql(table: str = "documents", id_col: str = "doc_id",
                             text_col: str = "text") -> str:
     """Oracle for the binary-payload feature kernel: payload is the

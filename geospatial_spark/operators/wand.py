@@ -29,6 +29,9 @@ import numpy as np
 
 from geospatial_spark.functions.bm25 import B, K1, idf
 
+# refresh the pruning threshold every this many scored blocks
+THETA_REFRESH_BLOCKS = 8
+
 
 def _block_ubs(idf_t: float, bmax_tf: np.ndarray, bmin_dl: np.ndarray,
                avgdl: float) -> np.ndarray:
@@ -86,16 +89,18 @@ def wand_shard(
         blast_local = np.asarray(r["block_last_doc"], dtype=np.int64) - base_ord
         doc_blocks, tf_blocks, dl_blocks = r["doc_blocks"], r["tf_blocks"], r["dl_blocks"]
         bstarts_local = np.concatenate(([0], blast_local[:-1] + 1))
+        seg_bounds = np.minimum(bstarts_local, n_local_docs - 1)
         if theta > 0.0:
             # coarse per-block partial max over [block start, block last]
-            seg_bounds = np.minimum(bstarts_local, n_local_docs - 1)
             part_max = np.maximum.reduceat(scores, seg_bounds)
         else:
             part_max = None
 
         prev_last_global = 0
+        since_refresh = 0
         for bi in range(len(doc_blocks)):
-            if theta > 0.0 and part_max[bi] + ubs[bi] + remaining < theta:
+            if part_max is not None and theta > 0.0 \
+                    and part_max[bi] + ubs[bi] + remaining < theta:
                 blocks_skipped += 1
                 prev_last_global = int(blast_local[bi]) + base_ord
                 continue
@@ -108,6 +113,17 @@ def wand_shard(
             tff = tfs.astype(np.float64)
             contrib = idf_t * (tff / (tff + K1 * (1.0 - B + B * (dls / avgdl))))
             scores[local] += contrib
+            # periodic θ + part_max refresh WITHIN the term: long scans
+            # (incl. single-term queries) start pruning before the term
+            # ends. Both are recomputed together from current scores, so
+            # the skip test stays an upper bound (exactness preserved).
+            since_refresh += 1
+            if since_refresh >= THETA_REFRESH_BLOCKS and n_local_docs > k:
+                new_theta = float(np.partition(scores, -k)[-k])
+                if new_theta > theta:
+                    theta = new_theta
+                    part_max = np.maximum.reduceat(scores, seg_bounds)
+                since_refresh = 0
         if n_local_docs > k:
             theta = float(np.partition(scores, -k)[-k])
 

@@ -316,3 +316,21 @@ def build_index(
     except Exception as exc:  # mark CREATE_FAILED, keep prior manifest serving
         lc.mark_create_failed(index_root, generation, repr(exc))
         raise
+
+
+def compact_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_root: str,
+    n_shards: int | None = None,
+    generation: str = "compact-0001",
+) -> dict:
+    """Force-merge analogue (GeoIpDataDao.freezeIndex:123-133 merges to
+    one segment before serving): rebuild the accumulated corpus into ONE
+    fresh generation and swap, collapsing the delta-generation chain the
+    streaming writer produces. Old generations stay until
+    delete_unused_generations reclaims them (guarded)."""
+    manifest = build_index(spark, transcripts, index_root,
+                           n_shards=n_shards, generation=generation,
+                           append=False)
+    return manifest

@@ -322,6 +322,66 @@ def _json_props(spark, sf_dir):
     )
 
 
+def _window_top_orders(spark, sf_dir):
+    """Window-function coverage: top-2 orders by totalprice per customer
+    (row_number over partition), deterministic tie-break."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .where(F.col("o_custkey") < 200)
+        .select(F.col("o_custkey").alias("custkey"),
+                F.col("o_orderkey").alias("orderkey"),
+                F.round("o_totalprice", 2).alias("totalprice"),
+                F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def _set_ops(spark, sf_dir):
+    """Relational set ops: customers with orders but no events
+    (EXCEPT), as sorted keys."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+             .select(F.col("o_custkey").alias("custkey"))
+    e = _events(spark, sf_dir).select(F.col("user_id").alias("custkey"))
+    return o.distinct().exceptAll(e.distinct()).where(F.col("custkey") < 500)
+
+
+def _rollup_region(spark, sf_dir):
+    """ROLLUP over region/nation customer counts (grouping-sets agg)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]))
+    return (
+        j.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"))
+    )
+
+
+def _distinct_users(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"))
+
+
+def _tpch_q6(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where((F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+                 & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+                 & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.06)
+                 & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
 def _multimodal(spark, sf_dir):
     from geospatial_spark.sources.multimodal import extract_features, with_payload
 
@@ -363,8 +423,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_by_source": _stats_by_source,
         "events_hourly": _events_hourly,
         "json_props_agg": _json_props,
+        "window_top_orders": _window_top_orders,
+        "set_except_custkeys": _set_ops,
+        "rollup_region_nation": _rollup_region,
+        "distinct_users_per_type": _distinct_users,
         "tpch_q1": _tpch_q1,
         "tpch_q3ish": _tpch_q3ish,
+        "tpch_q6": _tpch_q6,
         # multimodal plumbing (binary payload → Arrow feature kernel)
         "multimodal_features": _multimodal,
     }
@@ -400,7 +465,12 @@ def oracle_sql() -> dict[str, str]:
         "stats_by_source": osql.stats_by_source_sql(),
         "events_hourly": osql.events_hourly_sql(),
         "json_props_agg": osql.json_props_sql(),
+        "window_top_orders": osql.window_top_orders_sql(),
+        "set_except_custkeys": osql.set_except_sql(),
+        "rollup_region_nation": osql.rollup_region_sql(),
+        "distinct_users_per_type": osql.distinct_users_sql(),
         "tpch_q1": osql.tpch_q1_sql(),
         "tpch_q3ish": osql.tpch_q3ish_sql(),
+        "tpch_q6": osql.tpch_q6_sql(),
         "multimodal_features": osql.multimodal_features_sql(),
     }

@@ -89,6 +89,55 @@ def test_wand_pruning_actually_skips(spark, built_index):
     assert stats["blocks_skipped"] >= 0  # smoke (fixture is small)
 
 
+def test_wand_pruning_effective_on_large_shard(spark, tmp_path):
+    """On a single large shard with k=1 and a dominant hot term, the
+    pruning rule must actually skip blocks — and results must stay
+    exact vs the oracle."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fixtures.datagen import gen_transcripts
+    from geospatial_spark.operators.wand import wand_shard
+    from geospatial_spark.plans.build import ORD_SHARD_SHIFT, build_index
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.sources.transcripts import read_transcripts
+    from oracle.oracle import OracleIndex
+
+    pdf = gen_transcripts(1200, seed=11)
+    p = tmp_path / "t.parquet"
+    pdf.to_parquet(p, index=False)
+    tx = read_transcripts(spark, str(p))
+    root = str(tmp_path / "idx")
+    m = build_index(spark, tx, root, n_shards=1)
+    s = IndexSearcher(spark, root)
+
+    oracle = OracleIndex.build(list(zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"])))
+
+    def run(qtext):
+        terms = sorted(set(qtext.split()))
+        seg = s._segments().where(F.col("term").isin(terms)).toPandas()
+        df_global = s._df_for(terms)
+        stats = {}
+        wand_shard(seg.to_dict("records"),
+                   s.shard_docs[(m["generation"], 0)],
+                   0 << ORD_SHARD_SHIFT, df_global,
+                   s.n_docs, s.avgdl, 1, stats=stats)
+        expected = oracle.search(qtext, 5)
+        got = s.search(qtext, 5)
+        assert [d for d, _ in got] == [d for d, _ in expected], qtext
+        return stats
+
+    # rare+hot mix — the classic BMW case: the rare term sets θ high,
+    # then most of the hot term's blocks are skipped
+    stats = run("w2000 the")
+    assert stats["blocks_skipped"] > 0, stats
+    # hot-only single term: tf saturation makes (max_tf, min_dl) bounds
+    # ≈ idf for every block, so little skips — exactness still holds
+    # (impact-ordered posting copies for hot terms are the known fix;
+    # future work)
+    run("the")
+
+
 def test_segment_compression_sane(spark, built_index):
     """Compressed postings must be much smaller than raw 8-byte encoding."""
     from pyspark.sql import functions as F

@@ -70,6 +70,36 @@ def test_incremental_second_drop_appends(spark, tiny_transcripts_pd, tmp_path):
     assert len(m["generations"]) >= 2
 
 
+def test_compaction_collapses_generations(spark, small_transcripts_pd, tmp_path):
+    """Force-merge analogue: compacting the delta chain into one
+    generation preserves search results exactly."""
+    from geospatial_spark.plans import lifecycle as lc
+    from geospatial_spark.plans.build import compact_index
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.sources.transcripts import read_transcripts
+    from geospatial_spark.streaming.incremental import start_incremental_index
+
+    src = tmp_path / "src"
+    src.mkdir()
+    half = len(small_transcripts_pd) // 2
+    small_transcripts_pd.iloc[:half].to_parquet(src / "a.parquet", index=False)
+    small_transcripts_pd.iloc[half:].to_parquet(src / "b.parquet", index=False)
+    root = str(tmp_path / "idx")
+    start_incremental_index(spark, str(src), root, str(tmp_path / "ck"),
+                            n_shards=3).awaitTermination(120)
+    before = IndexSearcher(spark, root).search("the spark job", 10)
+
+    tx = read_transcripts(spark, str(src))
+    compact_index(spark, tx, root, n_shards=4)
+    m = lc.read_manifest(root)
+    assert len(m["generations"]) == 1
+    after = IndexSearcher(spark, root).search("the spark job", 10)
+    assert after == before
+    deleted = lc.delete_unused_generations(root)
+    assert deleted  # the old delta generations were reclaimed
+    assert IndexSearcher(spark, root).search("the spark job", 10) == before
+
+
 def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
     import pandas as pd
 
