@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from geospatial_spark.plans import catalog
 
-    return catalog.queries()["bm25_topk_multi"](spark, "/root/testdata/sf0.001")
+    return catalog.queries()["bm25_wand_multi"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

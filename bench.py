@@ -31,7 +31,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # sf → synthetic transcript scale (~5.5 turns/conv avg)
-CONVS_BY_SF = {"0.001": 500, "0.01": 5_000, "0.1": 50_000, "1": 500_000,
+CONVS_BY_SF = {"0.001": 500, "0.01": 5_000, "0.1": 200_000, "1": 2_000_000,
                "scaling": 800_000}
 
 # Scaling pair: N=2 vs 4N=8 cores. This box exposes 32 vCPUs but only
@@ -133,12 +133,12 @@ def main_default():
         from geospatial_spark.sources.transcripts import read_transcripts
 
         sf = sf_of(SF_DIR)
-        warm_tx = read_transcripts(spark, ensure_transcripts(spark, sf)).limit(20_000)
+        warm_tx = read_transcripts(spark, ensure_transcripts(spark, sf)).limit(100_000)
         warm_root = tempfile.mkdtemp(prefix="bench_warm_")
-        build_index(spark, warm_tx, warm_root, n_shards=CPUS)
+        build_index(spark, warm_tx, warm_root, n_shards=CPUS * 4)
         shutil.rmtree(warm_root, ignore_errors=True)
 
-        timings, n_turns = run_suite(spark, SF_DIR, idx_root, n_shards=CPUS * 2)
+        timings, n_turns = run_suite(spark, SF_DIR, idx_root, n_shards=CPUS * 4)
         timings.update(run_catalog(spark, SF_DIR))
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
