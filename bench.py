@@ -95,6 +95,17 @@ def run_suite(spark, sf_dir: str, index_root: str, n_shards: int,
         timings[name] = time.perf_counter() - t0
         assert isinstance(hits, list)
 
+    # serving path: LocalSearcher (no Spark job) — interactive latency
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    local = LocalSearcher(index_root)
+    local.search("the spark", 10)  # warm dictionary
+    t0 = time.perf_counter()
+    for _, qtext in BENCH_QUERIES:
+        if qtext:
+            local.search(qtext, 10)
+    timings["q_bm25_serve5"] = time.perf_counter() - t0
+
     # batched path: all bench queries ×2 variants in ONE job
     batch = {}
     for i, (name, qtext) in enumerate(q for q in BENCH_QUERIES if q[1]):

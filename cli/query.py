@@ -24,14 +24,21 @@ def main() -> None:
     ap.add_argument("--query", required=True)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--local", action="store_true",
+                    help="serve without Spark (pyarrow row-group reads)")
     args = ap.parse_args()
 
-    from geospatial_spark.plans.query import IndexSearcher
-    from geospatial_spark.session import get_spark
+    if args.local:
+        from geospatial_spark.plans.serve import LocalSearcher
 
-    spark = get_spark("cli-query", cores=args.cores)
-    s = IndexSearcher(spark, args.index)
-    hits = s.search(args.query, args.k)
+        hits = LocalSearcher(args.index).search(args.query, args.k)
+    else:
+        from geospatial_spark.plans.query import IndexSearcher
+        from geospatial_spark.session import get_spark
+
+        spark = get_spark("cli-query", cores=args.cores)
+        s = IndexSearcher(spark, args.index)
+        hits = s.search(args.query, args.k)
     print(json.dumps({
         "query": args.query, "k": args.k,
         "hits": [{"doc_id": d, "score": sc, "rank": i + 1}

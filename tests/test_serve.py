@@ -1,0 +1,80 @@
+"""LocalSearcher (no-Spark serving path) ≡ IndexSearcher ≡ oracle, plus
+a latency sanity check."""
+
+from __future__ import annotations
+
+import math
+import time
+
+import pytest
+
+from tests.conftest import QUERIES
+
+
+@pytest.fixture(scope="module")
+def serve_index(spark, small_transcripts, tmp_path_factory):
+    from geospatial_spark.plans.build import build_index
+
+    root = str(tmp_path_factory.mktemp("serve") / "idx")
+    build_index(spark, small_transcripts, root, n_shards=6)
+    return root
+
+
+def test_local_matches_oracle(serve_index, small_oracle):
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    s = LocalSearcher(serve_index)
+    for q in QUERIES:
+        expected = small_oracle.search(q, 10)
+        got = s.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in expected], q
+        for (_, gs), (_, es) in zip(got, expected):
+            assert math.isclose(gs, es, rel_tol=1e-9)
+
+
+def test_local_matches_spark_searcher(spark, serve_index):
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    ls = LocalSearcher(serve_index)
+    ss = IndexSearcher(spark, serve_index)
+    for q in ["deploy the spark job", "w100 w200 w5", "the"]:
+        a, b = ls.search(q, 10), ss.search(q, 10)
+        assert [d for d, _ in a] == [d for d, _ in b]
+        for (_, x), (_, y) in zip(a, b):
+            assert math.isclose(x, y, rel_tol=1e-12)
+
+
+def test_local_latency_after_warm(serve_index):
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    s = LocalSearcher(serve_index)
+    s.search("the spark job", 10)  # warm dictionary + page cache
+    t0 = time.perf_counter()
+    for _ in range(5):
+        s.search("deploy index merge", 10)
+    per_query = (time.perf_counter() - t0) / 5
+    assert per_query < 0.5, per_query  # serving path ≪ Spark job latency
+
+
+def test_local_multi_generation(spark, small_transcripts_pd, tmp_path):
+    from geospatial_spark.plans.serve import LocalSearcher
+    from geospatial_spark.streaming.incremental import start_incremental_index
+    from oracle.oracle import OracleIndex
+
+    src = tmp_path / "src"
+    src.mkdir()
+    half = len(small_transcripts_pd) // 2
+    small_transcripts_pd.iloc[:half].to_parquet(src / "a.parquet", index=False)
+    small_transcripts_pd.iloc[half:].to_parquet(src / "b.parquet", index=False)
+    root = str(tmp_path / "idx")
+    start_incremental_index(spark, str(src), root, str(tmp_path / "ck"),
+                            n_shards=3).awaitTermination(120)
+    oracle = OracleIndex.build(list(zip(
+        small_transcripts_pd["conv_id"], small_transcripts_pd["turn_idx"],
+        small_transcripts_pd["text"])))
+    s = LocalSearcher(root)
+    for q in QUERIES[:5]:
+        expected = oracle.search(q, 10)
+        got = s.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in expected], q
