@@ -274,7 +274,8 @@ def build_index(
 
         n_docs_g = sum(m["docs_tokenized"] for m in metrics)
         total_tokens_g = sum(m["total_tokens"] for m in metrics)
-        n_terms = _build_dictionary(spark, gdir, n_shards)
+        # zero-row input → zero partitions → no segment files to read
+        n_terms = _build_dictionary(spark, gdir, n_shards) if metrics else 0
         gen_entry = {
             "id": generation,
             "n_shards": n_shards,

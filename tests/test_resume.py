@@ -77,6 +77,22 @@ def test_new_generation_and_swap(spark, tiny_transcripts, tmp_path):
     assert lc.list_generations(root) == ["g0002"]
 
 
+def test_empty_corpus_build_and_search(spark, tiny_transcripts, tmp_path):
+    """Zero-row input: build publishes an AVAILABLE empty index; both
+    searchers return empty results without errors."""
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    root = str(tmp_path / "idx")
+    empty = tiny_transcripts.limit(0)
+    m = build_index(spark, empty, root, n_shards=2)
+    assert m["state"] == "AVAILABLE"
+    assert m["n_docs"] == 0 and m["avgdl"] == 0.0
+    assert IndexSearcher(spark, root).search("spark", 5) == []
+    assert LocalSearcher(root).search("spark", 5) == []
+
+
 def test_expired_index_predicate(spark, tiny_transcripts, tmp_path):
     """P6: a searcher with max_age refuses an expired index (the
     ip2geo_data_expired analogue)."""
