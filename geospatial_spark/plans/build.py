@@ -288,9 +288,14 @@ def build_index(
         prior = lc.read_manifest(index_root)
         if append and prior and prior.get("state") == lc.STATE_AVAILABLE:
             gens = [g for g in prior.get("generations", []) if g["id"] != generation]
-            gens.append(gen_entry)
         else:
-            gens = [gen_entry]
+            gens = []
+        # a zero-doc generation has no artifacts on disk (zero shard
+        # tasks ran) — listing it would poison readers that glob its
+        # files, so it is omitted: every manifest-listed generation is
+        # guaranteed to have dictionary + segment + docmap files
+        if n_docs_g > 0:
+            gens.append(gen_entry)
         n_docs = sum(g["n_docs"] for g in gens)
         total_tokens = sum(g["total_tokens"] for g in gens)
         avgdl = (total_tokens / n_docs) if n_docs else 0.0

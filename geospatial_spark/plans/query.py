@@ -70,10 +70,12 @@ class IndexSearcher:
                 raise ValueError(
                     f"index_data_expired: built {age:.0f}s ago > max_age {max_age_seconds}s")
         self.manifest = m
-        self.gens = m.get("generations") or [
+        # "generations" may legitimately be an empty list (empty corpus);
+        # only fall back for pre-multi-generation manifests lacking the key
+        self.gens = (m["generations"] if "generations" in m else [
             {"id": m["generation"], "n_shards": m["n_shards"],
              "n_docs": m["n_docs"], "shards": m["shards"]}
-        ]
+        ])
         self.n_docs = int(m["n_docs"])
         self.avgdl = float(m["avgdl"])
         self.gdirs = {g["id"]: str(lc.gen_dir(index_root, g["id"])) for g in self.gens}

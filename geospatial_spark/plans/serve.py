@@ -45,10 +45,11 @@ class LocalSearcher:
             if age > max_age_seconds:
                 raise ValueError(f"index_data_expired: built {age:.0f}s ago")
         self.manifest = m
-        self.gens = m.get("generations") or [
+        # empty list is a valid (empty-corpus) generation set
+        self.gens = (m["generations"] if "generations" in m else [
             {"id": m["generation"], "n_shards": m["n_shards"],
              "n_docs": m["n_docs"], "shards": m["shards"]}
-        ]
+        ])
         self.n_docs = int(m["n_docs"])
         self.avgdl = float(m["avgdl"])
         self.gdirs = {g["id"]: Path(lc.gen_dir(index_root, g["id"])) for g in self.gens}

@@ -89,8 +89,28 @@ def test_empty_corpus_build_and_search(spark, tiny_transcripts, tmp_path):
     m = build_index(spark, empty, root, n_shards=2)
     assert m["state"] == "AVAILABLE"
     assert m["n_docs"] == 0 and m["avgdl"] == 0.0
+    assert m["generations"] == []  # empty generations never listed
     assert IndexSearcher(spark, root).search("spark", 5) == []
     assert LocalSearcher(root).search("spark", 5) == []
+
+
+def test_empty_append_does_not_poison_live_index(spark, tiny_transcripts,
+                                                 small_oracle, tmp_path):
+    """Appending a zero-doc batch onto a live index must leave queries
+    working (the empty generation has no files — it must not be listed)."""
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    root = str(tmp_path / "idx")
+    build_index(spark, tiny_transcripts, root, n_shards=2)
+    before = IndexSearcher(spark, root).search("the spark", 5)
+    assert before
+    m = build_index(spark, tiny_transcripts.limit(0), root,
+                    n_shards=2, generation="g-empty", append=True)
+    assert all(g["id"] != "g-empty" for g in m["generations"])
+    assert IndexSearcher(spark, root).search("the spark", 5) == before
+    assert LocalSearcher(root).search("the spark", 5) == before
 
 
 def test_expired_index_predicate(spark, tiny_transcripts, tmp_path):
