@@ -30,12 +30,14 @@ def varint_byte_lengths(v: np.ndarray) -> np.ndarray:
     return counts
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, vectorized."""
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array, vectorized; also returns the
+    per-value byte lengths (so callers slicing the buffer don't pay a
+    second length pass)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     counts = varint_byte_lengths(v)
     starts = np.empty(n, dtype=np.int64)
     starts[0] = 0
@@ -54,7 +56,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         cur[remaining] >>= np.uint64(7)
         remaining = remaining[more]
         offset += 1
-    return out.tobytes()
+    return out.tobytes(), counts
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized."""
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -147,12 +154,12 @@ def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         gaps[1:] = docs[1:] - docs[:-1]
     gaps[term_starts] = docs[term_starts]
 
-    doc_buf = varint_encode(gaps)
-    tf_buf = varint_encode(tfs)
-    dl_buf = varint_encode(dls)
-    doc_off = np.concatenate(([0], np.cumsum(varint_byte_lengths(gaps))))
-    tf_off = np.concatenate(([0], np.cumsum(varint_byte_lengths(tfs))))
-    dl_off = np.concatenate(([0], np.cumsum(varint_byte_lengths(dls))))
+    doc_buf, doc_lens = varint_encode_with_lengths(gaps)
+    tf_buf, tf_lens = varint_encode_with_lengths(tfs)
+    dl_buf, dl_lens = varint_encode_with_lengths(dls)
+    doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
+    dl_off = np.concatenate(([0], np.cumsum(dl_lens)))
 
     # block starts: every BLOCK values within each term run (vectorized)
     run_lens = term_ends - term_starts

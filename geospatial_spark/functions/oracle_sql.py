@@ -504,6 +504,6 @@ def multimodal_features_sql(table: str = "documents", id_col: str = "doc_id",
 SELECT {id_col} AS doc_id,
   octet_length(encode(coalesce({text_col}, '')))::INT AS n_bytes,
   md5(coalesce({text_col}, '')) AS content_md5,
-  upper(to_hex(encode(substr(coalesce({text_col}, ''), 1, 4)))) AS head_hex
+  upper(substr(to_hex(encode(coalesce({text_col}, ''))), 1, 8)) AS head_hex
 FROM {table}
 """.strip()

@@ -35,7 +35,8 @@ def norm_text_col(text_col: str = "text") -> Column:
 def with_token_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(id, n_ws_tokens, n_bpe_pieces, n_tokens, n_chars)."""
     lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    ws = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: F.length(t) >= 1)
+    ws = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), "\\s+"),
+                  lambda t: F.length(t) >= 1)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(ws).cast("int").alias("n_ws_tokens"),

@@ -30,25 +30,6 @@ MINHASH_SEEDS = 16
 LSH_BANDS = 4  # 4 bands × 4 rows
 
 
-def shingles_col(text_col: str = "text"):
-    """k-token shingles of the normalized token stream (distinct), as an
-    array column. CAUTION: prefer shingle_rows() in pipelines — project
-    collapsing makes Catalyst re-evaluate the tokens expression for each
-    getItem inside the interpreted transform lambda (≈3× the tokenizer
-    per shingle); the row form evaluates tokens once and stays in
-    codegen."""
-    toks = spark_tokens_col(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), n - SHINGLE_K)
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
-    )
-    return F.when(n >= SHINGLE_K, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def shingle_rows(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Distinct (doc_id, shingle) rows: posexplode tokens once, build
     k=3 shingles with window lead — whole-stage-codegen throughout, one

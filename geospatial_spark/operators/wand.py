@@ -135,10 +135,14 @@ def wand_shard(
     if len(nz) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     if len(nz) > k:
-        top = nz[np.argpartition(scores[nz], -k)[-k:]]
+        # candidate set = everything ≥ the k-th score (argpartition alone
+        # would cut ties at the boundary arbitrarily, violating the
+        # (conv_id, turn_idx) tie-break contract when >k docs tie)
+        kth = np.partition(scores[nz], -k)[-k]
+        cand = nz[scores[nz] >= kth]
     else:
-        top = nz
-    # stable order: score desc, doc_ord asc
-    order = np.lexsort((top, -scores[top]))
-    top = top[order]
+        cand = nz
+    # stable order: score desc, doc_ord asc; then truncate
+    order = np.lexsort((cand, -scores[cand]))
+    top = cand[order][:k]
     return top, scores[top]

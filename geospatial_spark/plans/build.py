@@ -79,12 +79,25 @@ def _build_dictionary(spark: SparkSession, gdir: Path, n_shards: int) -> int:
     return sum(pq.read_metadata(p).num_rows for p in out.glob("*.parquet"))
 
 
-def _fingerprint(doc_ids: pd.Series, texts: pd.Series) -> str:
+def _fingerprint(doc_ids: pd.Series, texts: pd.Series,
+                 config_digest: str = "") -> str:
     """Stable content hash of a shard (order-sensitive; shards arrive
-    sorted by (conv_id, turn_idx))."""
+    sorted by (conv_id, turn_idx)). config_digest folds in build config
+    that changes the output (e.g. the normalization dictionary) so a
+    config change invalidates checkpoints."""
     h = hashlib.sha256()
+    h.update(config_digest.encode())
     h.update(pd.util.hash_pandas_object(doc_ids, index=False).values.tobytes())
     h.update(pd.util.hash_pandas_object(texts.fillna(""), index=False).values.tobytes())
+    return h.hexdigest()
+
+
+def _config_digest(normalization: dict[str, str] | None) -> str:
+    if not normalization:
+        return ""
+    h = hashlib.sha256()
+    for k in sorted(normalization):
+        h.update(f"{k}\x01{normalization[k]}\x02".encode())
     return h.hexdigest()
 
 
@@ -206,6 +219,8 @@ def _make_shard_builder(gdir_str: str, normalization: dict[str, str] | None = No
     """Returns the mapInPandas kernel. gdir + dictionary passed by value
     (no driver globals captured by reference)."""
 
+    cfg_digest = _config_digest(normalization)
+
     def build_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
@@ -219,7 +234,7 @@ def _make_shard_builder(gdir_str: str, normalization: dict[str, str] | None = No
             data = pd.DataFrame({"doc_id": pd.Series([], dtype=object),
                                  "text": pd.Series([], dtype=object)})
 
-        fp = _fingerprint(data["doc_id"], data["text"])
+        fp = _fingerprint(data["doc_id"], data["text"], cfg_digest)
         cp_path = lc.checkpoint_path(gdir, shard)
         seg_path = lc.segment_path(gdir, shard)
         dm_path = lc.docmap_path(gdir, shard)
@@ -271,6 +286,17 @@ def build_index(
         metrics_df = parts.mapInPandas(_make_shard_builder(str(gdir), normalization),
                                        schema=BUILD_METRIC_SCHEMA)
         metrics = [r.asDict() for r in metrics_df.collect()]
+
+        # purge stale shard files from a previous build of this
+        # generation with a different shard count (they would otherwise
+        # be globbed into queries and inflate df / corrupt idf)
+        live = {m["shard"] for m in metrics}
+        for f in sorted(gdir.glob("segments-*.parquet")):
+            sid = int(f.stem.split("-")[1])
+            if sid not in live:
+                f.unlink()
+                lc.docmap_path(gdir, sid).unlink(missing_ok=True)
+                lc.checkpoint_path(gdir, sid).unlink(missing_ok=True)
 
         n_docs_g = sum(m["docs_tokenized"] for m in metrics)
         total_tokens_g = sum(m["total_tokens"] for m in metrics)
@@ -329,13 +355,23 @@ def compact_index(
     transcripts: DataFrame,
     index_root: str,
     n_shards: int | None = None,
-    generation: str = "compact-0001",
+    generation: str | None = None,
 ) -> dict:
     """Force-merge analogue (GeoIpDataDao.freezeIndex:123-133 merges to
     one segment before serving): rebuild the accumulated corpus into ONE
     fresh generation and swap, collapsing the delta-generation chain the
     streaming writer produces. Old generations stay until
-    delete_unused_generations reclaims them (guarded)."""
+    delete_unused_generations reclaims them (guarded).
+
+    The generation id is fresh-by-construction (next unused compact-N) —
+    never rebuild a manifest-live generation in place: readers of the
+    live generation must keep seeing frozen files until the swap."""
+    if generation is None:
+        existing = set(lc.list_generations(index_root))
+        i = 1
+        while f"compact-{i:04d}" in existing:
+            i += 1
+        generation = f"compact-{i:04d}"
     manifest = build_index(spark, transcripts, index_root,
                            n_shards=n_shards, generation=generation,
                            append=False)

@@ -34,7 +34,10 @@ def _doc_index(spark: SparkSession, sf_dir: str):
 def _bm25(query: str, k: int = 10):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         post, dl, n, avgdl = _doc_index(spark, sf_dir)
-        hits = bm25_topk(spark, post, dl, n, avgdl, query, k)
+        # over-fetch so the rounded-score re-rank below can resolve
+        # rank-k boundary ties the raw-score inner limit would cut
+        # differently than the oracle
+        hits = bm25_topk(spark, post, dl, n, avgdl, query, k + 50)
         # same rounding/ordering contract as the oracle SQL
         return (
             hits.select("doc_id", F.col("score").alias("raw"))

@@ -126,16 +126,6 @@ class IndexSearcher:
             out = out.unionByName(p)
         return out
 
-    def _docmap(self) -> DataFrame:
-        parts = []
-        for g in self.gens:
-            df = self.spark.read.parquet(f"{self.gdirs[g['id']]}/docmap-*.parquet")
-            parts.append(df.withColumn("gen", F.lit(g["id"])))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
     # -- search -------------------------------------------------------
 
     def search_df(self, query: str, k: int = 10) -> DataFrame | None:

@@ -138,6 +138,32 @@ def test_wand_pruning_effective_on_large_shard(spark, tmp_path):
     run("the")
 
 
+def test_wand_boundary_ties_keep_lowest_ordinals(spark, tmp_path):
+    """Regression: >k docs tying at the k-th score within one shard must
+    be cut by ascending doc ordinal (argpartition alone cuts arbitrarily)."""
+    import pandas as pd
+
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.plans.serve import LocalSearcher
+    from geospatial_spark.sources.transcripts import read_transcripts
+
+    rows = [("c%02d" % i, 0, "user", "identical spark text", None) for i in range(15)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+    pdf["tool"] = pd.Series([None] * 15, dtype="string")
+    pdf["ts"] = pd.Timestamp("2026-01-01")
+    p = tmp_path / "t.parquet"
+    pdf.to_parquet(p, index=False)
+    tx = read_transcripts(spark, str(p))
+    root = str(tmp_path / "idx")
+    build_index(spark, tx, root, n_shards=1)
+    expected = [f"c{i:02d}:0" for i in range(10)]
+    got_spark = [d for d, _ in IndexSearcher(spark, root).search("spark", 10)]
+    got_local = [d for d, _ in LocalSearcher(root).search("spark", 10)]
+    assert got_spark == expected
+    assert got_local == expected
+
+
 def test_segment_compression_sane(spark, built_index):
     """Compressed postings must be much smaller than raw 8-byte encoding."""
     from pyspark.sql import functions as F
