@@ -137,6 +137,14 @@ def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     Returns, per term i (aligned with term_starts):
       doc_blocks[i], tf_blocks[i], dl_blocks[i]  — lists of bytes
       block_max_tf[i], block_min_dl[i], block_last_doc[i] — lists of int
+      sky_tf[i], sky_dl[i] — flattened skyline (tf, dl) pairs per block
+      sky_off[i] — offsets into the flattened skyline, len nblocks+1
+
+    The skyline of a block is the set of (tf, dl) pairs not dominated by
+    another pair (tf' ≥ tf and dl' ≤ dl): BM25 is monotone ↑tf ↓dl for
+    any (k1, b, avgdl), so the EXACT block-max score is attained at a
+    skyline point — a strictly tighter WAND bound than the decoupled
+    (max_tf, min_dl) combination, at a few ints per block.
     """
     n = len(docs)
     if n == 0:
@@ -176,9 +184,29 @@ def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     bmin_dl = np.minimum.reduceat(dls, bs).astype(np.int64)
     blast = docs[be - 1].astype(np.int64)
 
+    # per-block (tf, dl) skyline: sort by (tf desc, dl asc), keep pairs
+    # with a strictly decreasing running-min dl
+    sky_tf_blocks: list[list[int]] = []
+    sky_dl_blocks: list[list[int]] = []
+    for j in range(total_blocks):
+        t_s, t_e = int(bs[j]), int(be[j])
+        btf = tfs[t_s:t_e].astype(np.int64)
+        bdl = dls[t_s:t_e].astype(np.int64)
+        order = np.lexsort((bdl, -btf))
+        st, sd = [], []
+        best_dl = None
+        for idx in order:
+            if best_dl is None or bdl[idx] < best_dl:
+                st.append(int(btf[idx]))
+                sd.append(int(bdl[idx]))
+                best_dl = int(bdl[idx])
+        sky_tf_blocks.append(st)
+        sky_dl_blocks.append(sd)
+
     mv_doc, mv_tf, mv_dl = memoryview(doc_buf), memoryview(tf_buf), memoryview(dl_buf)
     out_docs, out_tfs, out_dls = [], [], []
     out_bmax, out_bmin, out_blast = [], [], []
+    out_sky_tf, out_sky_dl, out_sky_off = [], [], []
     for t in range(len(term_starts)):
         b0, b1 = int(first_block[t]), int(first_block[t] + nblocks_per_term[t])
         out_docs.append([bytes(mv_doc[doc_off[bs[j]]: doc_off[be[j]]]) for j in range(b0, b1)])
@@ -187,7 +215,18 @@ def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         out_bmax.append(bmax_tf[b0:b1].tolist())
         out_bmin.append(bmin_dl[b0:b1].tolist())
         out_blast.append(blast[b0:b1].tolist())
-    return out_docs, out_tfs, out_dls, out_bmax, out_bmin, out_blast
+        flat_tf: list[int] = []
+        flat_dl: list[int] = []
+        offs = [0]
+        for j in range(b0, b1):
+            flat_tf.extend(sky_tf_blocks[j])
+            flat_dl.extend(sky_dl_blocks[j])
+            offs.append(len(flat_tf))
+        out_sky_tf.append(flat_tf)
+        out_sky_dl.append(flat_dl)
+        out_sky_off.append(offs)
+    return (out_docs, out_tfs, out_dls, out_bmax, out_bmin, out_blast,
+            out_sky_tf, out_sky_dl, out_sky_off)
 
 
 def decode_block(doc_block: bytes, tf_block: bytes, prev_last: int):

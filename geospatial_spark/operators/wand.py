@@ -40,6 +40,22 @@ def _block_ubs(idf_t: float, bmax_tf: np.ndarray, bmin_dl: np.ndarray,
     return idf_t * (tf / (tf + norm))
 
 
+def _block_ubs_skyline(idf_t: float, sky_tf, sky_dl, sky_off,
+                       avgdl: float) -> np.ndarray | None:
+    """EXACT per-block max score from stored (tf, dl) skyline pairs —
+    BM25's block max is attained at a skyline point. Returns None if the
+    segment row predates the skyline format."""
+    if sky_off is None or len(sky_off) < 2:
+        return None
+    tf = np.asarray(sky_tf, dtype=np.float64)
+    dl = np.asarray(sky_dl, dtype=np.float64)
+    if len(tf) == 0:
+        return None
+    s = idf_t * (tf / (tf + K1 * (1.0 - B + B * (dl / avgdl))))
+    off = np.asarray(sky_off, dtype=np.int64)
+    return np.maximum.reduceat(s, off[:-1])
+
+
 def wand_shard(
     seg_rows: list[dict],
     n_local_docs: int,
@@ -64,9 +80,12 @@ def wand_shard(
     prepped = []
     for r in seg_rows:
         idf_t = idf(int(df_global[r["term"]]), n_docs)
-        bmax_tf = np.asarray(r["block_max_tf"], dtype=np.int64)
-        bmin_dl = np.asarray(r["block_min_dl"], dtype=np.int64)
-        ubs = _block_ubs(idf_t, bmax_tf, bmin_dl, avgdl)
+        ubs = _block_ubs_skyline(idf_t, r.get("sky_tf"), r.get("sky_dl"),
+                                 r.get("sky_off"), avgdl)
+        if ubs is None:
+            bmax_tf = np.asarray(r["block_max_tf"], dtype=np.int64)
+            bmin_dl = np.asarray(r["block_min_dl"], dtype=np.int64)
+            ubs = _block_ubs(idf_t, bmax_tf, bmin_dl, avgdl)
         prepped.append((float(ubs.max()), idf_t, r, ubs))
     # descending whole-posting upper bound
     prepped.sort(key=lambda x: -x[0])

@@ -137,7 +137,8 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
         ends = np.concatenate((tchange, [len(term_codes)])).astype(np.int64)
         terms_sorted = uniq_terms[term_codes[starts]]
         # bulk block encode: one varint pass over the whole shard stream
-        db_l, tb_l, lb_l, bmax_l, bmin_l, blast_l = encode_shard_postings(
+        (db_l, tb_l, lb_l, bmax_l, bmin_l, blast_l,
+         sky_tf_l, sky_dl_l, sky_off_l) = encode_shard_postings(
             docs_arr, tfs_arr, dls_arr.astype(np.uint64), starts, ends
         )
         n_postings = int(len(term_codes))
@@ -158,6 +159,9 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
                     "block_max_tf": bmax_l[ti],
                     "block_min_dl": bmin_l[ti],
                     "block_last_doc": blast_l[ti],
+                    "sky_tf": sky_tf_l[ti],
+                    "sky_dl": sky_dl_l[ti],
+                    "sky_off": sky_off_l[ti],
                 }
             )
 
@@ -165,7 +169,7 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
         seg_rows,
         columns=["shard", "term", "df", "max_tf", "min_dl", "doc_blocks",
                  "tf_blocks", "dl_blocks", "block_max_tf", "block_min_dl",
-                 "block_last_doc"],
+                 "block_last_doc", "sky_tf", "sky_dl", "sky_off"],
     )
     docmap = pd.DataFrame(
         {
@@ -205,6 +209,9 @@ def _atomic_parquet(df: pd.DataFrame, path: Path) -> None:
                 ("block_max_tf", pa.list_(pa.int32())),
                 ("block_min_dl", pa.list_(pa.int32())),
                 ("block_last_doc", pa.list_(pa.int64())),
+                ("sky_tf", pa.list_(pa.int32())),
+                ("sky_dl", pa.list_(pa.int32())),
+                ("sky_off", pa.list_(pa.int32())),
             ]
         )
     table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)

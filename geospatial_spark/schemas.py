@@ -79,6 +79,11 @@ SEGMENT_SCHEMA = StructType(
         StructField("block_max_tf", ArrayType(IntegerType()), False),
         StructField("block_min_dl", ArrayType(IntegerType()), False),
         StructField("block_last_doc", ArrayType(LongType()), False),
+        # flattened per-block (tf, dl) skyline pairs → EXACT block-max
+        # score bounds at query time (offsets: len nblocks+1)
+        StructField("sky_tf", ArrayType(IntegerType()), False),
+        StructField("sky_dl", ArrayType(IntegerType()), False),
+        StructField("sky_off", ArrayType(IntegerType()), False),
     ]
 )
 

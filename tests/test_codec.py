@@ -92,7 +92,7 @@ def test_bulk_encoder_byte_identical(term_docsets):
     out = encode_shard_postings(docs, tfs, dls,
                                 np.array(starts, dtype=np.int64),
                                 np.array(ends, dtype=np.int64))
-    db_l, tb_l, lb_l, bmax_l, bmin_l, blast_l = out
+    db_l, tb_l, lb_l, bmax_l, bmin_l, blast_l, sky_tf_l, sky_dl_l, sky_off_l = out
     for i, (d, t, l) in enumerate(zip(docs_l, tfs_l, dls_l)):
         rdb, rtb, rbmax, rblast = encode_posting(d, t)
         assert db_l[i] == rdb
@@ -101,6 +101,18 @@ def test_bulk_encoder_byte_identical(term_docsets):
         assert blast_l[i] == rblast
         assert lb_l[i] == [varint_encode(l[j : j + BLOCK]) for j in range(0, len(l), BLOCK)]
         assert bmin_l[i] == [int(l[j : j + BLOCK].min()) for j in range(0, len(l), BLOCK)]
+        # skyline gives the EXACT block max score for any bm25 params
+        from geospatial_spark.functions.bm25 import term_score
+
+        off = sky_off_l[i]
+        stf, sdl = sky_tf_l[i], sky_dl_l[i]
+        for b, j in enumerate(range(0, len(l), BLOCK)):
+            bt, bl = t[j : j + BLOCK], l[j : j + BLOCK]
+            exact = max(term_score(int(x), int(y), 37.3, 5, 1000)
+                        for x, y in zip(bt, bl))
+            sky = max(term_score(int(x), int(y), 37.3, 5, 1000)
+                      for x, y in zip(stf[off[b]:off[b+1]], sdl[off[b]:off[b+1]]))
+            assert abs(sky - exact) < 1e-12
 
 
 def test_blocks_decode_independently():
