@@ -98,7 +98,7 @@ def run_suite(spark, sf_dir: str, index_root: str, n_shards: int,
     # serving path: LocalSearcher (no Spark job) — interactive latency
     from geospatial_spark.plans.serve import LocalSearcher
 
-    local = LocalSearcher(index_root)
+    local = LocalSearcher(index_root, preload_docmaps=True)
     local.search("the spark", 10)  # warm dictionary
     t0 = time.perf_counter()
     for _, qtext in BENCH_QUERIES:

@@ -29,8 +29,7 @@ import numpy as np
 
 from geospatial_spark.functions.bm25 import B, K1, idf
 
-# refresh the pruning threshold every this many scored blocks
-THETA_REFRESH_BLOCKS = 8
+from geospatial_spark.functions.codec import BLOCK as BLOCK_N
 
 
 def _block_ubs(idf_t: float, bmax_tf: np.ndarray, bmin_dl: np.ndarray,
@@ -71,7 +70,7 @@ def wand_shard(
     segments' dl_blocks (impact storage — no docmap needed). Returns
     (local_doc_idx, score) arrays of the shard's top-k (exact scores).
     """
-    from geospatial_spark.functions.codec import decode_block, varint_decode
+    from geospatial_spark.functions.codec import varint_decode
 
     if not seg_rows or n_local_docs == 0 or avgdl <= 0.0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -107,42 +106,51 @@ def wand_shard(
             continue
         blast_local = np.asarray(r["block_last_doc"], dtype=np.int64) - base_ord
         doc_blocks, tf_blocks, dl_blocks = r["doc_blocks"], r["tf_blocks"], r["dl_blocks"]
+        nblocks = len(doc_blocks)
         bstarts_local = np.concatenate(([0], blast_local[:-1] + 1))
-        seg_bounds = np.minimum(bstarts_local, n_local_docs - 1)
-        if theta > 0.0:
-            # coarse per-block partial max over [block start, block last]
-            part_max = np.maximum.reduceat(scores, seg_bounds)
-        else:
-            part_max = None
 
-        prev_last_global = 0
-        since_refresh = 0
-        for bi in range(len(doc_blocks)):
-            if part_max is not None and theta > 0.0 \
-                    and part_max[bi] + ubs[bi] + remaining < theta:
-                blocks_skipped += 1
-                prev_last_global = int(blast_local[bi]) + base_ord
-                continue
-            docs, tfs = decode_block(bytes(doc_blocks[bi]), bytes(tf_blocks[bi]),
-                                     prev_last_global)
-            dls = varint_decode(bytes(dl_blocks[bi])).astype(np.float64)
-            blocks_read += 1
-            prev_last_global = int(docs[-1])
-            local = docs.astype(np.int64) - base_ord
-            tff = tfs.astype(np.float64)
-            contrib = idf_t * (tff / (tff + K1 * (1.0 - B + B * (dls / avgdl))))
-            scores[local] += contrib
-            # periodic θ + part_max refresh WITHIN the term: long scans
-            # (incl. single-term queries) start pruning before the term
-            # ends. Both are recomputed together from current scores, so
-            # the skip test stays an upper bound (exactness preserved).
-            since_refresh += 1
-            if since_refresh >= THETA_REFRESH_BLOCKS and n_local_docs > k:
-                new_theta = float(np.partition(scores, -k)[-k])
-                if new_theta > theta:
-                    theta = new_theta
-                    part_max = np.maximum.reduceat(scores, seg_bounds)
-                since_refresh = 0
+        # decide skips for ALL blocks up front (vectorized); then decode
+        # the kept blocks in ONE varint pass per stream — per-block
+        # decode calls on 128-value arrays are dominated by numpy call
+        # overhead, ~50x slower than the bulk path for hot terms
+        if theta > 0.0:
+            seg_bounds = np.minimum(bstarts_local, n_local_docs - 1)
+            part_max = np.maximum.reduceat(scores, seg_bounds)
+            keep = (part_max + ubs + remaining) >= theta
+        else:
+            keep = np.ones(nblocks, dtype=bool)
+        n_keep = int(keep.sum())
+        blocks_skipped += nblocks - n_keep
+        blocks_read += n_keep
+        if n_keep == 0:
+            continue
+
+        df_local = int(r["df"])
+        block_lens = np.full(nblocks, BLOCK_N, dtype=np.int64)
+        block_lens[-1] = df_local - BLOCK_N * (nblocks - 1)
+        kept_idx = np.flatnonzero(keep)
+        kept_lens = block_lens[kept_idx]
+
+        gaps = varint_decode(b"".join(bytes(doc_blocks[i]) for i in kept_idx))
+        tfs = varint_decode(b"".join(bytes(tf_blocks[i]) for i in kept_idx))
+        dls = varint_decode(b"".join(bytes(dl_blocks[i]) for i in kept_idx))
+
+        # each kept block's first gap is relative to the PREVIOUS
+        # physical block's last doc (known from metadata even when that
+        # block was skipped) — make it absolute, then segment-cumsum
+        starts_flat = np.concatenate(([0], np.cumsum(kept_lens)[:-1]))
+        gaps = gaps.astype(np.int64)
+        prev_last = np.where(kept_idx > 0,
+                             blast_local[kept_idx - 1] + base_ord, 0)
+        gaps[starts_flat] += prev_last
+        cs = np.cumsum(gaps)
+        seg_off = cs[starts_flat] - gaps[starts_flat]
+        docs = cs - np.repeat(seg_off, kept_lens)
+
+        local = docs - base_ord
+        tff = tfs.astype(np.float64)
+        contrib = idf_t * (tff / (tff + K1 * (1.0 - B + B * (dls.astype(np.float64) / avgdl))))
+        scores[local] += contrib
         if n_local_docs > k:
             theta = float(np.partition(scores, -k)[-k])
 

@@ -33,7 +33,8 @@ class LocalSearcher:
     """Driver/serving-process searcher over a published index. No Spark
     session required."""
 
-    def __init__(self, index_root: str, max_age_seconds: float | None = None):
+    def __init__(self, index_root: str, max_age_seconds: float | None = None,
+                 preload_docmaps: bool = False):
         self.root = index_root
         m = lc.read_manifest(index_root)
         if not m or m.get("state") != lc.STATE_AVAILABLE:
@@ -58,6 +59,17 @@ class LocalSearcher:
             for g in self.gens for s in g["shards"]
         }
         self._dict: dict[str, int] | None = None
+        self._seg_ds = None  # lazy pyarrow dataset over all generations
+        self._docmap_cache: dict[tuple[str, int], object] = {}  # frozen index → safe
+        if preload_docmaps:
+            import pyarrow.parquet as pq
+
+            for g in self.gens:
+                for s in g["shards"]:
+                    shard = int(s["shard"])
+                    self._docmap_cache[(g["id"], shard)] = pq.read_table(
+                        lc.docmap_path(self.gdirs[g["id"]], shard),
+                        columns=["doc_id"]).column("doc_id")
 
     # -- dictionary (loaded once; the frozen index makes this sound) ---
 
@@ -76,8 +88,24 @@ class LocalSearcher:
 
     # -- search --------------------------------------------------------
 
+    def _segments_dataset(self):
+        """One pyarrow dataset over every generation's segment files —
+        footers parse once, scans are multithreaded, and the term filter
+        prunes row groups via statistics."""
+        import pyarrow.dataset as ds
+
+        if self._seg_ds is None:
+            parts = []
+            for g in self.gens:
+                gdir = self.gdirs[g["id"]]
+                files = sorted(str(p) for p in gdir.glob("segments-*.parquet"))
+                if files:
+                    parts.append((g["id"], ds.dataset(files, format="parquet")))
+            self._seg_ds = parts
+        return self._seg_ds
+
     def search(self, query: str, k: int = 10) -> list[tuple[str, float]]:
-        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
         import pyarrow.parquet as pq
 
         norm = self.manifest.get("normalization") or {}
@@ -87,33 +115,33 @@ class LocalSearcher:
         df_global = self._df_for(terms)
         if not df_global:
             return []
-        term_list = list(df_global)
+        flt = ds.field("term").isin(list(df_global))
 
         candidates: list[tuple[float, str, int, str]] = []  # (-score, conv, turn, doc_id)
-        for g in self.gens:
-            gdir = self.gdirs[g["id"]]
-            for s in g["shards"]:
-                shard = int(s["shard"])
-                seg_path = lc.segment_path(gdir, shard)
-                # predicate pushdown: only row groups whose term range
-                # intersects the query terms are read
-                tbl = pq.read_table(
-                    seg_path,
-                    filters=[("term", "in", term_list)],
-                )
-                if tbl.num_rows == 0:
-                    continue
-                rows = tbl.to_pylist()
+        for gen_id, dset in self._segments_dataset():
+            gdir = self.gdirs[gen_id]
+            tbl = dset.to_table(filter=flt)
+            if tbl.num_rows == 0:
+                continue
+            rows = tbl.to_pylist()
+            by_shard: dict[int, list[dict]] = {}
+            for r in rows:
+                by_shard.setdefault(int(r["shard"]), []).append(r)
+            for shard, seg_rows in by_shard.items():
                 base = shard << ORD_SHARD_SHIFT
                 local, scores = wand_shard(
-                    rows, self.shard_docs[(g["id"], shard)], base,
+                    seg_rows, self.shard_docs[(gen_id, shard)], base,
                     df_global, self.n_docs, self.avgdl, k,
                 )
                 if len(local) == 0:
                     continue
-                ids = pq.read_table(lc.docmap_path(gdir, shard),
-                                    columns=["doc_id"]) \
-                        .column("doc_id").take(local.tolist()).to_pylist()
+                key = (gen_id, shard)
+                col = self._docmap_cache.get(key)
+                if col is None:
+                    col = pq.read_table(lc.docmap_path(gdir, shard),
+                                        columns=["doc_id"]).column("doc_id")
+                    self._docmap_cache[key] = col
+                ids = col.take(local.tolist()).to_pylist()
                 for doc_id, sc in zip(ids, scores):
                     conv, _, turn = doc_id.rpartition(":")
                     candidates.append((-float(sc), conv, int(turn), doc_id))
