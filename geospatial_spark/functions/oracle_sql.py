@@ -495,6 +495,44 @@ WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
 """.strip()
 
 
+def sessionize_sql() -> str:
+    return """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+),
+per_session AS (
+  SELECT user_id, session_no, count(*)::BIGINT AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+  max(n_events)::BIGINT AS max_session_events
+FROM per_session GROUP BY user_id
+""".strip()
+
+
+def part_supplier_sql() -> str:
+    return """
+SELECT p.p_brand AS brand, count(*)::BIGINT AS n_items,
+  round(sum(l.l_extendedprice), 2) AS sum_price,
+  count(DISTINCT s.s_suppkey)::BIGINT AS n_suppliers
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1
+""".strip()
+
+
 def multimodal_features_sql(table: str = "documents", id_col: str = "doc_id",
                             text_col: str = "text") -> str:
     """Oracle for the binary-payload feature kernel: payload is the

@@ -441,6 +441,46 @@ def _tpch_q6(spark, sf_dir):
     )
 
 
+def _sessionize(spark, sf_dir):
+    """Gap-based sessionization (session_window's batch form): a new
+    session starts when a user's inter-event gap exceeds 30 minutes;
+    lag + conditional cumsum over a per-user window."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)))
+    sess = marked.withColumn("session_no", F.sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.min("ts").alias("session_start"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
+             F.max("n_events").cast("long").alias("max_session_events"))
+    )
+
+
+def _part_supplier(spark, sf_dir):
+    """Multi-dim star join over the remaining tables (part, supplier)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cols_p = [c for c in p.columns]
+    brand = "p_brand" if "p_brand" in cols_p else cols_p[1]
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.col(brand).alias("brand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+             F.countDistinct("s_suppkey").cast("long").alias("n_suppliers"))
+    )
+
+
 def _multimodal(spark, sf_dir):
     from geospatial_spark.sources.multimodal import extract_features, with_payload
 
@@ -485,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_value_join": _multi_value_join,
         "stats_by_source": _stats_by_source,
         "events_hourly": _events_hourly,
+        "events_sessionize": _sessionize,
+        "part_supplier_stats": _part_supplier,
         "json_props_agg": _json_props,
         "window_top_orders": _window_top_orders,
         "set_except_custkeys": _set_ops,
@@ -530,6 +572,8 @@ def oracle_sql() -> dict[str, str]:
         "multi_value_join": osql.multi_value_join_sql(),
         "stats_by_source": osql.stats_by_source_sql(),
         "events_hourly": osql.events_hourly_sql(),
+        "events_sessionize": osql.sessionize_sql(),
+        "part_supplier_stats": osql.part_supplier_sql(),
         "json_props_agg": osql.json_props_sql(),
         "window_top_orders": osql.window_top_orders_sql(),
         "set_except_custkeys": osql.set_except_sql(),
