@@ -286,6 +286,44 @@ WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= {threshold}
 """.strip()
 
 
+def lsh_verified_dups_sql(threshold: float = 0.8, n_seeds: int = 16,
+                          n_bands: int = 4, table: str = "documents",
+                          id_col: str = "doc_id", text_col: str = "text") -> str:
+    rows = n_seeds // n_bands
+    band_selects = []
+    for b in range(n_bands):
+        concat = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sigs")
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_shingles_cte(table, id_col, text_col)},
+sigs AS (
+  SELECT doc_id, {_minhash_sig_exprs(n_seeds)}
+  FROM sh WHERE len(sh) > 0
+),
+bk AS ({bands_union}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id < r.doc_id
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM ex GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(*)::BIGINT AS inter
+  FROM cand c JOIN ex la ON la.doc_id = c.a JOIN ex rb
+    ON rb.doc_id = c.b AND rb.s = la.s
+  GROUP BY 1, 2
+)
+SELECT a, b, round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), {ROUND_DP}) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= {threshold}
+""".strip()
+
+
 def simhash_sql(table: str = "documents", id_col: str = "doc_id",
                 text_col: str = "text") -> str:
     return f"""

@@ -134,6 +134,34 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     return j.select("a", "b", F.round("jaccard", round_dp).alias("jaccard"))
 
 
+def lsh_verified_dups(df: DataFrame, id_col: str, text_col: str = "text",
+                      threshold: float = 0.8, round_dp: int = 4) -> DataFrame:
+    """The full near-dup pipeline as it runs at scale: MinHash LSH
+    candidate generation (never the O(n²) pair space) → exact Jaccard
+    verification restricted to the candidates. Returns (a, b, jaccard)
+    with jaccard ≥ threshold."""
+    cand = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col)) \
+        .select("a", "b")
+    ex = shingle_rows(df, id_col, text_col)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    la = ex.select(F.col("doc_id").alias("a"), F.col("s"))
+    rb = ex.select(F.col("doc_id").alias("b"), F.col("s"))
+    inter = (
+        cand.join(la, "a").join(rb, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a")
+                   .withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return j.select("a", "b", F.round("jaccard", round_dp).alias("jaccard"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """32-bit SimHash: per distinct token, a md5-derived 32-bit hash,
     weighted by tf; bit b of the sketch is 1 iff the tf-weighted sum of

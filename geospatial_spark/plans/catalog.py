@@ -234,6 +234,14 @@ def _ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, "doc_id", threshold=0.5)
 
 
+def _lsh_verified(spark, sf_dir):
+    """Full near-dup pipeline on the FULL corpus (the scale path): LSH
+    candidates → exact Jaccard verify, never the quadratic pair space."""
+    from geospatial_spark.operators.dedup import lsh_verified_dups
+
+    return lsh_verified_dups(_docs(spark, sf_dir), "doc_id", threshold=0.8)
+
+
 def _simhash(spark, sf_dir):
     from geospatial_spark.operators.dedup import simhash
 
@@ -513,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": _minhash_sigs,
         "dedup_minhash_lsh_pairs": _minhash_lsh_pairs,
         "dedup_ngram_jaccard": _ngram_jaccard,
+        "dedup_lsh_verified": _lsh_verified,
         "dedup_simhash": _simhash,
         # embeddings / similarity
         "embed_norm": _embed_norm,
@@ -562,6 +571,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sigs": osql.minhash_sigs_sql(),
         "dedup_minhash_lsh_pairs": osql.minhash_lsh_pairs_sql(table=_DOC_SUBSET),
         "dedup_ngram_jaccard": osql.ngram_jaccard_sql(threshold=0.5, table=_DOC_SUBSET),
+        "dedup_lsh_verified": osql.lsh_verified_dups_sql(threshold=0.8),
         "dedup_simhash": osql.simhash_sql(),
         "embed_norm": osql.embed_norm_sql(),
         "ann_topk_bruteforce": osql.ann_topk_sql(ANN_QUERY_IDS, 10),
