@@ -148,7 +148,7 @@ def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     """
     n = len(docs)
     if n == 0:
-        return [], [], [], [], [], []
+        return [], [], [], [], [], [], [], [], []
     docs = np.ascontiguousarray(docs, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
     dls = np.ascontiguousarray(dls, dtype=np.uint64)
@@ -185,23 +185,25 @@ def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     blast = docs[be - 1].astype(np.int64)
 
     # per-block (tf, dl) skyline: sort by (tf desc, dl asc), keep pairs
-    # with a strictly decreasing running-min dl
+    # whose dl strictly undercuts the running minimum — fully vectorized
+    # (running np.minimum.accumulate per block slice; no per-posting
+    # Python)
     sky_tf_blocks: list[list[int]] = []
     sky_dl_blocks: list[list[int]] = []
+    tfs_i = tfs.astype(np.int64)
+    dls_i = dls.astype(np.int64)
     for j in range(total_blocks):
         t_s, t_e = int(bs[j]), int(be[j])
-        btf = tfs[t_s:t_e].astype(np.int64)
-        bdl = dls[t_s:t_e].astype(np.int64)
+        btf = tfs_i[t_s:t_e]
+        bdl = dls_i[t_s:t_e]
         order = np.lexsort((bdl, -btf))
-        st, sd = [], []
-        best_dl = None
-        for idx in order:
-            if best_dl is None or bdl[idx] < best_dl:
-                st.append(int(btf[idx]))
-                sd.append(int(bdl[idx]))
-                best_dl = int(bdl[idx])
-        sky_tf_blocks.append(st)
-        sky_dl_blocks.append(sd)
+        sd = bdl[order]
+        rm = np.minimum.accumulate(sd)
+        keep = np.empty(len(sd), dtype=bool)
+        keep[0] = True
+        keep[1:] = sd[1:] < rm[:-1]
+        sky_tf_blocks.append(btf[order][keep].tolist())
+        sky_dl_blocks.append(sd[keep].tolist())
 
     mv_doc, mv_tf, mv_dl = memoryview(doc_buf), memoryview(tf_buf), memoryview(dl_buf)
     out_docs, out_tfs, out_dls = [], [], []

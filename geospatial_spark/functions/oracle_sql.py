@@ -240,9 +240,9 @@ FROM sh WHERE len(sh) > 0
 """.strip()
 
 
-def minhash_lsh_pairs_sql(n_seeds: int = 16, n_bands: int = 4,
-                          table: str = "documents", id_col: str = "doc_id",
-                          text_col: str = "text") -> str:
+def _bands_union_sql(n_seeds: int, n_bands: int) -> str:
+    """Shared banding SQL (one SELECT per band over the sigs CTE) —
+    single source for every LSH-based oracle."""
     rows = n_seeds // n_bands
     band_selects = []
     for b in range(n_bands):
@@ -250,7 +250,13 @@ def minhash_lsh_pairs_sql(n_seeds: int = 16, n_bands: int = 4,
         band_selects.append(
             f"SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sigs"
         )
-    bands_union = "\nUNION ALL\n".join(band_selects)
+    return "\nUNION ALL\n".join(band_selects)
+
+
+def minhash_lsh_pairs_sql(n_seeds: int = 16, n_bands: int = 4,
+                          table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    bands_union = _bands_union_sql(n_seeds, n_bands)
     return f"""
 WITH {_shingles_cte(table, id_col, text_col)},
 sigs AS (
@@ -289,13 +295,7 @@ WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= {threshold}
 def lsh_verified_dups_sql(threshold: float = 0.8, n_seeds: int = 16,
                           n_bands: int = 4, table: str = "documents",
                           id_col: str = "doc_id", text_col: str = "text") -> str:
-    rows = n_seeds // n_bands
-    band_selects = []
-    for b in range(n_bands):
-        concat = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sigs")
-    bands_union = "\nUNION ALL\n".join(band_selects)
+    bands_union = _bands_union_sql(n_seeds, n_bands)
     return f"""
 WITH {_shingles_cte(table, id_col, text_col)},
 sigs AS (

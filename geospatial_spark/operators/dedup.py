@@ -113,18 +113,30 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
-                        threshold: float = 0.5, round_dp: int = 4) -> DataFrame:
-    """Exact Jaccard over distinct k-shingles for all pairs ≥ threshold.
-    Quadratic discovery — at scale, feed LSH candidates instead of the
-    full cross space (this is the verify stage)."""
+                        threshold: float = 0.5, round_dp: int = 4,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over distinct k-shingles for pairs ≥ threshold.
+
+    candidates=None → all pairs (quadratic discovery: only for small
+    inputs / verification). candidates=(a, b) DataFrame → verify stage
+    restricted to those pairs (the at-scale path, fed by LSH)."""
     ex = shingle_rows(df, id_col, text_col)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    inter = (
-        ex.alias("l").join(ex.alias("r"), "s")
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-    )
+    if candidates is None:
+        inter = (
+            ex.alias("l").join(ex.alias("r"), "s")
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        )
+    else:
+        la = ex.select(F.col("doc_id").alias("a"), F.col("s"))
+        rb = ex.select(F.col("doc_id").alias("b"), F.col("s"))
+        inter = (
+            candidates.select("a", "b").join(la, "a").join(rb, ["b", "s"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        )
     j = (
         inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
         .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
@@ -142,24 +154,8 @@ def lsh_verified_dups(df: DataFrame, id_col: str, text_col: str = "text",
     with jaccard ≥ threshold."""
     cand = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col)) \
         .select("a", "b")
-    ex = shingle_rows(df, id_col, text_col)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    la = ex.select(F.col("doc_id").alias("a"), F.col("s"))
-    rb = ex.select(F.col("doc_id").alias("b"), F.col("s"))
-    inter = (
-        cand.join(la, "a").join(rb, ["b", "s"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-    )
-    j = (
-        inter.join(sizes.withColumnRenamed("doc_id", "a")
-                   .withColumnRenamed("n_sh", "na"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b")
-              .withColumnRenamed("n_sh", "nb"), "b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
-        .where(F.col("jaccard") >= threshold)
-    )
-    return j.select("a", "b", F.round("jaccard", round_dp).alias("jaccard"))
+    return ngram_jaccard_pairs(df, id_col, text_col, threshold, round_dp,
+                               candidates=cand)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

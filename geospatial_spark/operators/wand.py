@@ -31,6 +31,9 @@ from geospatial_spark.functions.bm25 import B, K1, idf
 
 from geospatial_spark.functions.codec import BLOCK as BLOCK_N
 
+# θ-refresh cadence for the chunked bulk decode (blocks per chunk)
+CHUNK_BLOCKS = 64
+
 
 def _block_ubs(idf_t: float, bmax_tf: np.ndarray, bmin_dl: np.ndarray,
                avgdl: float) -> np.ndarray:
@@ -113,44 +116,59 @@ def wand_shard(
         # the kept blocks in ONE varint pass per stream — per-block
         # decode calls on 128-value arrays are dominated by numpy call
         # overhead, ~50x slower than the bulk path for hot terms
+        seg_bounds = np.minimum(bstarts_local, n_local_docs - 1)
         if theta > 0.0:
-            seg_bounds = np.minimum(bstarts_local, n_local_docs - 1)
             part_max = np.maximum.reduceat(scores, seg_bounds)
             keep = (part_max + ubs + remaining) >= theta
         else:
             keep = np.ones(nblocks, dtype=bool)
-        n_keep = int(keep.sum())
-        blocks_skipped += nblocks - n_keep
-        blocks_read += n_keep
-        if n_keep == 0:
-            continue
+        pending = np.flatnonzero(keep)
+        blocks_skipped += nblocks - len(pending)
 
         df_local = int(r["df"])
         block_lens = np.full(nblocks, BLOCK_N, dtype=np.int64)
         block_lens[-1] = df_local - BLOCK_N * (nblocks - 1)
-        kept_idx = np.flatnonzero(keep)
-        kept_lens = block_lens[kept_idx]
 
-        gaps = varint_decode(b"".join(bytes(doc_blocks[i]) for i in kept_idx))
-        tfs = varint_decode(b"".join(bytes(tf_blocks[i]) for i in kept_idx))
-        dls = varint_decode(b"".join(bytes(dl_blocks[i]) for i in kept_idx))
+        # decode the kept blocks in CHUNKS, refreshing θ (and re-masking
+        # the remaining blocks) between chunks so long scans — including
+        # the first/only term — start pruning before the term ends
+        pos = 0
+        while pos < len(pending):
+            kept_idx = pending[pos: pos + CHUNK_BLOCKS]
+            pos += CHUNK_BLOCKS
+            kept_lens = block_lens[kept_idx]
+            blocks_read += len(kept_idx)
 
-        # each kept block's first gap is relative to the PREVIOUS
-        # physical block's last doc (known from metadata even when that
-        # block was skipped) — make it absolute, then segment-cumsum
-        starts_flat = np.concatenate(([0], np.cumsum(kept_lens)[:-1]))
-        gaps = gaps.astype(np.int64)
-        prev_last = np.where(kept_idx > 0,
-                             blast_local[kept_idx - 1] + base_ord, 0)
-        gaps[starts_flat] += prev_last
-        cs = np.cumsum(gaps)
-        seg_off = cs[starts_flat] - gaps[starts_flat]
-        docs = cs - np.repeat(seg_off, kept_lens)
+            gaps = varint_decode(b"".join(bytes(doc_blocks[i]) for i in kept_idx))
+            tfs = varint_decode(b"".join(bytes(tf_blocks[i]) for i in kept_idx))
+            dls = varint_decode(b"".join(bytes(dl_blocks[i]) for i in kept_idx))
 
-        local = docs - base_ord
-        tff = tfs.astype(np.float64)
-        contrib = idf_t * (tff / (tff + K1 * (1.0 - B + B * (dls.astype(np.float64) / avgdl))))
-        scores[local] += contrib
+            # each kept block's first gap is relative to the PREVIOUS
+            # physical block's last doc (known from metadata even when
+            # that block was skipped) — make absolute, segment-cumsum
+            starts_flat = np.concatenate(([0], np.cumsum(kept_lens)[:-1]))
+            gaps = gaps.astype(np.int64)
+            prev_last = np.where(kept_idx > 0,
+                                 blast_local[kept_idx - 1] + base_ord, 0)
+            gaps[starts_flat] += prev_last
+            cs = np.cumsum(gaps)
+            seg_off = cs[starts_flat] - gaps[starts_flat]
+            docs = cs - np.repeat(seg_off, kept_lens)
+
+            local = docs - base_ord
+            tff = tfs.astype(np.float64)
+            contrib = idf_t * (tff / (tff + K1 * (1.0 - B + B * (dls.astype(np.float64) / avgdl))))
+            scores[local] += contrib
+
+            if pos < len(pending) and n_local_docs > k:
+                new_theta = float(np.partition(scores, -k)[-k])
+                if new_theta > theta:
+                    theta = new_theta
+                    part_max = np.maximum.reduceat(scores, seg_bounds)
+                    rest = pending[pos:]
+                    ok = (part_max[rest] + ubs[rest] + remaining) >= theta
+                    blocks_skipped += int((~ok).sum())
+                    pending = np.concatenate((pending[:pos], rest[ok]))
         if n_local_docs > k:
             theta = float(np.partition(scores, -k)[-k])
 

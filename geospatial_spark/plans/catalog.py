@@ -457,15 +457,17 @@ def _sessionize(spark, sf_dir):
 
     e = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # fractional epoch seconds (cast->long would truncate microseconds
+    # and disagree with the oracle's epoch() at the 1800s boundary)
+    tsec = F.col("ts").cast("double")
+    gap = tsec - F.lag(tsec).over(w)
     marked = e.withColumn(
         "new_s", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)))
     sess = marked.withColumn("session_no", F.sum("new_s").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
     return (
         sess.groupBy("user_id", "session_no")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
-             F.min("ts").alias("session_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
              F.max("n_events").cast("long").alias("max_session_events"))
@@ -477,12 +479,10 @@ def _part_supplier(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    cols_p = [c for c in p.columns]
-    brand = "p_brand" if "p_brand" in cols_p else cols_p[1]
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .groupBy(F.col(brand).alias("brand"))
+        .groupBy(F.col("p_brand").alias("brand"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
              F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
              F.countDistinct("s_suppkey").cast("long").alias("n_suppliers"))

@@ -123,7 +123,10 @@ class IndexSearcher:
             parts.append(df.withColumn("gen", F.lit(g["id"])))
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            # allowMissingColumns: generations built before a segment-
+            # format extension (e.g. skyline columns) union with nulls;
+            # the scorer falls back per row
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
 
     # -- search -------------------------------------------------------
