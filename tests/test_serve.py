@@ -57,6 +57,48 @@ def test_local_latency_after_warm(serve_index):
     assert per_query < 0.5, per_query  # serving path ≪ Spark job latency
 
 
+def test_mixed_format_generations(spark, small_transcripts_pd, tmp_path):
+    """Upgrade path: a generation built BEFORE the skyline columns must
+    still union + score next to a post-skyline generation (fallback to
+    the (max_tf, min_dl) bound per row)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from geospatial_spark.plans import lifecycle as lc
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.sources.transcripts import read_transcripts
+    from oracle.oracle import OracleIndex
+
+    half = len(small_transcripts_pd) // 2
+    p1, p2 = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    small_transcripts_pd.iloc[:half].to_parquet(p1, index=False)
+    small_transcripts_pd.iloc[half:].to_parquet(p2, index=False)
+    root = str(tmp_path / "idx")
+    build_index(spark, read_transcripts(spark, str(p1)), root,
+                n_shards=3, generation="old")
+    # strip the skyline columns from gen 'old' → pre-upgrade format
+    gdir = lc.gen_dir(root, "old")
+    for f in sorted(gdir.glob("segments-*.parquet")):
+        t = pq.read_table(f)
+        t = t.drop_columns(["sky_tf", "sky_dl", "sky_off"])
+        pq.write_table(t, f, row_group_size=256)
+    build_index(spark, read_transcripts(spark, str(p2)), root,
+                n_shards=3, generation="new", append=True)
+
+    oracle = OracleIndex.build(list(zip(
+        small_transcripts_pd["conv_id"], small_transcripts_pd["turn_idx"],
+        small_transcripts_pd["text"])))
+    s = IndexSearcher(spark, root)
+    for q in ["the spark job", "w100 w200 w5"]:
+        expected = oracle.search(q, 10)
+        got = s.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in expected], q
+        for (_, gs), (_, es) in zip(got, expected):
+            assert math.isclose(gs, es, rel_tol=1e-9)
+
+
 def test_local_multi_generation(spark, small_transcripts_pd, tmp_path):
     from geospatial_spark.plans.serve import LocalSearcher
     from geospatial_spark.streaming.incremental import start_incremental_index
