@@ -31,21 +31,32 @@ LSH_BANDS = 4  # 4 bands × 4 rows
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Distinct (doc_id, shingle) rows: posexplode tokens once, build
-    k=3 shingles with window lead — whole-stage-codegen throughout, one
-    shuffle on doc_id."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(spark_tokens_col(text_col)).alias("pos", "tok"),
+    """Distinct (doc_id, shingle) rows as a pure per-row array expression
+    — NO window, NO shuffle before the final distinct (the round-1 form
+    paid a shuffle+sort window per doc).
+
+    The tokens array is wrapped in a 1-element array and bound as the
+    outer lambda's variable: inner element_at references read the bound
+    variable instead of re-inlining the tokenizer expression (Catalyst
+    re-evaluates expressions inlined into interpreted higher-order
+    lambdas once per reference — the let-binding idiom avoids the 3×
+    tokenizer recompute)."""
+    def shingles_of(t):
+        idx = F.when(
+            F.size(t) >= SHINGLE_K,
+            F.sequence(F.lit(0), F.size(t) - SHINGLE_K),
+        ).otherwise(F.expr("array()").cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(SHINGLE_K)]),
+        )
+
+    sh = F.flatten(F.transform(F.array(spark_tokens_col(text_col)), shingles_of))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("s"))
+        .distinct()
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = toks.select(
-        "doc_id",
-        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w),
-                    F.lead("tok", 2).over(w)).alias("s"),
-        F.lead("tok", SHINGLE_K - 1).over(w).alias("_t_last"),
-    )
-    return sh.where(F.col("_t_last").isNotNull()).select("doc_id", "s").distinct()
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -161,22 +172,29 @@ def lsh_verified_dups(df: DataFrame, id_col: str, text_col: str = "text",
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """32-bit SimHash: per distinct token, a md5-derived 32-bit hash,
     weighted by tf; bit b of the sketch is 1 iff the tf-weighted sum of
-    (±1 per token hash bit) is positive. Returns (doc_id, simhash)."""
+    (±1 per token hash bit) is positive. Returns (doc_id, simhash).
+
+    Shape: the tf-weighted sum over DISTINCT tokens equals the unweighted
+    sum over token INSTANCES (Σ_tok tf·±1 = Σ_instances ±1), so no tf
+    pre-aggregation is needed; and bit b's signed sum s_b = 2·ones_b − n
+    where ones_b counts instances with bit b set — so the whole sketch is
+    33 codegen SUMs in ONE hash aggregate on doc_id. The round-1 form
+    exploded 32 rows per token (a 32× shuffle blowup) plus an extra
+    (doc_id, tok) shuffle; this is one shuffle, no explode."""
     toks = df.select(F.col(id_col).alias("doc_id"),
                      F.explode(spark_tokens_col(text_col)).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    h = tf.withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
     )
-    bits = h.select(
-        "doc_id", "tf", "h",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
-    ).withColumn(
-        # shiftright with a Column shift count needs the SQL form
-        "w", F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN tf ELSE -tf END"),
+    aggs = [F.sum(F.expr(f"(shiftright(h, {b}) & 1)")).alias(f"_o{b}")
+            for b in range(32)]
+    aggs.append(F.count(F.lit(1)).alias("_n"))
+    g = h.groupBy("doc_id").agg(*aggs)
+    # bit b set  ⟺  s_b = 2·ones_b − n > 0  ⟺  2·ones_b > n
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * _o{b} > _n THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
     )
-    agg = bits.groupBy("doc_id", "b").agg(F.sum("w").alias("s"))
-    return agg.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END"))
-        .cast("long").alias("simhash")
-    )
+    return g.select("doc_id", F.expr(bit_terms).cast("long").alias("simhash"))

@@ -44,11 +44,15 @@ def tokenized(df: DataFrame) -> DataFrame:
 
 
 def posting_tuples_from(tok: DataFrame) -> DataFrame:
-    """tokenized -> (term, doc_id, tf). Partial count happens map-side."""
+    """tokenized -> (term, doc_id, tf, dl). Partial count happens
+    map-side. dl rides inside the posting tuple (one int, constant per
+    doc) — exactly how the compressed index stores per-posting dls — so
+    the scorer never joins a corpus-sized doclens table per query."""
     return (
-        tok.select("doc_id", F.explode("tokens").alias("term"))
+        tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"),
+             F.max("dl").cast("int").alias("dl"))
     )
 
 

@@ -5,8 +5,7 @@ an executable plan (index/query/xyshape/XYShapeQueryProcessor.java:40-54).
 Plan shape, all Catalyst-optimizable:
 
   query terms (tiny, broadcast)
-    ⋈ postings(term, doc_id, tf)      -- broadcast hash join, no shuffle
-    ⋈ doclens(doc_id, dl)             -- shuffle join on doc_id (or b-cast)
+    ⋈ postings(term, doc_id, tf, dl)  -- broadcast hash join, no shuffle
     → per-term BM25 score (JVM expression, whole-stage codegen)
     → groupBy(doc_id).sum(score)       -- partial+final agg
     → orderBy(score desc, doc_id) limit k   -- Spark TakeOrderedAndProject
@@ -35,7 +34,7 @@ def score_expr(n_docs: int, avgdl: float):
 def bm25_topk(
     spark: SparkSession,
     postings: DataFrame,
-    dl: DataFrame,
+    dl: DataFrame | None,
     n_docs: int,
     avgdl: float,
     query: str,
@@ -43,6 +42,12 @@ def bm25_topk(
     tie_break=None,
 ) -> DataFrame:
     """Exact BM25 top-k as one declarative plan. Returns (doc_id, score).
+
+    postings carrying a `dl` column (the posting_tuples_from shape) skip
+    the doclens join entirely — the per-query plan touches ONLY rows of
+    the query's terms, never a corpus-sized side table. The `dl`
+    DataFrame argument is the legacy fallback for (term, doc_id, tf)
+    postings and may be None when postings carry dl.
 
     tie_break: list of Columns ordering equal scores; default doc_id asc.
     Transcript callers pass transcript_tie_break() for the pinned
@@ -57,11 +62,14 @@ def bm25_topk(
     term_df = postings.groupBy("term").agg(F.count(F.lit(1)).cast("int").alias("df"))
 
     matched = postings.join(F.broadcast(qterms), "term", "inner")
-    scored = (
-        matched.join(F.broadcast(term_df.join(F.broadcast(qterms), "term", "inner")), "term")
-        .join(dl, "doc_id")
-        .withColumn("s", score_expr(n_docs, avgdl))
-    )
+    scored = matched.join(
+        F.broadcast(term_df.join(F.broadcast(qterms), "term", "inner")), "term")
+    if "dl" not in postings.columns:
+        if dl is None:
+            raise ValueError("postings lack a dl column and no doclens "
+                             "DataFrame was provided")
+        scored = scored.join(dl, "doc_id")
+    scored = scored.withColumn("s", score_expr(n_docs, avgdl))
     if tie_break is None:
         tie_break = [F.asc("doc_id")]
     return (

@@ -280,10 +280,46 @@ def build_index(
     df) are summed across generations at query time, so scores equal a
     full rebuild (the Lucene multi-segment model). append=False
     replaces the active set with this single generation.
+
+    Single-writer: a second concurrent build of the same index root
+    raises ConcurrentBuildError (the ConcurrentModificationException
+    analogue, PutDatasourceTransportAction.java:78-94); the lock is
+    heartbeat-renewed for the build's duration
+    (Ip2GeoLockService.java:29, GeoIpDataDao.java:307).
     """
+    with lc.BuildLock(index_root, owner=f"build:{generation}"):
+        return _build_index_locked(spark, transcripts, index_root, n_shards,
+                                   generation, append, normalization)
+
+
+def _build_index_locked(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_root: str,
+    n_shards: int | None,
+    generation: str,
+    append: bool,
+    normalization: dict[str, str] | None,
+) -> dict:
+    import time as _time
+
+    started_at = _time.time()
     if n_shards is None:
         n_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
     gdir = lc.gen_dir(index_root, generation)
+
+    prior = lc.read_manifest(index_root)
+    if append and prior and prior.get("state") == lc.STATE_AVAILABLE:
+        # delta generations MUST tokenize through the same normalization
+        # as the generations they join — a mismatched map would make
+        # query-side normalization and df inconsistent across generations
+        prior_norm = prior.get("normalization") or {}
+        if normalization is None:
+            normalization = dict(prior_norm) or None
+        elif dict(normalization) != prior_norm:
+            raise ValueError(
+                "append build passed a normalization map different from "
+                "the prior manifest's; rebuild (append=False) to change it")
 
     try:
         gdir.mkdir(parents=True, exist_ok=True)
@@ -318,7 +354,6 @@ def build_index(
             "shards": sorted(metrics, key=lambda m: m["shard"]),
         }
 
-        prior = lc.read_manifest(index_root)
         if append and prior and prior.get("state") == lc.STATE_AVAILABLE:
             gens = [g for g in prior.get("generations", []) if g["id"] != generation]
         else:
@@ -332,11 +367,31 @@ def build_index(
         n_docs = sum(g["n_docs"] for g in gens)
         total_tokens = sum(g["total_tokens"] for g in gens)
         avgdl = (total_tokens / n_docs) if n_docs else 0.0
-        import time as _time
+
+        # per-build audit record (the Datasource.java:105-173 update-stats
+        # analogue: lastSucceededAt / processing time / skip counts)
+        shards_skipped = sum(int(m.get("skipped", 0)) for m in metrics)
+        finished_at = _time.time()
+        build_record = {
+            "generation": generation,
+            "append": bool(append),
+            "started_at_unix": started_at,
+            "finished_at_unix": finished_at,
+            "duration_sec": finished_at - started_at,
+            "n_docs": n_docs_g,
+            "shards_total": len(metrics),
+            "shards_skipped": shards_skipped,
+            "shards_rebuilt": len(metrics) - shards_skipped,
+            "error": None,
+        }
+        history = list(prior.get("build_history", [])) if prior else []
+        history.append(build_record)
+        history = history[-50:]  # bounded audit trail
 
         manifest = {
             "state": lc.STATE_AVAILABLE,
-            "built_at_unix": _time.time(),
+            "built_at_unix": finished_at,
+            "build_history": history,
             "generation": generation,
             "generations": gens,
             "n_docs": n_docs,
@@ -353,7 +408,11 @@ def build_index(
         lc.publish_manifest(index_root, manifest)
         return manifest
     except Exception as exc:  # mark CREATE_FAILED, keep prior manifest serving
-        lc.mark_create_failed(index_root, generation, repr(exc))
+        lc.mark_create_failed(index_root, generation, repr(exc), build_record={
+            "generation": generation, "append": bool(append),
+            "started_at_unix": started_at, "finished_at_unix": _time.time(),
+            "error": repr(exc),
+        })
         raise
 
 

@@ -31,13 +31,36 @@ def _doc_index(spark: SparkSession, sf_dir: str):
     return post, dl, n, avgdl
 
 
+def _adaptive_overfetch(spark: SparkSession, fetch, k: int, n_docs: int,
+                        score_col: str = "score") -> DataFrame:
+    """Over-fetch so the rounded-score re-rank can resolve rank-k
+    boundary ties the raw-score inner limit would cut differently than
+    the oracle. Adaptive: if the k-th ROUNDED score still ties the last
+    fetched row (the tie group extends past the fetch limit), re-fetch
+    larger — a fixed k+50 diverges when >50 docs tie exactly at the
+    boundary."""
+    over = 50
+    while True:
+        df = fetch(k + over)
+        rows = df.collect()
+        if len(rows) <= k or len(rows) < k + over or k + over >= n_docs:
+            break
+        r_k = round(float(rows[k - 1][score_col]), ORDER_DP)
+        r_last = round(float(rows[-1][score_col]), ORDER_DP)
+        if r_k != r_last:
+            break
+        over *= 10
+    if not rows:
+        return df.limit(0)
+    return spark.createDataFrame(rows, schema=df.schema)
+
+
 def _bm25(query: str, k: int = 10):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         post, dl, n, avgdl = _doc_index(spark, sf_dir)
-        # over-fetch so the rounded-score re-rank below can resolve
-        # rank-k boundary ties the raw-score inner limit would cut
-        # differently than the oracle
-        hits = bm25_topk(spark, post, dl, n, avgdl, query, k + 50)
+        hits = _adaptive_overfetch(
+            spark, lambda m: bm25_topk(spark, post, dl, n, avgdl, query, m),
+            k, n)
         # same rounding/ordering contract as the oracle SQL
         return (
             hits.select("doc_id", F.col("score").alias("raw"))
@@ -87,12 +110,15 @@ def _bm25_wand(query: str, k: int = 10):
 
         root = _wand_index_root(spark, sf_dir)
         s = IndexSearcher(spark, root)
-        # over-fetch so the bigint-id re-rank below can resolve rounded
-        # ties the engine's string-keyed tie-break ordered differently
-        df = s.search_df(query, k + 50)
-        if df is None:
+        # adaptive over-fetch so the bigint-id re-rank below can resolve
+        # rounded ties the engine's string-keyed tie-break ordered
+        # differently, even when a tie group exceeds the first fetch
+        probe = s.search_df(query, 1)
+        if probe is None:
             return (_docs(spark, sf_dir)
                     .select("doc_id", F.lit(0.0).alias("score")).limit(0))
+        df = _adaptive_overfetch(spark, lambda m: s.search_df(query, m),
+                                 k, s.n_docs)
         return (
             df.select(
                 F.substring_index("doc_id", ":", 1).cast("long").alias("doc_id"),

@@ -27,6 +27,104 @@ STATE_CREATE_FAILED = "CREATE_FAILED"
 
 GEN_PREFIX = "gen-"
 
+# -- single-writer build lock ------------------------------------------
+#
+# Reference analogue: the job-scheduler lock that makes a second
+# concurrent datasource update fail with ConcurrentModificationException
+# (ip2geo/common/Ip2GeoLockService.java:29,
+# ip2geo/action/PutDatasourceTransportAction.java:78-94), with periodic
+# renewal during long loads (ip2geo/dao/GeoIpDataDao.java:307). Here:
+# O_EXCL lockfile + a daemon heartbeat thread refreshing its mtime; a
+# lock whose heartbeat stopped > LOCK_STALE_SECONDS ago is stale (the
+# holder died) and may be broken.
+
+LOCK_NAME = "_build.lock"
+LOCK_STALE_SECONDS = 600.0
+LOCK_RENEW_SECONDS = 15.0
+
+
+class ConcurrentBuildError(RuntimeError):
+    """A second concurrent build of the same index root was refused."""
+
+
+def lock_path(root: str | Path) -> Path:
+    return Path(root) / LOCK_NAME
+
+
+def lock_is_held(root: str | Path) -> bool:
+    """True iff a live (non-stale) writer holds the build lock."""
+    import time as _time
+
+    p = lock_path(root)
+    try:
+        return _time.time() - p.stat().st_mtime < LOCK_STALE_SECONDS
+    except OSError:
+        return False
+
+
+class BuildLock:
+    """Context manager: exclusive build lock with heartbeat renewal."""
+
+    def __init__(self, root: str | Path, owner: str = ""):
+        self.root = Path(root)
+        self.owner = owner
+        self._stop = None
+        self._thread = None
+
+    def _write(self, fd: int) -> None:
+        import json as _json
+        import os as _os
+        import time as _time
+
+        _os.write(fd, _json.dumps({
+            "owner": self.owner, "pid": _os.getpid(),
+            "acquired_at_unix": _time.time(),
+        }).encode())
+
+    def __enter__(self) -> "BuildLock":
+        import threading
+        import time as _time
+
+        self.root.mkdir(parents=True, exist_ok=True)
+        p = lock_path(self.root)
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                stale = _time.time() - p.stat().st_mtime >= LOCK_STALE_SECONDS
+            except OSError:
+                stale = True  # vanished between open and stat: retry once
+            if not stale:
+                holder = read_json(p) or {}
+                raise ConcurrentBuildError(
+                    f"index at {self.root} is being built by "
+                    f"pid={holder.get('pid')} owner={holder.get('owner')!r}; "
+                    "concurrent builds of one index root are refused") from None
+            p.unlink(missing_ok=True)  # break the dead holder's lock
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        self._write(fd)
+        os.close(fd)
+
+        self._stop = threading.Event()
+
+        def renew():
+            while not self._stop.wait(LOCK_RENEW_SECONDS):
+                try:
+                    os.utime(p)
+                except OSError:
+                    return
+
+        self._thread = threading.Thread(target=renew, daemon=True,
+                                        name=f"build-lock-renew:{self.root}")
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._stop is not None:
+            self._stop.set()
+            self._thread.join(timeout=5.0)
+        lock_path(self.root).unlink(missing_ok=True)
+
 
 def gen_dir(root: str | Path, generation: str) -> Path:
     return Path(root) / f"{GEN_PREFIX}{generation}"
@@ -72,12 +170,15 @@ def publish_manifest(root: str | Path, manifest: dict) -> None:
     atomic_write_json(manifest_path(root), manifest)
 
 
-def mark_create_failed(root: str | Path, generation: str, error: str) -> None:
+def mark_create_failed(root: str | Path, generation: str, error: str,
+                       build_record: dict | None = None) -> None:
     prior = read_manifest(root)
     failed = {
         "state": STATE_CREATE_FAILED,
         "generation": generation,
         "error": error,
+        # lastFailedAt analogue (Datasource.java:105-173)
+        "build_record": build_record,
         # keep serving the previous generation if one was AVAILABLE
         "previous": prior if prior and prior.get("state") == STATE_AVAILABLE else None,
     }
@@ -92,11 +193,31 @@ def list_generations(root: str | Path) -> list[str]:
                   if p.is_dir() and p.name.startswith(GEN_PREFIX))
 
 
-def delete_unused_generations(root: str | Path) -> list[str]:
+def missing_generations(root: str | Path) -> list[str]:
+    """Manifest/disk reconciliation (the snapshot-restore listener
+    analogue, ip2geo/listener/Ip2GeoListener.java:47-53): generations the
+    manifest lists but whose directory is gone (e.g. a partial restore).
+    Non-empty ⇒ the index must be force-rebuilt before serving."""
+    m = read_manifest(root)
+    if not m or m.get("state") != STATE_AVAILABLE:
+        return []
+    gens = m.get("generations")
+    ids = [g["id"] for g in gens] if gens is not None else [m.get("generation")]
+    return [g for g in ids if g and not gen_dir(root, g).exists()]
+
+
+def delete_unused_generations(root: str | Path,
+                              grace_seconds: float = 3600.0) -> list[str]:
     """Guarded delete (prefix-matched, never the current generation) —
     the deleteUnusedIndices analogue
-    (DatasourceUpdateService.java:151-167)."""
+    (DatasourceUpdateService.java:151-167).
+
+    Skips generations a concurrent build may still be writing before its
+    manifest swap: any gen dir younger than grace_seconds (by newest
+    mtime inside it), and any generation while the index's build lock is
+    held (a writer is active)."""
     import shutil
+    import time as _time
 
     m = read_manifest(root)
     live: set[str] = set()
@@ -104,9 +225,22 @@ def delete_unused_generations(root: str | Path) -> list[str]:
         if m.get("generation"):
             live.add(m["generation"])
         live.update(g["id"] for g in m.get("generations", []))
+    writer_active = lock_is_held(root)
+    now = _time.time()
     deleted = []
     for g in list_generations(root):
-        if g not in live:
-            shutil.rmtree(gen_dir(root, g))
-            deleted.append(g)
+        if g in live:
+            continue
+        gd = gen_dir(root, g)
+        if writer_active:
+            continue  # single active writer may be mid-swap on any gen
+        try:
+            newest = max((p.stat().st_mtime for p in gd.rglob("*")),
+                         default=gd.stat().st_mtime)
+        except OSError:
+            continue
+        if now - newest < grace_seconds:
+            continue
+        shutil.rmtree(gd)
+        deleted.append(g)
     return deleted

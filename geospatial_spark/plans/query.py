@@ -59,6 +59,13 @@ class IndexSearcher:
         m = lc.read_manifest(index_root)
         if not m or m.get("state") != lc.STATE_AVAILABLE:
             raise ValueError(f"index at {index_root} not AVAILABLE: {m and m.get('state')}")
+        missing = lc.missing_generations(index_root)
+        if missing:
+            # manifest/disk reconciliation (Ip2GeoListener.java:47-53):
+            # a listed generation's files are gone → refuse to serve
+            raise ValueError(
+                f"index_generations_missing: {missing} listed in manifest "
+                "but absent on disk — force rebuild required")
         if max_age_seconds is not None:
             # expired-data predicate (P6): the reference refuses lookups
             # on expired datasources with {"error": "ip2geo_data_expired"}
@@ -254,7 +261,10 @@ class IndexSearcher:
         w = Window.partitionBy("qid").orderBy(F.desc("score"), *merge_tie_break())
         top = (per_shard.withColumn("rank", F.row_number().over(w))
                .where(F.col("rank") <= kk))
-        for r in top.collect():
+        # collect the rank and sort explicitly — post-window row order
+        # surviving the filter is not contractually guaranteed by Spark
+        rows = sorted(top.collect(), key=lambda r: (r["qid"], r["rank"]))
+        for r in rows:
             out[r["qid"]].append((r["doc_id"], float(r["score"])))
         return out
 

@@ -39,6 +39,11 @@ class LocalSearcher:
         m = lc.read_manifest(index_root)
         if not m or m.get("state") != lc.STATE_AVAILABLE:
             raise ValueError(f"index at {index_root} not AVAILABLE: {m and m.get('state')}")
+        missing = lc.missing_generations(index_root)
+        if missing:
+            raise ValueError(
+                f"index_generations_missing: {missing} listed in manifest "
+                "but absent on disk — force rebuild required")
         if max_age_seconds is not None:
             import time as _time
 

@@ -126,3 +126,49 @@ def test_topk_is_take_ordered(spark, small_transcripts):
     topk = bm25_topk(spark, post, dl, n, avgdl, "spark table", 10)
     plan = explain(topk)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scorer_has_no_doclens_join(spark, small_transcripts):
+    """dl rides inside the posting tuple: the per-query plan must contain
+    NO join on doc_id (round 1 shuffled a corpus-sized doclens table per
+    query — the scale-killer the verdict flagged)."""
+    from geospatial_spark.operators.postings import corpus_stats, doclens, posting_tuples
+    from geospatial_spark.operators.scorer import bm25_topk
+
+    post = posting_tuples(small_transcripts)
+    dl = doclens(small_transcripts)
+    n, avgdl = corpus_stats(dl)
+    topk = bm25_topk(spark, post, None, n, avgdl, "deploy the spark job", 10)
+    plan = explain(topk)
+    # every remaining join must be a broadcast on term, never doc_id
+    for line in plan.splitlines():
+        if "Join" in line and "doc_id" in line:
+            raise AssertionError(f"doc_id join survived: {line}\n{plan}")
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_shingles_have_no_window(spark):
+    """Shingling is a per-row array expression: no Window (shuffle+sort
+    per doc) may appear in the plan."""
+    from geospatial_spark.operators.dedup import shingle_rows
+    from geospatial_spark.plans.catalog import _docs
+
+    ex = shingle_rows(_docs(spark, "/root/testdata/sf0.001"), "doc_id")
+    plan = explain(ex)
+    assert "Window" not in plan, plan
+
+
+def test_simhash_has_single_aggregate_no_explode_blowup(spark):
+    """SimHash is one hash aggregate on doc_id (33 sums); the 32-way bit
+    explode (32x shuffle blowup) must be gone."""
+    from geospatial_spark.operators.dedup import simhash
+    from geospatial_spark.plans.catalog import _docs
+
+    import re
+
+    df = simhash(_docs(spark, "/root/testdata/sf0.001"), "doc_id")
+    plan = explain(df)
+    # exactly one exchange: the doc_id hash aggregate
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # exactly one Generate: the single token explode (round 1 had two)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan

@@ -71,8 +71,12 @@ def test_new_generation_and_swap(spark, tiny_transcripts, tmp_path):
     # searcher follows the manifest swap
     s = IndexSearcher(spark, root)
     assert s.gdir.name == "gen-g0002"
-    # guarded delete keeps only the current generation
-    deleted = lc.delete_unused_generations(root)
+    # guarded delete: the default grace period protects the just-written
+    # (non-live) generation a concurrent writer might still be swapping
+    assert lc.delete_unused_generations(root) == []
+    assert lc.list_generations(root) == ["g0001", "g0002"]
+    # with the grace waived, only the current generation survives
+    deleted = lc.delete_unused_generations(root, grace_seconds=0.0)
     assert deleted == ["g0001"]
     assert lc.list_generations(root) == ["g0002"]
 
@@ -152,3 +156,103 @@ def test_failed_build_marks_create_failed(spark, tmp_path):
     markers = list(Path(root).glob("manifest.FAILED-*.json"))
     assert len(markers) == 1
     assert json.loads(markers[0].read_text())["state"] == "CREATE_FAILED"
+
+
+def test_concurrent_build_refused(spark, tiny_transcripts, tmp_path):
+    """Second concurrent build of one index root raises (the
+    ConcurrentModificationException analogue)."""
+    import pytest
+
+    from geospatial_spark.plans import lifecycle as lc
+    from geospatial_spark.plans.build import build_index
+
+    root = str(tmp_path / "idx")
+    with lc.BuildLock(root, owner="other-writer"):
+        assert lc.lock_is_held(root)
+        with pytest.raises(lc.ConcurrentBuildError, match="being built"):
+            build_index(spark, tiny_transcripts, root, n_shards=2)
+    # lock released → build proceeds
+    assert not lc.lock_is_held(root)
+    m = build_index(spark, tiny_transcripts, root, n_shards=2)
+    assert m["state"] == "AVAILABLE"
+
+
+def test_stale_lock_is_broken(spark, tiny_transcripts, tmp_path):
+    """A lock whose heartbeat died (old mtime) must not block forever."""
+    import os
+    import time
+
+    from geospatial_spark.plans import lifecycle as lc
+    from geospatial_spark.plans.build import build_index
+
+    root = tmp_path / "idx"
+    root.mkdir()
+    p = lc.lock_path(root)
+    p.write_text('{"owner": "dead", "pid": 0}')
+    old = time.time() - lc.LOCK_STALE_SECONDS - 5
+    os.utime(p, (old, old))
+    assert not lc.lock_is_held(root)
+    m = build_index(spark, tiny_transcripts, str(root), n_shards=2)
+    assert m["state"] == "AVAILABLE"
+    assert not p.exists()  # released after the build
+
+
+def test_build_history_recorded(spark, tiny_transcripts, tmp_path):
+    """Manifest keeps a per-build audit trail (update-stats analogue):
+    duration + skipped/rebuilt shard counts across builds."""
+    root = str(tmp_path / "idx")
+    m1 = _build(spark, tiny_transcripts, root)
+    h = m1["build_history"]
+    assert len(h) == 1
+    assert h[0]["shards_rebuilt"] == 4 and h[0]["shards_skipped"] == 0
+    assert h[0]["finished_at_unix"] >= h[0]["started_at_unix"]
+    assert h[0]["error"] is None
+    m2 = _build(spark, tiny_transcripts, root)  # resume: all skipped
+    h2 = m2["build_history"]
+    assert len(h2) == 2
+    assert h2[1]["shards_skipped"] == 4 and h2[1]["shards_rebuilt"] == 0
+
+
+def test_missing_generation_refuses_serving(spark, tiny_transcripts, tmp_path):
+    """Manifest lists a generation whose dir is gone (partial restore):
+    searchers refuse with a force-rebuild error; reconciliation names it."""
+    import shutil
+
+    import pytest
+
+    from geospatial_spark.plans import lifecycle as lc
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    root = str(tmp_path / "idx")
+    m = _build(spark, tiny_transcripts, root)
+    shutil.rmtree(lc.gen_dir(root, m["generation"]))
+    assert lc.missing_generations(root) == [m["generation"]]
+    with pytest.raises(ValueError, match="index_generations_missing"):
+        IndexSearcher(spark, root)
+    with pytest.raises(ValueError, match="index_generations_missing"):
+        LocalSearcher(root)
+    # force rebuild reconciles
+    _build(spark, tiny_transcripts, root)
+    assert lc.missing_generations(root) == []
+    assert IndexSearcher(spark, root).search("the spark", 3)
+
+
+def test_append_inherits_normalization(spark, tiny_transcripts, tmp_path):
+    """Delta builds inherit the prior manifest's normalization; passing a
+    different map is refused (stats would go inconsistent across gens)."""
+    import pytest
+
+    from geospatial_spark.plans.build import build_index
+
+    root = str(tmp_path / "idx")
+    norm = {"sparc": "spark"}
+    build_index(spark, tiny_transcripts, root, n_shards=2,
+                generation="g0001", normalization=norm)
+    m2 = build_index(spark, tiny_transcripts.limit(2), root, n_shards=2,
+                     generation="g0002", append=True)  # none passed
+    assert m2["normalization"] == norm  # inherited, not overwritten
+    with pytest.raises(ValueError, match="normalization"):
+        build_index(spark, tiny_transcripts, root, n_shards=2,
+                    generation="g0003", append=True,
+                    normalization={"different": "map"})
