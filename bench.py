@@ -45,6 +45,7 @@ SCALING_CORES = (2, 8)
 BENCH_QUERIES = [
     ("q_build", None),  # placeholder: build timing
     ("q_bm25_hot", "the spark"),
+    ("q_bm25_stop", "the"),  # deliberately saturated single stopword
     ("q_bm25_mid", "deploy index shuffle"),
     ("q_bm25_rare", "w4001 w4500"),
     ("q_bm25_multi", "query table join agg data run test merge"),
@@ -307,10 +308,77 @@ hardware allows.
                       "results": results}))
 
 
+def main_hot_term():
+    """Flat-vs-linear evidence for the impact-ordered hot-term path:
+    ONE shard (so per-shard df grows with the corpus — the serving-node
+    view of a growing index), search("the") on an index WITH impact
+    copies vs WITHOUT. Writes BENCH/HOT_TERM.md."""
+    import shutil
+    import tempfile
+
+    from geospatial_spark.session import get_spark
+
+    spark = get_spark("bench-hot", cores=CPUS, shuffle_partitions=CPUS)
+    from fixtures.datagen import gen_transcripts_spark
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    rows = []
+    for convs in (12_500, 25_000, 50_000, 100_000):
+        tx = gen_transcripts_spark(spark, convs, seed=42).cache()
+        n_turns = tx.count()
+        point = {"convs": convs, "n_turns": n_turns}
+        for label, hot in (("cold", 0), ("hot", 8192)):
+            root = tempfile.mkdtemp(prefix=f"hotterm_{label}_")
+            build_index(spark, tx, root, n_shards=1, hot_df_copy=hot)
+            ls = LocalSearcher(root, preload_docmaps=True)
+            ls.search("warm", 5)
+            best = min(_timed(ls, "the") for _ in range(3))
+            point[label + "_ms"] = round(best * 1000, 1)
+            shutil.rmtree(root, ignore_errors=True)
+        tx.unpersist()
+        rows.append(point)
+        print(point)
+
+    md = ["# BENCH — hot-term (saturated stopword) latency vs df",
+          "",
+          "Single shard, so per-shard df grows with the corpus — the",
+          "serving-node view of a growing index. Query: `the` (df ≈ 88%",
+          "of turns, tf-saturated: every doc-ordered block bound ≈ idf,",
+          "so classic block-max WAND cannot prune it). `cold` = index",
+          "without impact copies (round-1 behavior); `hot` = impact-",
+          "ordered copies + early-terminating discovery/completion.",
+          "",
+          "| turns | df(\"the\")≈ | cold ms | hot ms | cold/hot |",
+          "|---|---|---|---|---|"]
+    for r in rows:
+        ratio = r["cold_ms"] / max(r["hot_ms"], 0.1)
+        md.append(f"| {r['n_turns']} | {int(r['n_turns']*0.88)} "
+                  f"| {r['cold_ms']} | {r['hot_ms']} | {ratio:.1f}x |")
+    lo, hi = rows[0], rows[-1]
+    md += ["",
+           f"Corpus grew {hi['n_turns']/lo['n_turns']:.1f}x: cold latency grew "
+           f"{hi['cold_ms']/lo['cold_ms']:.1f}x (linear in df — reads + decodes "
+           f"the whole posting), hot latency grew "
+           f"{hi['hot_ms']/lo['hot_ms']:.1f}x (~flat: discovery reads a "
+           "bounded imp_head prefix regardless of df)."]
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "HOT_TERM.md").write_text("\n".join(md) + "\n")
+    print(json.dumps({"hot_term_points": rows}))
+
+
+def _timed(ls, q):
+    t0 = time.perf_counter()
+    ls.search(q, 10)
+    return time.perf_counter() - t0
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--one-scaling-point":
         print(json.dumps(run_at_parallelism(int(sys.argv[2]), SF_DIR)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         main_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--hot-term":
+        main_hot_term()
     else:
         main_default()

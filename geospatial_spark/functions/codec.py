@@ -231,6 +231,81 @@ def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
             out_sky_tf, out_sky_dl, out_sky_off)
 
 
+def _block_skyline(btf: np.ndarray, bdl: np.ndarray):
+    """(tf, dl) skyline of one block: pairs not dominated by another
+    (tf' ≥ tf and dl' ≤ dl). BM25 is monotone ↑tf ↓dl, so the EXACT
+    block-max score for ANY (k1, b, avgdl) is attained at a skyline
+    point."""
+    order = np.lexsort((bdl, -btf))
+    sd = bdl[order]
+    rm = np.minimum.accumulate(sd)
+    keep = np.empty(len(sd), dtype=bool)
+    keep[0] = True
+    keep[1:] = sd[1:] < rm[:-1]
+    return btf[order][keep], sd[keep]
+
+
+def encode_impact_posting(local_docs: np.ndarray, tfs: np.ndarray,
+                          dls: np.ndarray, avgdl_local: float,
+                          k1: float = 1.2, b: float = 0.75):
+    """Impact-ordered copy of one hot term's posting list.
+
+    Postings sort by descending BM25 tf-saturation key
+    tf/(tf + k1·(1−b + b·dl/avgdl_local)) with doc asc tie-break (the
+    idf factor is per-term constant, so this IS impact order for the
+    build-time avgdl; query-time avgdl drift is handled by the reader,
+    which orders blocks by their EXACT query-time skyline bound, never
+    by stored position). Blocks of BLOCK postings; docs are LOCAL
+    indices, re-sorted ascending WITHIN each block and delta-encoded
+    (first value absolute) — block membership, not intra-block order,
+    is what the bounds constrain.
+
+    Returns (doc_blocks, tf_blocks, dl_blocks, sky_tf, sky_dl, sky_off)
+    with the same skyline layout as encode_shard_postings.
+    """
+    n = len(local_docs)
+    if n == 0:
+        return [], [], [], [], [], [0]
+    ld = np.ascontiguousarray(local_docs, dtype=np.int64)
+    tf = np.ascontiguousarray(tfs, dtype=np.int64)
+    dl = np.ascontiguousarray(dls, dtype=np.int64)
+    tff = tf.astype(np.float64)
+    key = tff / (tff + k1 * (1.0 - b + b * dl.astype(np.float64) / max(avgdl_local, 1e-9)))
+    order = np.lexsort((ld, -key))
+    ld, tf, dl = ld[order], tf[order], dl[order]
+
+    doc_blocks, tf_blocks, dl_blocks = [], [], []
+    sky_tf: list[int] = []
+    sky_dl: list[int] = []
+    sky_off = [0]
+    for i in range(0, n, BLOCK):
+        d = ld[i: i + BLOCK]
+        t = tf[i: i + BLOCK]
+        l = dl[i: i + BLOCK]
+        o = np.argsort(d, kind="stable")
+        d, t, l = d[o], t[o], l[o]
+        gaps = np.empty(len(d), dtype=np.uint64)
+        gaps[0] = np.uint64(d[0])
+        if len(d) > 1:
+            gaps[1:] = (d[1:] - d[:-1]).astype(np.uint64)
+        doc_blocks.append(varint_encode(gaps))
+        tf_blocks.append(varint_encode(t.astype(np.uint64)))
+        dl_blocks.append(varint_encode(l.astype(np.uint64)))
+        s_tf, s_dl = _block_skyline(t, l)
+        sky_tf.extend(int(x) for x in s_tf)
+        sky_dl.extend(int(x) for x in s_dl)
+        sky_off.append(len(sky_tf))
+    return doc_blocks, tf_blocks, dl_blocks, sky_tf, sky_dl, sky_off
+
+
+def decode_impact_block(doc_block: bytes, tf_block: bytes, dl_block: bytes):
+    """One impact block → (local_doc_idx, tfs, dls). Docs are ascending
+    within the block, first value absolute."""
+    gaps = varint_decode(doc_block)
+    docs = delta_decode(gaps).astype(np.int64)
+    return docs, varint_decode(tf_block), varint_decode(dl_block)
+
+
 def decode_block(doc_block: bytes, tf_block: bytes, prev_last: int):
     """One block → (doc_ords, tfs). prev_last = last doc of the previous
     block (0 for the first block)."""

@@ -2,25 +2,49 @@
 
 Reference analogue: per-shard collect + coordinator reduce of the grid
 aggregation (SURVEY.md §2.6 T2; GeoHexGridAggregatorFactory.java:92-128
-collects per shard, core reduces). Here each shard runs a vectorized
+collects per shard, core reduces). Each shard runs a vectorized
 block-max scorer over its compressed segments and returns its local
 top-k; the driver k-way merges.
 
-Exact pruning rule (per shard): process query terms in descending
-whole-posting upper-bound order, keeping a running threshold θ = the
-k-th largest *partial* score so far (a valid lower bound of the final
-k-th score, since scores only grow). A block B of term i may be
-skipped iff
+Two physical strategies per term, chosen by what the segment stores —
+the cost-based index-vs-docvalues choice of the reference
+(index/query/xypoint/XYPointQueryVisitor.java:111-138):
 
-    max_partial(B) + ub_i(B) + Σ_{j>i} ub_j  <  θ
+COLD terms (doc-ordered blocks only): classic block-max WAND. Process
+terms in descending whole-posting upper-bound order with a running
+threshold θ = the k-th largest partial score (a valid lower bound of
+the final k-th score — scores only grow). Block B of term i is skipped
+iff   max_partial(B) + ub_i(B) + Σ_{j>i} ub_j + Σ_hot ub_h  <  θ
+(hot terms are processed AFTER cold ones, so their total upper bound
+must ride in the remainder — otherwise a cold skip could understate a
+doc the hot phase later promotes into the top-k). Upper bounds are
+EXACT per block: BM25's block max is attained at a stored (tf, dl)
+skyline point.
 
-because every doc in B then finishes strictly below the k-th score —
-ties at exactly θ are never skipped, preserving the (conv_id, turn_idx)
-tie-break. Upper bounds come from stored (block_max_tf, block_min_dl):
-BM25 is monotone ↑ in tf and ↓ in dl, so score(max_tf, min_dl) bounds
-every doc in the block. Single-term queries degrade to classic
-block-max skipping; all arithmetic is numpy-vectorized (block decode,
-scatter-add, reduceat for per-block partial maxima).
+HOT terms (terms with an impact-ordered posting copy, built for
+shard-local df ≥ build.HOT_DF_COPY): saturated terms defeat block-max
+pruning — tf/(tf+norm) → 1 makes every doc-ordered block's bound ≈ idf,
+so WAND decodes the whole posting (linear in df; the round-1
+scale-killer). Instead:
+
+  discovery — decode the term's impact blocks in descending EXACT
+  query-time bound order (bounds from per-impact-block skylines, so
+  build-time avgdl drift cannot break monotonicity), chunked, refreshing
+  θ between chunks; stop when the residual frontier R = Σ_t (best
+  undecoded block bound of t) drops below θ AND the candidate set
+  {d : scores[d] + R ≥ θ} is small.
+
+  completion — candidates may still hold unseen postings of a
+  truncated hot term; look each candidate up in that term's DOC-ordered
+  blocks (binary search block_last_doc, decode only the touched
+  blocks) and add the exact contribution. Docs outside the candidate
+  set satisfy final(d) ≤ scores[d] + R < θ ≤ final k-th score, so they
+  can never enter the top-k — the returned top-k scores are EXACT.
+
+Ties at exactly θ are never dropped (candidate test is ≥ with a 1e-12
+slack on the safe side), preserving the (conv_id, turn_idx) tie-break.
+All arithmetic is numpy-vectorized (bulk varint decode, scatter-add,
+reduceat partial maxima).
 """
 
 from __future__ import annotations
@@ -33,6 +57,16 @@ from geospatial_spark.functions.codec import BLOCK as BLOCK_N
 
 # θ-refresh cadence for the chunked bulk decode (blocks per chunk)
 CHUNK_BLOCKS = 64
+# discovery stops early only once this few docs can still reach θ
+CAND_CAP = 1024
+# float slack applied on the keep-it side of every θ comparison
+EPS = 1e-12
+
+
+def _as_bytes(x) -> bytes:
+    """Block cell → bytes. Accepts plain bytes (Spark/pandas rows) or a
+    pyarrow BinaryScalar (zero-copy serving rows)."""
+    return x.as_py() if hasattr(x, "as_py") else bytes(x)
 
 
 def _block_ubs(idf_t: float, bmax_tf: np.ndarray, bmin_dl: np.ndarray,
@@ -58,6 +92,147 @@ def _block_ubs_skyline(idf_t: float, sky_tf, sky_dl, sky_off,
     return np.maximum.reduceat(s, off[:-1])
 
 
+def _contrib(idf_t: float, tfs: np.ndarray, dls: np.ndarray,
+             avgdl: float) -> np.ndarray:
+    tff = tfs.astype(np.float64)
+    return idf_t * (tff / (tff + K1 * (1.0 - B + B * (dls.astype(np.float64) / avgdl))))
+
+
+def _block_lens(df_local: int, nblocks: int) -> np.ndarray:
+    lens = np.full(nblocks, BLOCK_N, dtype=np.int64)
+    lens[-1] = df_local - BLOCK_N * (nblocks - 1)
+    return lens
+
+
+def _has_impact_copy(r: dict) -> bool:
+    off = r.get("imp_sky_off")
+    return (off is not None and len(off) >= 2
+            and r.get("imp_head_doc_blocks") is not None
+            and len(r["imp_head_doc_blocks"]) > 0)
+
+
+def _decode_impact_chunk(db, tb, lb, df_local: int, kept_idx: np.ndarray):
+    """Bulk-decode the given impact blocks of one term →
+    (local_docs, tfs, dls). Impact blocks are self-contained: docs are
+    ascending LOCAL indices within each block, first value absolute."""
+    from geospatial_spark.functions.codec import varint_decode
+
+    lens = _block_lens(df_local, len(db))[kept_idx]
+    gaps = varint_decode(b"".join(_as_bytes(db[i]) for i in kept_idx)).astype(np.int64)
+    tfs = varint_decode(b"".join(_as_bytes(tb[i]) for i in kept_idx))
+    dls = varint_decode(b"".join(_as_bytes(lb[i]) for i in kept_idx))
+    starts_flat = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    cs = np.cumsum(gaps)
+    seg_off = cs[starts_flat] - gaps[starts_flat]
+    docs = cs - np.repeat(seg_off, lens)
+    return docs, tfs, dls
+
+
+def _decode_doc_blocks(r: dict, kept_idx: np.ndarray, base_ord: int):
+    """Bulk-decode the given DOC-ordered blocks of one term →
+    (local_docs, tfs, dls), using block_last_doc metadata to make each
+    kept block's leading gap absolute even when its predecessor was not
+    decoded."""
+    from geospatial_spark.functions.codec import varint_decode
+
+    blast = np.asarray(r["block_last_doc"], dtype=np.int64)
+    db, tb, lb = r["doc_blocks"], r["tf_blocks"], r["dl_blocks"]
+    lens = _block_lens(int(r["df"]), len(db))[kept_idx]
+    gaps = varint_decode(b"".join(_as_bytes(db[i]) for i in kept_idx)).astype(np.int64)
+    tfs = varint_decode(b"".join(_as_bytes(tb[i]) for i in kept_idx))
+    dls = varint_decode(b"".join(_as_bytes(lb[i]) for i in kept_idx))
+    starts_flat = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    prev_last = np.where(kept_idx > 0, blast[kept_idx - 1], 0)
+    gaps[starts_flat] += prev_last
+    cs = np.cumsum(gaps)
+    seg_off = cs[starts_flat] - gaps[starts_flat]
+    docs = cs - np.repeat(seg_off, lens)
+    return docs - base_ord, tfs, dls
+
+
+class _HotTerm:
+    __slots__ = ("r", "idf_t", "bounds", "order", "ptr", "seen", "chunk",
+                 "_imp", "_n_avail")
+
+    def __init__(self, r: dict, idf_t: float, bounds: np.ndarray, k: int):
+        self.r = r
+        self.idf_t = idf_t
+        self.bounds = bounds
+        self.order = np.argsort(-bounds, kind="stable")
+        self.ptr = 0
+        self.seen: list[np.ndarray] = []
+        # galloping decode: the first chunk just covers k postings, then
+        # doubles — a saturated term typically terminates within the
+        # first couple of chunks, so a fixed 64-block chunk would decode
+        # the whole posting of any shard-local df ≤ 8k in one gulp
+        self.chunk = max(1, -(-k // BLOCK_N))
+        head = (list(r["imp_head_doc_blocks"]), list(r["imp_head_tf_blocks"]),
+                list(r["imp_head_dl_blocks"]))
+        tail = r.get("imp_tail_doc_blocks")
+        if tail is not None and len(tail) > 0:
+            # eager row (the Spark scan shipped the whole stream)
+            self._imp = (head[0] + list(tail),
+                         head[1] + list(r["imp_tail_tf_blocks"]),
+                         head[2] + list(r["imp_tail_dl_blocks"]))
+        else:
+            self._imp = head
+        self._n_avail = len(self._imp[0])
+
+    def _ensure(self, max_bidx: int) -> None:
+        """Lazily pull the tail stream (and doc-ordered streams) of a
+        light row — serving readers skip hot terms' byte columns and
+        attach a _fetch_heavy callback instead."""
+        if max_bidx < self._n_avail:
+            return
+        fetch = self.r.get("_fetch_heavy")
+        if fetch is None:
+            raise KeyError(
+                f"impact block {max_bidx} beyond available stream and no "
+                "_fetch_heavy on a light segment row")
+        self.r.update(fetch())
+        self.r["_fetch_heavy"] = None
+
+        def _lst(key):
+            v = self.r.get(key)
+            return list(v) if v is not None else []
+
+        self._imp = (self._imp[0][:] + _lst("imp_tail_doc_blocks"),
+                     self._imp[1][:] + _lst("imp_tail_tf_blocks"),
+                     self._imp[2][:] + _lst("imp_tail_dl_blocks"))
+        self._n_avail = len(self._imp[0])
+
+    def decode(self, idx: np.ndarray):
+        if len(idx):
+            self._ensure(int(idx.max()))
+        db, tb, lb = self._imp
+        return _decode_impact_chunk(db, tb, lb, int(self.r["df"]), idx)
+
+    def doc_streams(self) -> dict:
+        """Doc-ordered streams for completion; light rows fetch them."""
+        if self.r.get("doc_blocks") is None:
+            fetch = self.r.get("_fetch_heavy")
+            if fetch is not None:
+                self.r.update(fetch())
+                self.r["_fetch_heavy"] = None
+        return self.r
+
+    @property
+    def residual(self) -> float:
+        if self.ptr >= len(self.order):
+            return 0.0
+        return float(self.bounds[self.order[self.ptr]])
+
+    @property
+    def total_ub(self) -> float:
+        return float(self.bounds.max()) if len(self.bounds) else 0.0
+
+
+def _kth(scores: np.ndarray, k: int, n_local_docs: int) -> float:
+    if n_local_docs <= k:
+        return 0.0
+    return float(np.partition(scores, -k)[-k])
+
+
 def wand_shard(
     seg_rows: list[dict],
     n_local_docs: int,
@@ -78,35 +253,50 @@ def wand_shard(
     if not seg_rows or n_local_docs == 0 or avgdl <= 0.0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
-    # per-term query-time stats (global df → idf)
-    prepped = []
+    # split terms by physical strategy; per-term query-time stats
+    cold = []
+    hot: list[_HotTerm] = []
     for r in seg_rows:
         idf_t = idf(int(df_global[r["term"]]), n_docs)
+        if _has_impact_copy(r):
+            ibounds = _block_ubs_skyline(idf_t, r["imp_sky_tf"], r["imp_sky_dl"],
+                                         r["imp_sky_off"], avgdl)
+            hot.append(_HotTerm(r, idf_t, ibounds, k))
+            continue
         ubs = _block_ubs_skyline(idf_t, r.get("sky_tf"), r.get("sky_dl"),
                                  r.get("sky_off"), avgdl)
         if ubs is None:
             bmax_tf = np.asarray(r["block_max_tf"], dtype=np.int64)
             bmin_dl = np.asarray(r["block_min_dl"], dtype=np.int64)
             ubs = _block_ubs(idf_t, bmax_tf, bmin_dl, avgdl)
-        prepped.append((float(ubs.max()), idf_t, r, ubs))
-    # descending whole-posting upper bound
-    prepped.sort(key=lambda x: -x[0])
-    term_ubs = np.array([p[0] for p in prepped])
-    suffix_ub = np.concatenate((np.cumsum(term_ubs[::-1])[::-1], [0.0]))
+        cold.append((float(ubs.max()), idf_t, r, ubs))
+
+    hot_total_ub = float(sum(h.total_ub for h in hot))
 
     scores = np.zeros(n_local_docs, dtype=np.float64)
     theta = 0.0
     blocks_skipped = 0
     blocks_read = 0
-    terms_skipped = 0
 
-    for i, (term_ub, idf_t, r, ubs) in enumerate(prepped):
-        remaining = float(suffix_ub[i + 1])
-        if theta > 0.0 and term_ub + remaining + float(scores.max(initial=0.0)) < theta:
-            # no doc can reach θ through this or later terms
-            blocks_skipped += len(ubs)
-            terms_skipped += 1
-            continue
+    # ---- cold phase: doc-ordered block-max WAND -----------------------
+    cold.sort(key=lambda x: -x[0])
+    term_ubs = np.array([p[0] for p in cold])
+    suffix_ub = (np.concatenate((np.cumsum(term_ubs[::-1])[::-1], [0.0]))
+                 if len(cold) else np.array([0.0]))
+
+    for i, (term_ub, idf_t, r, ubs) in enumerate(cold):
+        if r.get("doc_blocks") is None:
+            # light row classified cold (e.g. copy exists in another
+            # generation only): pull its byte streams now
+            fetch = r.get("_fetch_heavy")
+            if fetch is None:
+                raise KeyError(f"cold term {r.get('term')!r} row lacks doc "
+                               "streams and no _fetch_heavy")
+            r.update(fetch())
+            r["_fetch_heavy"] = None
+        # hot terms are processed later: their bounds ride in `remaining`
+        # so no cold skip can understate a doc the hot phase promotes
+        remaining = float(suffix_ub[i + 1]) + hot_total_ub
         blast_local = np.asarray(r["block_last_doc"], dtype=np.int64) - base_ord
         doc_blocks, tf_blocks, dl_blocks = r["doc_blocks"], r["tf_blocks"], r["dl_blocks"]
         nblocks = len(doc_blocks)
@@ -119,15 +309,14 @@ def wand_shard(
         seg_bounds = np.minimum(bstarts_local, n_local_docs - 1)
         if theta > 0.0:
             part_max = np.maximum.reduceat(scores, seg_bounds)
-            keep = (part_max + ubs + remaining) >= theta
+            keep = (part_max + ubs + remaining) >= theta - EPS
         else:
             keep = np.ones(nblocks, dtype=bool)
         pending = np.flatnonzero(keep)
         blocks_skipped += nblocks - len(pending)
 
         df_local = int(r["df"])
-        block_lens = np.full(nblocks, BLOCK_N, dtype=np.int64)
-        block_lens[-1] = df_local - BLOCK_N * (nblocks - 1)
+        block_lens = _block_lens(df_local, nblocks)
 
         # decode the kept blocks in CHUNKS, refreshing θ (and re-masking
         # the remaining blocks) between chunks so long scans — including
@@ -139,9 +328,9 @@ def wand_shard(
             kept_lens = block_lens[kept_idx]
             blocks_read += len(kept_idx)
 
-            gaps = varint_decode(b"".join(bytes(doc_blocks[i]) for i in kept_idx))
-            tfs = varint_decode(b"".join(bytes(tf_blocks[i]) for i in kept_idx))
-            dls = varint_decode(b"".join(bytes(dl_blocks[i]) for i in kept_idx))
+            gaps = varint_decode(b"".join(_as_bytes(doc_blocks[i]) for i in kept_idx))
+            tfs = varint_decode(b"".join(_as_bytes(tf_blocks[i]) for i in kept_idx))
+            dls = varint_decode(b"".join(_as_bytes(dl_blocks[i]) for i in kept_idx))
 
             # each kept block's first gap is relative to the PREVIOUS
             # physical block's last doc (known from metadata even when
@@ -156,9 +345,7 @@ def wand_shard(
             docs = cs - np.repeat(seg_off, kept_lens)
 
             local = docs - base_ord
-            tff = tfs.astype(np.float64)
-            contrib = idf_t * (tff / (tff + K1 * (1.0 - B + B * (dls.astype(np.float64) / avgdl))))
-            scores[local] += contrib
+            scores[local] += _contrib(idf_t, tfs, dls, avgdl)
 
             if pos < len(pending) and n_local_docs > k:
                 new_theta = float(np.partition(scores, -k)[-k])
@@ -166,15 +353,77 @@ def wand_shard(
                     theta = new_theta
                     part_max = np.maximum.reduceat(scores, seg_bounds)
                     rest = pending[pos:]
-                    ok = (part_max[rest] + ubs[rest] + remaining) >= theta
+                    ok = (part_max[rest] + ubs[rest] + remaining) >= theta - EPS
                     blocks_skipped += int((~ok).sum())
                     pending = np.concatenate((pending[:pos], rest[ok]))
-        if n_local_docs > k:
-            theta = float(np.partition(scores, -k)[-k])
+        theta = max(theta, _kth(scores, k, n_local_docs))
+
+    # ---- hot phase: impact-ordered discovery --------------------------
+    hot_blocks_read = 0
+    completion_blocks = 0
+    n_candidates = 0
+    if hot:
+        while True:
+            residuals = [h.residual for h in hot]
+            R = float(sum(residuals))
+            if R <= 0.0:
+                break
+            if theta > 0.0 and R < theta:
+                # completion cost is bounded by min(n_cand, n_blocks)
+                # doc-ordered block decodes per truncated term — never
+                # worse than finishing the decode here, and usually far
+                # less — so stop as soon as the frontier drops below θ
+                break
+            h = hot[int(np.argmax(residuals))]
+            idx = h.order[h.ptr: h.ptr + h.chunk]
+            h.ptr += len(idx)
+            h.chunk = min(h.chunk * 2, CHUNK_BLOCKS)
+            hot_blocks_read += len(idx)
+            docs, tfs, dls = h.decode(idx)
+            scores[docs] += _contrib(h.idf_t, tfs, dls, avgdl)
+            h.seen.append(docs)
+            theta = max(theta, _kth(scores, k, n_local_docs))
+
+        # ---- completion: exact scores for the candidate set ----------
+        residuals = [h.residual for h in hot]
+        R = float(sum(residuals))
+        if R > 0.0 and theta > 0.0:
+            cand = np.flatnonzero(scores >= theta - R - EPS)
+            n_candidates = len(cand)
+            for h in hot:
+                if h.residual <= 0.0:
+                    continue  # fully decoded: nothing unseen
+                seen = (np.sort(np.concatenate(h.seen))
+                        if h.seen else np.empty(0, dtype=np.int64))
+                if len(seen):
+                    pos_s = np.searchsorted(seen, cand)
+                    pos_s = np.minimum(pos_s, len(seen) - 1)
+                    need = cand[seen[pos_s] != cand]
+                else:
+                    need = cand
+                if len(need) == 0:
+                    continue
+                hr = h.doc_streams()
+                blast_local = np.asarray(hr["block_last_doc"],
+                                         dtype=np.int64) - base_ord
+                bidx = np.searchsorted(blast_local, need)
+                bidx = bidx[bidx < len(blast_local)]
+                if len(bidx) == 0:
+                    continue
+                ublocks = np.unique(bidx)
+                completion_blocks += len(ublocks)
+                docs, tfs, dls = _decode_doc_blocks(hr, ublocks, base_ord)
+                pos_d = np.searchsorted(docs, need)
+                pos_d_c = np.minimum(pos_d, len(docs) - 1)
+                found = docs[pos_d_c] == need
+                scores[need[found]] += _contrib(
+                    h.idf_t, tfs[pos_d_c[found]], dls[pos_d_c[found]], avgdl)
 
     if stats is not None:
         stats.update(blocks_read=blocks_read, blocks_skipped=blocks_skipped,
-                     terms_skipped=terms_skipped)
+                     hot_terms=len(hot), hot_blocks_read=hot_blocks_read,
+                     completion_blocks=completion_blocks,
+                     candidates=n_candidates)
 
     nz = np.flatnonzero(scores > 0.0)
     if len(nz) == 0:

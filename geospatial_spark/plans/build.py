@@ -65,11 +65,16 @@ def _build_dictionary(spark: SparkSession, gdir: Path, n_shards: int) -> int:
     partial = (
         seg.withColumn("salt", F.pmod(F.col("shard"), F.lit(DICT_SALTS)))
         .groupBy("term", "salt")
-        .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
+        .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"),
+             F.max(F.when(F.col("imp_sky_off").isNotNull(), 1)
+                   .otherwise(0)).alias("has_imp"))
     )
     dictionary = partial.groupBy("term").agg(
         F.sum("df").cast("long").alias("df"),
         F.max("max_tf").cast("int").alias("max_tf"),
+        # any shard holding an impact copy ⇒ serving reads this term
+        # light-first (imp_head) instead of prefetching its doc streams
+        F.max("has_imp").cast("int").alias("has_imp"),
     )
     out = gdir / "dictionary"
     dictionary.coalesce(max(1, n_shards // 16)).write.mode("overwrite").parquet(str(out))
@@ -92,17 +97,38 @@ def _fingerprint(doc_ids: pd.Series, texts: pd.Series,
     return h.hexdigest()
 
 
-def _config_digest(normalization: dict[str, str] | None) -> str:
-    if not normalization:
-        return ""
+def _config_digest(normalization: dict[str, str] | None,
+                   hot_df_copy: int = 0) -> str:
     h = hashlib.sha256()
-    for k in sorted(normalization):
-        h.update(f"{k}\x01{normalization[k]}\x02".encode())
-    return h.hexdigest()
+    if normalization:
+        for k in sorted(normalization):
+            h.update(f"{k}\x01{normalization[k]}\x02".encode())
+    # the impact-copy threshold changes segment bytes → a different value
+    # must invalidate checkpoints (old segments would lack/mis-size the
+    # impact streams)
+    h.update(f"hot={int(hot_df_copy)}".encode())
+    return h.hexdigest() if (normalization or hot_df_copy) else ""
+
+
+# per-shard df at/above which a term ALSO gets an impact-ordered posting
+# copy (the hot-term early-termination path). Measured crossover on this
+# hardware: below ~8k postings/shard, reading + bulk-decoding the whole
+# doc-ordered stream (with chunked-θ block skipping) is cheaper than the
+# hot path's per-term setup — the copy only pays once a term's stream is
+# big enough that its I/O dominates. Terms above it get ~flat query cost
+# in df (see BENCH/HOT_TERM.md); terms below it were never the problem.
+HOT_DF_COPY = 8192
+
+# impact blocks stored eagerly readable (the "head"); the rest of the
+# impact stream lands in separate tail columns a serving reader only
+# fetches when discovery overruns the head (rare: the head holds the
+# 2048 highest-impact postings of the shard)
+IMPACT_HEAD_BLOCKS = 16
 
 
 def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
-                  normalization: dict[str, str] | None = None):
+                  normalization: dict[str, str] | None = None,
+                  hot_df_copy: int = HOT_DF_COPY):
     """Tokenize + posting encode one shard. Returns (segments_df,
     docmap_df, stats dict). All hot paths vectorized."""
     n = len(doc_ids)
@@ -142,34 +168,71 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
             docs_arr, tfs_arr, dls_arr.astype(np.uint64), starts, ends
         )
         n_postings = int(len(term_codes))
+        from geospatial_spark.functions.codec import encode_impact_posting
+
+        avgdl_local = float(dl.mean()) if n else 0.0
+        local_idx_all = (dc[run_starts] & ((np.int64(1) << ORD_SHARD_SHIFT) - 1)).astype(np.int64)
         for ti, (s, e) in enumerate(zip(starts, ends)):
             db, tb, lb = db_l[ti], tb_l[ti], lb_l[ti]
             nb = sum(len(x) for x in db) + sum(len(x) for x in tb) + sum(len(x) for x in lb)
             n_bytes += nb
-            seg_rows.append(
-                {
-                    "shard": shard,
-                    "term": str(terms_sorted[ti]),
-                    "df": int(e - s),
-                    "max_tf": int(max(bmax_l[ti])),
-                    "min_dl": int(min(bmin_l[ti])),
-                    "doc_blocks": db,
-                    "tf_blocks": tb,
-                    "dl_blocks": lb,
-                    "block_max_tf": bmax_l[ti],
-                    "block_min_dl": bmin_l[ti],
-                    "block_last_doc": blast_l[ti],
-                    "sky_tf": sky_tf_l[ti],
-                    "sky_dl": sky_dl_l[ti],
-                    "sky_off": sky_off_l[ti],
-                }
-            )
+            row = {
+                "shard": shard,
+                "term": str(terms_sorted[ti]),
+                "df": int(e - s),
+                "max_tf": int(max(bmax_l[ti])),
+                "min_dl": int(min(bmin_l[ti])),
+                "doc_blocks": db,
+                "tf_blocks": tb,
+                "dl_blocks": lb,
+                "block_max_tf": bmax_l[ti],
+                "block_min_dl": bmin_l[ti],
+                "block_last_doc": blast_l[ti],
+                "sky_tf": sky_tf_l[ti],
+                "sky_dl": sky_dl_l[ti],
+                "sky_off": sky_off_l[ti],
+                "imp_head_doc_blocks": None,
+                "imp_head_tf_blocks": None,
+                "imp_head_dl_blocks": None,
+                "imp_tail_doc_blocks": None,
+                "imp_tail_tf_blocks": None,
+                "imp_tail_dl_blocks": None,
+                "imp_sky_tf": None,
+                "imp_sky_dl": None,
+                "imp_sky_off": None,
+            }
+            if hot_df_copy and (e - s) >= hot_df_copy:
+                # impact-ordered copy: the early-termination path that
+                # keeps saturated stopword queries sublinear in df. The
+                # stream is stored head/tail-split: discovery almost
+                # always terminates inside the first IMPACT_HEAD_BLOCKS,
+                # so a serving-path reader can skip the tail bytes (and
+                # the doc-ordered bytes) of hot terms entirely
+                (idb, itb, ilb, is_tf, is_dl, is_off) = encode_impact_posting(
+                    local_idx_all[s:e],
+                    tfs_arr[s:e].astype(np.int64),
+                    dls_arr[s:e].astype(np.int64),
+                    avgdl_local,
+                )
+                n_bytes += (sum(len(x) for x in idb) + sum(len(x) for x in itb)
+                            + sum(len(x) for x in ilb))
+                H = IMPACT_HEAD_BLOCKS
+                row.update(imp_head_doc_blocks=idb[:H], imp_head_tf_blocks=itb[:H],
+                           imp_head_dl_blocks=ilb[:H],
+                           imp_tail_doc_blocks=idb[H:], imp_tail_tf_blocks=itb[H:],
+                           imp_tail_dl_blocks=ilb[H:],
+                           imp_sky_tf=is_tf, imp_sky_dl=is_dl, imp_sky_off=is_off)
+            seg_rows.append(row)
 
     segments = pd.DataFrame(
         seg_rows,
         columns=["shard", "term", "df", "max_tf", "min_dl", "doc_blocks",
                  "tf_blocks", "dl_blocks", "block_max_tf", "block_min_dl",
-                 "block_last_doc", "sky_tf", "sky_dl", "sky_off"],
+                 "block_last_doc", "sky_tf", "sky_dl", "sky_off",
+                 "imp_head_doc_blocks", "imp_head_tf_blocks",
+                 "imp_head_dl_blocks", "imp_tail_doc_blocks",
+                 "imp_tail_tf_blocks", "imp_tail_dl_blocks",
+                 "imp_sky_tf", "imp_sky_dl", "imp_sky_off"],
     )
     docmap = pd.DataFrame(
         {
@@ -212,6 +275,15 @@ def _atomic_parquet(df: pd.DataFrame, path: Path) -> None:
                 ("sky_tf", pa.list_(pa.int32())),
                 ("sky_dl", pa.list_(pa.int32())),
                 ("sky_off", pa.list_(pa.int32())),
+                ("imp_head_doc_blocks", pa.list_(pa.binary())),
+                ("imp_head_tf_blocks", pa.list_(pa.binary())),
+                ("imp_head_dl_blocks", pa.list_(pa.binary())),
+                ("imp_tail_doc_blocks", pa.list_(pa.binary())),
+                ("imp_tail_tf_blocks", pa.list_(pa.binary())),
+                ("imp_tail_dl_blocks", pa.list_(pa.binary())),
+                ("imp_sky_tf", pa.list_(pa.int32())),
+                ("imp_sky_dl", pa.list_(pa.int32())),
+                ("imp_sky_off", pa.list_(pa.int32())),
             ]
         )
     table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
@@ -222,11 +294,12 @@ def _atomic_parquet(df: pd.DataFrame, path: Path) -> None:
     os.replace(tmp, path)
 
 
-def _make_shard_builder(gdir_str: str, normalization: dict[str, str] | None = None):
+def _make_shard_builder(gdir_str: str, normalization: dict[str, str] | None = None,
+                        hot_df_copy: int = HOT_DF_COPY):
     """Returns the mapInPandas kernel. gdir + dictionary passed by value
     (no driver globals captured by reference)."""
 
-    cfg_digest = _config_digest(normalization)
+    cfg_digest = _config_digest(normalization, hot_df_copy)
 
     def build_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -254,7 +327,7 @@ def _make_shard_builder(gdir_str: str, normalization: dict[str, str] | None = No
             return
 
         segments, docmap, stats = _encode_shard(shard, data["doc_id"], data["text"],
-                                                normalization)
+                                                normalization, hot_df_copy)
         _atomic_parquet(segments, seg_path)
         _atomic_parquet(docmap, dm_path)
         # checkpoint written LAST: its presence implies complete files
@@ -272,6 +345,7 @@ def build_index(
     generation: str = "g0001",
     append: bool = False,
     normalization: dict[str, str] | None = None,
+    hot_df_copy: int = HOT_DF_COPY,
 ) -> dict:
     """Build (or resume) the index; returns the published manifest.
 
@@ -289,7 +363,8 @@ def build_index(
     """
     with lc.BuildLock(index_root, owner=f"build:{generation}"):
         return _build_index_locked(spark, transcripts, index_root, n_shards,
-                                   generation, append, normalization)
+                                   generation, append, normalization,
+                                   hot_df_copy)
 
 
 def _build_index_locked(
@@ -300,6 +375,7 @@ def _build_index_locked(
     generation: str,
     append: bool,
     normalization: dict[str, str] | None,
+    hot_df_copy: int,
 ) -> dict:
     import time as _time
 
@@ -326,8 +402,9 @@ def _build_index_locked(
         docs = with_doc_id(transcripts).select("conv_id", "turn_idx", "doc_id", "text")
         parts = docs.repartitionByRange(n_shards, "conv_id", "turn_idx") \
                     .sortWithinPartitions("conv_id", "turn_idx")
-        metrics_df = parts.mapInPandas(_make_shard_builder(str(gdir), normalization),
-                                       schema=BUILD_METRIC_SCHEMA)
+        metrics_df = parts.mapInPandas(
+            _make_shard_builder(str(gdir), normalization, hot_df_copy),
+            schema=BUILD_METRIC_SCHEMA)
         metrics = [r.asDict() for r in metrics_df.collect()]
 
         # purge stale shard files from a previous build of this

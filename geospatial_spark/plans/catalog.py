@@ -95,7 +95,10 @@ def _wand_index_root(spark: SparkSession, sf_dir: str) -> str:
         F.lit(None).cast("timestamp").alias("ts"),
     )
     root = tempfile.mkdtemp(prefix="catalog_wand_idx_")
-    build_index(spark, tx, root, n_shards=8)
+    # low impact-copy threshold so the hot-term (impact-ordered) query
+    # path is exercised UNDER THE DuckDB GATE even at small sf — at
+    # production scale the default (build.HOT_DF_COPY) applies
+    build_index(spark, tx, root, n_shards=8, hot_df_copy=16)
     _WAND_INDEX_CACHE[sf_dir] = root
     return root
 

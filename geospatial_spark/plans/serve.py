@@ -64,7 +64,9 @@ class LocalSearcher:
             for g in self.gens for s in g["shards"]
         }
         self._dict: dict[str, int] | None = None
+        self._imp_terms: dict[str, set] = {}  # gen -> terms with impact copies
         self._seg_ds = None  # lazy pyarrow dataset over all generations
+        self._readers: dict[str, _SegmentReader] = {}
         self._docmap_cache: dict[tuple[str, int], object] = {}  # frozen index → safe
         if preload_docmaps:
             import pyarrow.parquet as pq
@@ -78,25 +80,42 @@ class LocalSearcher:
 
     # -- dictionary (loaded once; the frozen index makes this sound) ---
 
-    def _df_for(self, terms: list[str]) -> dict[str, int]:
+    def _load_dict(self) -> None:
         import pyarrow.dataset as ds
 
-        if self._dict is None:
-            self._dict = {}
-            for g in self.gens:
-                d = ds.dataset(str(self.gdirs[g["id"]] / "dictionary"), format="parquet")
-                t = d.to_table(columns=["term", "df"])
-                for term, df in zip(t.column("term").to_pylist(),
-                                    t.column("df").to_pylist()):
-                    self._dict[term] = self._dict.get(term, 0) + int(df)
+        if self._dict is not None:
+            return
+        self._dict = {}
+        for g in self.gens:
+            d = ds.dataset(str(self.gdirs[g["id"]] / "dictionary"), format="parquet")
+            cols = ["term", "df"]
+            has_imp = "has_imp" in d.schema.names
+            if has_imp:
+                cols.append("has_imp")
+            t = d.to_table(columns=cols)
+            imp_terms = self._imp_terms.setdefault(g["id"], set())
+            imps = t.column("has_imp").to_pylist() if has_imp else None
+            for i, (term, df) in enumerate(zip(t.column("term").to_pylist(),
+                                               t.column("df").to_pylist())):
+                self._dict[term] = self._dict.get(term, 0) + int(df)
+                if imps is not None and imps[i]:
+                    imp_terms.add(term)
+
+    def _df_for(self, terms: list[str]) -> dict[str, int]:
+        self._load_dict()
         return {t: self._dict[t] for t in terms if t in self._dict}
+
+    def _imp_for(self, gen_id: str) -> set:
+        """Terms holding an impact-ordered copy in this generation — the
+        pre-read routing signal (light read vs doc-stream prefetch)."""
+        self._load_dict()
+        return self._imp_terms.get(gen_id, set())
 
     # -- search --------------------------------------------------------
 
     def _segments_dataset(self):
-        """One pyarrow dataset over every generation's segment files —
-        footers parse once, scans are multithreaded, and the term filter
-        prunes row groups via statistics."""
+        """One pyarrow dataset per generation (kept for tooling; the
+        search path uses the row-group-pruned _SegmentReader below)."""
         import pyarrow.dataset as ds
 
         if self._seg_ds is None:
@@ -109,8 +128,22 @@ class LocalSearcher:
             self._seg_ds = parts
         return self._seg_ds
 
+    def _reader(self, gen_id: str) -> "_SegmentReader":
+        r = self._readers.get(gen_id)
+        if r is None:
+            r = _SegmentReader(self.gdirs[gen_id])
+            self._readers[gen_id] = r
+        return r
+
+    # byte-stream columns a serving read skips up front: terms that need
+    # them get ONE batched second read; dominated hot terms usually need
+    # NONE (discovery lives in imp_head) and fall back to a targeted
+    # per-file fetch only when discovery overruns the head
+    HEAVY_COLS = ("doc_blocks", "tf_blocks", "dl_blocks",
+                  "imp_tail_doc_blocks", "imp_tail_tf_blocks",
+                  "imp_tail_dl_blocks")
+
     def search(self, query: str, k: int = 10) -> list[tuple[str, float]]:
-        import pyarrow.dataset as ds
         import pyarrow.parquet as pq
 
         norm = self.manifest.get("normalization") or {}
@@ -120,26 +153,53 @@ class LocalSearcher:
         df_global = self._df_for(terms)
         if not df_global:
             return []
-        flt = ds.field("term").isin(list(df_global))
+        qterms = list(df_global)
 
         candidates: list[tuple[float, str, int, str]] = []  # (-score, conv, turn, doc_id)
-        for gen_id, dset in self._segments_dataset():
+        for g in self.gens:
+            gen_id = g["id"]
             gdir = self.gdirs[gen_id]
-            tbl = dset.to_table(filter=flt)
-            if tbl.num_rows == 0:
+            reader = self._reader(gen_id)
+            names = reader.schema_names
+            imp_set = self._imp_for(gen_id)
+
+            # route per term BEFORE reading: terms with an impact copy
+            # are read light (metadata + imp_head only — their byte
+            # streams are the big ones, and discovery rarely leaves the
+            # head); the rest get their doc streams in the same read
+            hot_q = [t for t in qterms if t in imp_set]
+            cold_q = [t for t in qterms if t not in imp_set]
+            rows: list[dict] = []
+            if cold_q:
+                cold_cols = [c for c in names
+                             if c not in ("imp_tail_doc_blocks",
+                                          "imp_tail_tf_blocks",
+                                          "imp_tail_dl_blocks")]
+                rows.extend(reader.read_terms(cold_q, cold_cols))
+            if hot_q:
+                light = [c for c in names if c not in self.HEAVY_COLS]
+                rows.extend(reader.read_terms(hot_q, light))
+            if not rows:
                 continue
-            rows = tbl.to_pylist()
+            heavy_all = [c for c in names if c in self.HEAVY_COLS]
+            for r in rows:
+                if r.get("doc_blocks") is None:
+                    r["_fetch_heavy"] = reader.make_fetch(
+                        int(r["shard"]), r["term"], ["shard", "term"] + heavy_all)
+
             by_shard: dict[int, list[dict]] = {}
             for r in rows:
                 by_shard.setdefault(int(r["shard"]), []).append(r)
-            for shard, seg_rows in by_shard.items():
+
+            def run(shard_rows):
+                shard, seg_rows = shard_rows
                 base = shard << ORD_SHARD_SHIFT
                 local, scores = wand_shard(
                     seg_rows, self.shard_docs[(gen_id, shard)], base,
                     df_global, self.n_docs, self.avgdl, k,
                 )
                 if len(local) == 0:
-                    continue
+                    return []
                 key = (gen_id, shard)
                 col = self._docmap_cache.get(key)
                 if col is None:
@@ -147,9 +207,138 @@ class LocalSearcher:
                                         columns=["doc_id"]).column("doc_id")
                     self._docmap_cache[key] = col
                 ids = col.take(local.tolist()).to_pylist()
-                for doc_id, sc in zip(ids, scores):
+                return list(zip(ids, scores))
+
+            # single-threaded scoring loop: the kernel is GIL-bound
+            # numpy glue, a thread pool only adds contention (reads are
+            # the threaded part — pyarrow releases the GIL)
+            results = [run(it) for it in by_shard.items()]
+            for part in results:
+                for doc_id, sc in part:
                     conv, _, turn = doc_id.rpartition(":")
                     candidates.append((-float(sc), conv, int(turn), doc_id))
 
         candidates.sort()
         return [(d, -neg) for neg, _, _, d in candidates[:k]]
+
+
+class _SegmentReader:
+    """Row-group-pruned threaded reader over one generation's segment
+    files — the serving-grade I/O path. We own the format (term-sorted
+    rows, 256-row row groups, per-column statistics), so a term read
+    touches exactly the row groups whose [min,max] term range can hold
+    a query term: I/O ∝ matched postings, with none of the generic
+    dataset-scan overhead (~3 ms/file of fragment/stat evaluation)."""
+
+    def __init__(self, gdir):
+        from pathlib import Path as _P
+
+        self.gdir = _P(gdir)
+        self.files = sorted(self.gdir.glob("segments-*.parquet"))
+        self._pf: dict = {}
+        self._shard_file = {int(p.stem.split("-")[1]): p for p in self.files}
+        self.schema_names: list[str] = []
+        self._pool = None  # persistent: pool spin-up costs ~180 ms/query
+        if self.files:
+            import pyarrow.parquet as pq
+
+            self.schema_names = list(
+                pq.ParquetFile(self.files[0]).schema_arrow.names)
+
+    def _executor(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=min(32, max(1, len(self.files))),
+                thread_name_prefix="segread")
+        return self._pool
+
+    def _file(self, path):
+        ent = self._pf.get(path)
+        if ent is None:
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            term_idx = None
+            rg0 = md.row_group(0) if md.num_row_groups else None
+            if rg0 is not None:
+                for j in range(rg0.num_columns):
+                    if rg0.column(j).path_in_schema == "term":
+                        term_idx = j
+                        break
+            mins, maxs = [], []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(term_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ent = (pf, mins, maxs)
+            self._pf[path] = ent
+        return ent
+
+    def _read_file(self, path, terms, columns):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pf, mins, maxs = self._file(path)
+        rgs = [i for i in range(len(mins))
+               if any(mins[i] <= t <= maxs[i] for t in terms)]
+        if not rgs:
+            return []
+        t = pf.read_row_groups(rgs, columns=columns, use_threads=False)
+        t = t.filter(pc.is_in(t.column("term"), value_set=pa.array(terms)))
+        return _rows_zero_copy(t)
+
+    def read_terms(self, terms, columns):
+        """Matched rows for the given terms across all shard files,
+        threaded (pyarrow releases the GIL during reads)."""
+        cols = list(dict.fromkeys(["shard", "term"] + list(columns)))
+        if len(self.files) > 1:
+            parts = list(self._executor().map(
+                lambda p: self._read_file(p, terms, cols), self.files))
+        else:
+            parts = [self._read_file(p, terms, cols) for p in self.files]
+        return [r for part in parts for r in part]
+
+    def make_fetch(self, shard: int, term: str, columns):
+        """Targeted single-row heavy fetch: reads only the one shard
+        file's matching row group(s)."""
+        path = self._shard_file[shard]
+
+        def fetch():
+            rows = self._read_file(path, [term], list(columns))
+            return rows[0]
+
+        return fetch
+
+
+def _rows_zero_copy(t) -> list[dict]:
+    """Table → row dicts WITHOUT to_pylist's linear materialization:
+    numeric list cells become zero-copy numpy slices, binary list cells
+    stay pyarrow ListScalars (the scorer converts only the blocks it
+    actually decodes — for a hot term that is a handful out of
+    thousands), null cells become None."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = t.num_rows
+    rows: list[dict] = [{} for _ in range(n)]
+    for name, col in zip(t.column_names, t.columns):
+        arr = col.combine_chunks()
+        typ = arr.type
+        if pa.types.is_list(typ) and not pa.types.is_binary(typ.value_type):
+            valid = arr.is_valid().to_numpy(zero_copy_only=False)
+            offs = arr.offsets.to_numpy()
+            vals = arr.values.to_numpy(zero_copy_only=False)
+            for i in range(n):
+                rows[i][name] = (vals[offs[i]:offs[i + 1]]
+                                 if valid[i] else None)
+        elif pa.types.is_list(typ):
+            for i in range(n):
+                cell = arr[i]
+                rows[i][name] = cell if cell.is_valid else None
+        else:
+            for i, v in enumerate(arr.to_pylist()):
+                rows[i][name] = v
+    return rows

@@ -107,13 +107,14 @@ def test_wand_pruning_effective_on_large_shard(spark, tmp_path):
     p = tmp_path / "t.parquet"
     pdf.to_parquet(p, index=False)
     tx = read_transcripts(spark, str(p))
-    root = str(tmp_path / "idx")
-    m = build_index(spark, tx, root, n_shards=1)
-    s = IndexSearcher(spark, root)
 
     oracle = OracleIndex.build(list(zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"])))
 
-    def run(qtext):
+    def make(root, **kw):
+        m = build_index(spark, tx, root, n_shards=1, **kw)
+        return m, IndexSearcher(spark, root)
+
+    def run(s, m, qtext):
         terms = sorted(set(qtext.split()))
         seg = s._segments().where(F.col("term").isin(terms)).toPandas()
         df_global = s._df_for(terms)
@@ -127,15 +128,33 @@ def test_wand_pruning_effective_on_large_shard(spark, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in expected], qtext
         return stats
 
-    # rare+hot mix — the classic BMW case: the rare term sets θ high,
-    # then most of the hot term's blocks are skipped
-    stats = run("w2000 the")
+    # -- cold path (impact copies disabled): classic BMW --------------
+    m, s = make(str(tmp_path / "idx_cold"), hot_df_copy=0)
+    # rare+hot mix: the rare term sets θ high, then most of the hot
+    # term's doc-ordered blocks are skipped
+    stats = run(s, m, "w2000 the")
+    assert stats["hot_terms"] == 0
     assert stats["blocks_skipped"] > 0, stats
-    # hot-only single term: tf saturation makes (max_tf, min_dl) bounds
-    # ≈ idf for every block, so little skips — exactness still holds
-    # (impact-ordered posting copies for hot terms are the known fix;
-    # future work)
-    run("the")
+    # hot-only single term: tf saturation makes every block bound ≈ idf
+    # — exactness holds but decode is linear in df (the round-1 gap)
+    run(s, m, "the")
+
+    # -- hot path (impact-ordered copies, low threshold) --------------
+    m, s = make(str(tmp_path / "idx_hot"), hot_df_copy=64)
+    df_the = s._df_for(["the"])["the"]
+    nblocks_the = -(-df_the // 128)
+    stats = run(s, m, "the")
+    assert stats["hot_terms"] == 1, stats
+    touched = stats["hot_blocks_read"] + stats["completion_blocks"]
+    # early termination: the saturated term's decode must be SUBLINEAR —
+    # a small prefix of impact blocks, never the whole posting
+    assert touched < nblocks_the / 2, (stats, nblocks_the)
+    stats = run(s, m, "w2000 the")
+    assert stats["hot_terms"] == 1, stats
+    assert (stats["hot_blocks_read"] + stats["completion_blocks"]
+            < nblocks_the / 2), (stats, nblocks_the)
+    # multi-hot queries stay exact too
+    run(s, m, "the a to")
 
 
 def test_wand_boundary_ties_keep_lowest_ordinals(spark, tmp_path):

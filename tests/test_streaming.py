@@ -95,7 +95,7 @@ def test_compaction_collapses_generations(spark, small_transcripts_pd, tmp_path)
     assert len(m["generations"]) == 1
     after = IndexSearcher(spark, root).search("the spark job", 10)
     assert after == before
-    deleted = lc.delete_unused_generations(root)
+    deleted = lc.delete_unused_generations(root, grace_seconds=0.0)
     assert deleted  # the old delta generations were reclaimed
     assert IndexSearcher(spark, root).search("the spark job", 10) == before
 
