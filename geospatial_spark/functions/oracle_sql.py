@@ -387,6 +387,47 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
+def embed_lsh_verified_sql(threshold: float = 0.4, n_planes: int = 6,
+                           n_tables: int = 3, seed: int = 42,
+                           dim: int = 64) -> str:
+    """Oracle for the at-scale embedding near-dup pipeline: the SAME
+    deterministic hyperplanes the Spark operator uses (shared generator,
+    embedded as literal lists), same sign-bucket strings, same
+    candidate-union-distinct, exact cosine on candidates. The dot for
+    the sign test folds in element order on both engines (Spark
+    F.aggregate, DuckDB list_sum) so bucket bits agree bit-for-bit."""
+    from geospatial_spark.operators.similarity import lsh_planes
+
+    tables = []
+    for t in range(n_tables):
+        planes = lsh_planes(n_planes, seed + 1000 * t, dim)
+        bits = []
+        for i in range(n_planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+            bits.append(
+                "CASE WHEN list_sum(list_transform(list_zip(ve, "
+                f"{lit}::DOUBLE[]), p -> p[1] * p[2])) >= 0 "
+                "THEN '1' ELSE '0' END")
+        bexpr = " || ".join(bits)
+        tables.append(
+            f"b{t} AS (SELECT vec_id, {bexpr} AS bucket FROM v)")
+    cand_parts = " UNION ALL ".join(
+        f"SELECT l.vec_id AS a, r.vec_id AS b FROM b{t} l JOIN b{t} r "
+        "ON l.bucket = r.bucket AND l.vec_id < r.vec_id"
+        for t in range(n_tables))
+    return f"""
+WITH {_VEC_CTE},
+{", ".join(tables)},
+cand AS (SELECT DISTINCT a, b FROM ({cand_parts})),
+pairs AS (
+  SELECT cand.a, cand.b,
+    list_sum(list_transform(list_zip(va.ve, vb.ve), p -> p[1] * p[2])) / (va.nrm * vb.nrm) AS raw
+  FROM cand JOIN nv va ON va.vec_id = cand.a JOIN nv vb ON vb.vec_id = cand.b
+)
+SELECT a, b, round(raw, {ROUND_DP}) AS cos FROM pairs WHERE raw >= {threshold}
+""".strip()
+
+
 def cosine_dup_pairs_sql(threshold: float = 0.98, id_max: int | None = None) -> str:
     return f"""
 WITH {_vec_cte(id_max)},

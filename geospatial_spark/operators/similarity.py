@@ -61,15 +61,67 @@ def brute_force_topk(df: DataFrame, query_ids: list[int], k: int = 10,
     )
 
 
+def lsh_planes(n_planes: int, seed: int, dim: int):
+    """Deterministic random hyperplanes — shared by the Spark operator
+    AND the DuckDB oracle (which embeds them as literals), so the LSH
+    bucketing is reproducible across engines."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_verified_cosine_dups(df: DataFrame, threshold: float = 0.4,
+                             n_planes: int = 6, n_tables: int = 3,
+                             seed: int = 42, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             dim: int = 64) -> DataFrame:
+    """Embedding near-dup pipeline AS IT RUNS AT SCALE: hyperplane-LSH
+    candidate generation (pairs sharing a bucket in ANY of n_tables
+    sign-LSH tables — one shuffle per table keyed on bucket, never the
+    O(n²) pair space) → exact cosine verification restricted to the
+    candidates (JVM-side fold, whole-stage codegen). Returns (a, b, cos)
+    with a < b and cosine ≥ threshold among LSH candidates.
+
+    n_planes controls bucket granularity (bucket size ≈ n / 2^n_planes:
+    raise it with corpus size so buckets stay worker-sized); n_tables
+    controls recall. The all-pairs chunked-GEMM form (cosine_dup_pairs)
+    is the small-input verify helper, not the discovery path."""
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    cands = None
+    for t in range(n_tables):
+        bk = hyperplane_lsh_buckets(df, n_planes, seed + 1000 * t,
+                                    id_col, vec_col, dim)
+        l = bk.alias("l")
+        r = bk.alias("r")
+        pair = (
+            l.join(r, "bucket")
+            .where(F.col("l.vec_id") < F.col("r.vec_id"))
+            .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    cand = cands.distinct()
+    va = base.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    vb = base.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    cos = (
+        cand.join(va, "a").join(vb, "b")
+        .select("a", "b",
+                (_dot(F.col("va"), F.col("vb"))
+                 / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("raw"))
+    )
+    return (cos.where(F.col("raw") >= threshold)
+            .select("a", "b", F.round("raw", ROUND_DP).alias("cos")))
+
+
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.98,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      n_chunks: int = 8) -> DataFrame:
-    """Embedding near-duplicate pairs (a < b, cosine ≥ threshold) via
-    blocked matrix multiply: vectors are grouped into chunks, chunk
-    pairs cross-join, and each pair runs one numpy GEMM in an Arrow
-    kernel — the standard all-pairs-similarity layout. Quadratic in
-    chunk pairs (it's the verify stage); chunk count is the memory knob
-    (a chunk's matrix must fit one worker). A pure higher-order-function
+    """SMALL-INPUT verify helper: all-pairs cosine ≥ threshold via
+    blocked matrix multiply (chunk pairs cross-join, one numpy GEMM per
+    pair in an Arrow kernel). Quadratic in chunk pairs and a chunk is a
+    single collect_list row — use ONLY on bounded inputs (a candidate
+    subset, a verification sample). The scale path for discovery is
+    lsh_verified_cosine_dups above. A pure higher-order-function
     formulation is ~50× slower: Spark evaluates array lambdas
     interpreted, per element."""
     import numpy as np
@@ -229,10 +281,7 @@ def hyperplane_lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,
     n_planes deterministic pseudo-random hyperplanes (seeded, generated
     driver-side). Returns (vec_id, bucket). Scale path for ANN: group by
     bucket, search within buckets (+ multi-probe neighbors)."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = lsh_planes(n_planes, seed, dim)
     bits = []
     for i in range(n_planes):
         h = F.array(*[F.lit(float(x)) for x in planes[i]])

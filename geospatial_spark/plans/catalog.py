@@ -298,6 +298,16 @@ def _cosine_dups(spark, sf_dir):
     return cosine_dup_pairs(e, threshold=0.4)
 
 
+def _embed_lsh_verified(spark, sf_dir):
+    """Embedding near-dup AT SCALE: LSH-bucketed candidate pairs →
+    exact cosine verify on candidates only (full embeddings table, never
+    the quadratic pair space). Deterministic hyperplanes shared with the
+    DuckDB oracle."""
+    from geospatial_spark.operators.similarity import lsh_verified_cosine_dups
+
+    return lsh_verified_cosine_dups(_emb(spark, sf_dir), threshold=0.4)
+
+
 def _ann_lsh(spark, sf_dir):
     """Rows-only check (approximate by construction — no SQL oracle)."""
     from geospatial_spark.operators.similarity import lsh_topk
@@ -556,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_norm": _embed_norm,
         "ann_topk_bruteforce": _ann_topk,
         "embed_cosine_dups": _cosine_dups,
+        "embed_lsh_verified_dups": _embed_lsh_verified,
         "ann_topk_lsh": _ann_lsh,  # rows-only: approximate op
         "ann_topk_ivf": _ann_ivf,  # rows-only: approximate op
         # relational / reference-op analogues
@@ -606,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bruteforce": osql.ann_topk_sql(ANN_QUERY_IDS, 10),
         "embed_cosine_dups": osql.cosine_dup_pairs_sql(threshold=0.4,
                                                        id_max=PAIRWISE_SUBSET),
+        "embed_lsh_verified_dups": osql.embed_lsh_verified_sql(threshold=0.4),
         # ann_topk_lsh: intentionally no oracle (approximate op)
         "enrich_region_stats": osql.enrich_region_stats_sql(),
         "multi_value_join": osql.multi_value_join_sql(),
