@@ -129,7 +129,9 @@ def encode_posting(doc_ords: np.ndarray, tfs: np.ndarray):
 
 
 def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                          term_starts: np.ndarray, term_ends: np.ndarray):
+                          term_starts: np.ndarray, term_ends: np.ndarray,
+                          positions: np.ndarray | None = None,
+                          run_tok_bounds: np.ndarray | None = None):
     """Bulk encoder: one varint pass over a whole shard's posting stream
     (runs sorted by (term, doc)), then zero-copy block slicing — ~5×
     faster than per-term encode_posting, byte-identical output format.
@@ -139,6 +141,17 @@ def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
       block_max_tf[i], block_min_dl[i], block_last_doc[i] — lists of int
       sky_tf[i], sky_dl[i] — flattened skyline (tf, dl) pairs per block
       sky_off[i] — offsets into the flattened skyline, len nblocks+1
+      pos_blocks[i] — lists of bytes (or None when positions is None)
+
+    positions (optional): per-TOKEN in-document positions, one value per
+    occurrence, grouped by (term, doc) run — run i covers token indices
+    [run_tok_bounds[i], run_tok_bounds[i+1]) and its positions are
+    strictly ascending. Encoded as delta-gaps (first value of each run
+    absolute) in one varint pass, sliced on the SAME doc-block
+    boundaries as the doc stream, so a phrase query decodes positions
+    only for the blocks it touches (the Lucene .pos-file analogue —
+    reference's richer query relations, XYShapeQueryBuilder.java:62-71,
+    map to phrase/proximity here).
 
     The skyline of a block is the set of (tf, dl) pairs not dominated by
     another pair (tf' ≥ tf and dl' ≤ dl): BM25 is monotone ↑tf ↓dl for
@@ -148,7 +161,7 @@ def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     """
     n = len(docs)
     if n == 0:
-        return [], [], [], [], [], [], [], [], []
+        return [], [], [], [], [], [], [], [], [], ([] if positions is not None else None)
     docs = np.ascontiguousarray(docs, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
     dls = np.ascontiguousarray(dls, dtype=np.uint64)
@@ -168,6 +181,22 @@ def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
     tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
     dl_off = np.concatenate(([0], np.cumsum(dl_lens)))
+
+    pos_off = None
+    mv_pos = None
+    if positions is not None:
+        pos = np.ascontiguousarray(positions, dtype=np.int64)
+        rtb = np.ascontiguousarray(run_tok_bounds, dtype=np.int64)
+        # delta within each run; run-start slots overwritten with the
+        # absolute first position (cross-run diffs may be negative —
+        # computed in int64, then replaced before the uint64 cast)
+        pgaps = np.empty(len(pos), dtype=np.int64)
+        if len(pos):
+            pgaps[1:] = pos[1:] - pos[:-1]
+        pgaps[rtb[:-1]] = pos[rtb[:-1]]
+        pos_buf, pos_lens = varint_encode_with_lengths(pgaps.astype(np.uint64))
+        pos_off = np.concatenate(([0], np.cumsum(pos_lens)))
+        mv_pos = memoryview(pos_buf)
 
     # block starts: every BLOCK values within each term run (vectorized)
     run_lens = term_ends - term_starts
@@ -209,11 +238,17 @@ def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     out_docs, out_tfs, out_dls = [], [], []
     out_bmax, out_bmin, out_blast = [], [], []
     out_sky_tf, out_sky_dl, out_sky_off = [], [], []
+    out_pos = [] if positions is not None else None
     for t in range(len(term_starts)):
         b0, b1 = int(first_block[t]), int(first_block[t] + nblocks_per_term[t])
         out_docs.append([bytes(mv_doc[doc_off[bs[j]]: doc_off[be[j]]]) for j in range(b0, b1)])
         out_tfs.append([bytes(mv_tf[tf_off[bs[j]]: tf_off[be[j]]]) for j in range(b0, b1)])
         out_dls.append([bytes(mv_dl[dl_off[bs[j]]: dl_off[be[j]]]) for j in range(b0, b1)])
+        if out_pos is not None:
+            # block j holds postings [bs[j], be[j]) → token bytes
+            # [pos_off[rtb[bs[j]]], pos_off[rtb[be[j]]])
+            out_pos.append([bytes(mv_pos[pos_off[rtb[bs[j]]]: pos_off[rtb[be[j]]]])
+                            for j in range(b0, b1)])
         out_bmax.append(bmax_tf[b0:b1].tolist())
         out_bmin.append(bmin_dl[b0:b1].tolist())
         out_blast.append(blast[b0:b1].tolist())
@@ -228,7 +263,24 @@ def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         out_sky_dl.append(flat_dl)
         out_sky_off.append(offs)
     return (out_docs, out_tfs, out_dls, out_bmax, out_bmin, out_blast,
-            out_sky_tf, out_sky_dl, out_sky_off)
+            out_sky_tf, out_sky_dl, out_sky_off, out_pos)
+
+
+def decode_positions_stream(pos_bytes: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Concatenated position blocks → flat absolute positions, aligned
+    token-for-token with the posting stream whose per-posting tfs are
+    given (tfs must cover exactly the decoded blocks' postings).
+    Positions are delta-gapped per (term, doc) run with the first value
+    of each run absolute, so a contiguous run of blocks decodes
+    independently of its predecessors."""
+    gaps = varint_decode(pos_bytes).astype(np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    if len(gaps) == 0:
+        return gaps
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    cs = np.cumsum(gaps)
+    seg_off = cs[starts] - gaps[starts]
+    return cs - np.repeat(seg_off, tfs)
 
 
 def _block_skyline(btf: np.ndarray, bdl: np.ndarray):

@@ -54,6 +54,41 @@ LIMIT {k}
 """.strip()
 
 
+def bm25_phrase_sql(phrase: str, k: int = 10, table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Exact-phrase top-k: docs whose KEPT token stream contains the
+    phrase's tokens consecutively, scored as the sum of the phrase's
+    distinct terms' BM25 contributions (phrase-as-filter,
+    terms-as-scorer — the engine contract in operators/phrase.py).
+    Adjacency is checked on the space-joined token string with space
+    sentinels on both ends: tokens are [a-z0-9]+ runs, so the join
+    separator can never occur inside a token."""
+    slots = tokenize_py(phrase)
+    if not slots:
+        return f"SELECT NULL::BIGINT AS doc_id, NULL::DOUBLE AS score WHERE 1=0"
+    needle = " " + " ".join(slots) + " "
+    per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "dft.df", "s.n")
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+phrase_docs AS (
+  SELECT doc_id FROM docs
+  WHERE position('{needle}' IN ' ' || array_to_string(toks, ' ') || ' ') > 0
+),
+qt AS ({_qterms_values(phrase)}),
+dft AS (SELECT term, count(*)::INT AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, SUM({per_term}) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.doc_id IN (SELECT doc_id FROM phrase_docs)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, {ROUND_DP}) AS score
+FROM scored
+ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def term_buckets_sql(limit: int = 50, table: str = "documents",
                      id_col: str = "doc_id", text_col: str = "text") -> str:
     """Bucket agg analogue of geohex_grid: term → df, top-N by df."""

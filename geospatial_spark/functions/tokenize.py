@@ -80,7 +80,10 @@ def tokenize_encoded(texts: pd.Series, normalization: dict[str, str] | None = No
     (tiny) vocabulary is ever sorted or normalized.
 
     Returns (codes: int64 per kept token, vocab: np.ndarray[U] sorted
-    ascending, doc_idx: int64 per kept token, dl: int64 per doc) with
+    ascending, doc_idx: int64 per kept token, dl: int64 per doc,
+    pos: int64 per kept token — the token's 0-based position in its
+    document's KEPT token stream, the position contract shared with the
+    DuckDB oracle's filtered token list) with
     vocab[codes[i]] == the i-th token of tokenize_flat(texts) after
     normalization.
     """
@@ -101,8 +104,13 @@ def tokenize_encoded(texts: pd.Series, normalization: dict[str, str] | None = No
     doc_idx = doc_idx[keep]
     if len(doc_idx) == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype="U1"),
-                doc_idx, np.zeros(n, dtype=np.int64))
+                doc_idx, np.zeros(n, dtype=np.int64),
+                np.empty(0, dtype=np.int64))
     dl = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    # position within the kept stream: doc_idx is ascending (tokens are
+    # flattened doc by doc), so position = token index − doc's first
+    tok_starts = np.concatenate(([0], np.cumsum(dl)[:-1]))
+    pos = np.arange(len(doc_idx), dtype=np.int64) - tok_starts[doc_idx]
 
     enc = pc.dictionary_encode(flat)
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -116,7 +124,7 @@ def tokenize_encoded(texts: pd.Series, normalization: dict[str, str] | None = No
     uniq_vocab = np.unique(vocab)
     rank_of_old = np.searchsorted(uniq_vocab, vocab)
     codes = rank_of_old[codes]
-    return codes, uniq_vocab, doc_idx, dl
+    return codes, uniq_vocab, doc_idx, dl, pos
 
 
 def normalize_flat(flat, mapping: dict[str, str]):

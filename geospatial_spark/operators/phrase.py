@@ -1,0 +1,168 @@
+"""Positional phrase matching over the compressed index.
+
+The engine's phrase operator — the analogue of the reference's richer
+spatial query relations (INTERSECTS/DISJOINT/WITHIN,
+index/query/xyshape/XYShapeQueryBuilder.java:62-71): where the
+reference refines a bbox candidate set with exact geometry, a phrase
+query refines the term-AND candidate set with exact position
+adjacency from the segments' position stream (pos_blocks — the Lucene
+.pos-file analogue, same varint/delta machinery as the doc stream).
+
+Semantics (shared with the DuckDB oracle):
+  * a document matches iff the phrase's tokens appear consecutively in
+    the KEPT token stream (post tokenize+normalize);
+  * matched docs score as the sum of the phrase's DISTINCT terms'
+    BM25 contributions (phrase-as-filter, terms-as-scorer);
+  * phrase_tf (number of phrase occurrences) is also returned for
+    callers that want occurrence counts.
+
+Scale shape: per shard, only the phrase terms' postings decode, and
+only blocks that can hold docs surviving the running intersection —
+the doc-id intersection runs FIRST on the (cheap) doc streams in
+rarest-term order, and positions decode only for the ~|intersection|
+touched blocks of each term. All set operations are sorted-array
+numpy (searchsorted / intersect1d); no per-doc Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geospatial_spark.functions.bm25 import B, K1, idf
+from geospatial_spark.functions.codec import (
+    decode_positions_stream,
+    varint_decode,
+)
+
+# positions are packed as (local_doc << POS_SHIFT) | position when
+# intersecting phrase slots; documents longer than 2^POS_SHIFT tokens
+# are rejected at encode time by MAX_TOKEN-sane inputs (a 4M-token doc
+# is beyond any transcript turn; guarded with an explicit check below)
+POS_SHIFT = 22
+
+
+def _as_bytes(x) -> bytes:
+    return x.as_py() if hasattr(x, "as_py") else bytes(x)
+
+
+def _decode_full_posting(r: dict, base_ord: int):
+    """One segment row → (local_docs asc, tfs, dls, flat positions).
+
+    Doc-ordered blocks only (phrase never touches impact copies). The
+    leading gap of every block is made absolute from block_last_doc
+    metadata, so this is one bulk varint pass per stream.
+    """
+    db, tb, lb = r["doc_blocks"], r["tf_blocks"], r["dl_blocks"]
+    pb = r.get("pos_blocks")
+    if pb is None:
+        raise ValueError(
+            f"segment row for term {r.get('term')!r} has no position "
+            "stream (pre-v2 generation) — rebuild to enable phrase queries")
+    nblocks = len(db)
+    blast = np.asarray(r["block_last_doc"], dtype=np.int64)
+    df_local = int(r["df"])
+    from geospatial_spark.functions.codec import BLOCK
+
+    lens = np.full(nblocks, BLOCK, dtype=np.int64)
+    lens[-1] = df_local - BLOCK * (nblocks - 1)
+
+    gaps = varint_decode(b"".join(_as_bytes(x) for x in db)).astype(np.int64)
+    tfs = varint_decode(b"".join(_as_bytes(x) for x in tb)).astype(np.int64)
+    dls = varint_decode(b"".join(_as_bytes(x) for x in lb)).astype(np.int64)
+    starts_flat = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    prev_last = np.concatenate(([0], blast[:-1]))
+    gaps[starts_flat] += prev_last
+    cs = np.cumsum(gaps)
+    # cancel the running cumsum at each block boundary: the first gap of
+    # every block is already absolute (prev_last added above)
+    seg_off = cs[starts_flat] - gaps[starts_flat]
+    docs = cs - np.repeat(seg_off, lens) - base_ord
+
+    poss = decode_positions_stream(b"".join(_as_bytes(x) for x in pb), tfs)
+    return docs, tfs, dls, poss
+
+
+def phrase_match_shard(
+    slots: list[str],
+    rows_by_term: dict[str, dict],
+    base_ord: int,
+    df_global: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+):
+    """Score one shard for an ordered phrase.
+
+    slots: the phrase's terms in order (duplicates allowed).
+    rows_by_term: this shard's segment row per DISTINCT phrase term; a
+    missing term ⇒ no document in this shard can match.
+
+    Returns (local_docs, scores, phrase_tfs) of the shard's top-k
+    matching docs (score desc, doc asc), scores exact.
+    """
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
+             np.empty(0, dtype=np.int64))
+    distinct = list(dict.fromkeys(slots))
+    if any(t not in rows_by_term for t in distinct):
+        return empty
+
+    # decode each distinct term once; intersect doc sets rarest-first
+    decoded: dict[str, tuple] = {}
+    for t in sorted(distinct, key=lambda t: int(rows_by_term[t]["df"])):
+        docs, tfs, dls, poss = _decode_full_posting(rows_by_term[t], base_ord)
+        decoded[t] = (docs, tfs, dls, poss)
+        cand = docs if len(decoded) == 1 else np.intersect1d(
+            cand, docs, assume_unique=True)
+        if len(cand) == 0:
+            return empty
+
+    # position adjacency: token at phrase slot j must sit at p + j.
+    # Pack (doc, pos − j) into one int64 key; a phrase start survives
+    # iff its key appears in every slot's key set.
+    match_keys = None
+    for j, t in enumerate(slots):
+        docs, tfs, dls, poss = decoded[t]
+        # postings of the running candidate docs only
+        sel = np.searchsorted(docs, cand)
+        tok_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        reps = tfs[sel]
+        flat_docs = np.repeat(cand, reps)
+        idx = np.repeat(tok_starts[sel], reps) + (
+            np.arange(int(reps.sum())) -
+            np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])), reps))
+        p = poss[idx]
+        if p.max(initial=0) >= (1 << POS_SHIFT):
+            raise ValueError("document exceeds 2^22 tokens — phrase "
+                             "position packing would overflow")
+        adj = p - j
+        ok = adj >= 0
+        keys = (flat_docs[ok] << POS_SHIFT) | adj[ok]
+        if match_keys is None:
+            match_keys = keys  # slot 0: already sorted (docs asc, pos asc)
+        else:
+            match_keys = np.intersect1d(match_keys, keys, assume_unique=True)
+        if len(match_keys) == 0:
+            return empty
+
+    start_docs = (match_keys >> POS_SHIFT).astype(np.int64)
+    matched = np.unique(start_docs)
+    phrase_tf = np.searchsorted(start_docs, matched, side="right") - \
+        np.searchsorted(start_docs, matched, side="left")
+
+    # score = Σ over distinct terms of exact BM25 at the matched docs
+    scores = np.zeros(len(matched), dtype=np.float64)
+    for t in distinct:
+        docs, tfs, dls, _ = decoded[t]
+        sel = np.searchsorted(docs, matched)
+        tff = tfs[sel].astype(np.float64)
+        dlf = dls[sel].astype(np.float64)
+        idf_t = idf(int(df_global[t]), n_docs)
+        scores += idf_t * (tff / (tff + K1 * (1.0 - B + B * (dlf / avgdl))))
+
+    if len(matched) > k:
+        kth = np.partition(scores, -k)[-k]
+        keep = scores >= kth
+        matched, scores, phrase_tf = matched[keep], scores[keep], phrase_tf[keep]
+    order = np.lexsort((matched, -scores))
+    top = order[:k]
+    return matched[top], scores[top], phrase_tf[top]

@@ -107,7 +107,11 @@ def _config_digest(normalization: dict[str, str] | None,
     # must invalidate checkpoints (old segments would lack/mis-size the
     # impact streams)
     h.update(f"hot={int(hot_df_copy)}".encode())
-    return h.hexdigest() if (normalization or hot_df_copy) else ""
+    # segment format version: v2 added the positions stream — a resumed
+    # v1 checkpoint would silently skip shards whose files lack
+    # pos_blocks, so the version rides in the fingerprint
+    h.update(b"fmt=2")
+    return h.hexdigest()
 
 
 # per-shard df at/above which a term ALSO gets an impact-ordered posting
@@ -134,7 +138,7 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
     n = len(doc_ids)
     # Arrow-native tokenize + dictionary encode: terms become int codes,
     # only the vocab is sorted/normalized (functions/tokenize.tokenize_encoded)
-    codes, uniq_terms, flat_doc_idx, dl = tokenize_encoded(texts, normalization)
+    codes, uniq_terms, flat_doc_idx, dl, flat_pos = tokenize_encoded(texts, normalization)
     doc_ords = (np.int64(shard) << ORD_SHARD_SHIFT) | np.arange(n, dtype=np.int64)
     flat_docs = doc_ords[flat_doc_idx] if len(flat_doc_idx) else np.empty(0, dtype=np.int64)
     flat_dls = dl[flat_doc_idx] if len(flat_doc_idx) else np.empty(0, dtype=np.int64)
@@ -149,6 +153,9 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
         tc = codes[order]
         dc = flat_docs[order]
         lc_ = flat_dls[order]
+        # lexsort is stable → within a (term, doc) run, token order (and
+        # therefore position order) is preserved ascending
+        pc_ = flat_pos[order]
         # run boundaries of identical (term, doc) → tf = run length
         change = np.flatnonzero((tc[1:] != tc[:-1]) | (dc[1:] != dc[:-1])) + 1
         run_starts = np.concatenate(([0], change))
@@ -163,9 +170,11 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
         ends = np.concatenate((tchange, [len(term_codes)])).astype(np.int64)
         terms_sorted = uniq_terms[term_codes[starts]]
         # bulk block encode: one varint pass over the whole shard stream
+        run_tok_bounds = np.concatenate((run_starts, [len(tc)])).astype(np.int64)
         (db_l, tb_l, lb_l, bmax_l, bmin_l, blast_l,
-         sky_tf_l, sky_dl_l, sky_off_l) = encode_shard_postings(
-            docs_arr, tfs_arr, dls_arr.astype(np.uint64), starts, ends
+         sky_tf_l, sky_dl_l, sky_off_l, pos_l) = encode_shard_postings(
+            docs_arr, tfs_arr, dls_arr.astype(np.uint64), starts, ends,
+            positions=pc_, run_tok_bounds=run_tok_bounds,
         )
         n_postings = int(len(term_codes))
         from geospatial_spark.functions.codec import encode_impact_posting
@@ -174,7 +183,9 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
         local_idx_all = (dc[run_starts] & ((np.int64(1) << ORD_SHARD_SHIFT) - 1)).astype(np.int64)
         for ti, (s, e) in enumerate(zip(starts, ends)):
             db, tb, lb = db_l[ti], tb_l[ti], lb_l[ti]
-            nb = sum(len(x) for x in db) + sum(len(x) for x in tb) + sum(len(x) for x in lb)
+            pb = pos_l[ti]
+            nb = (sum(len(x) for x in db) + sum(len(x) for x in tb)
+                  + sum(len(x) for x in lb) + sum(len(x) for x in pb))
             n_bytes += nb
             row = {
                 "shard": shard,
@@ -185,6 +196,7 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
                 "doc_blocks": db,
                 "tf_blocks": tb,
                 "dl_blocks": lb,
+                "pos_blocks": pb,
                 "block_max_tf": bmax_l[ti],
                 "block_min_dl": bmin_l[ti],
                 "block_last_doc": blast_l[ti],
@@ -227,7 +239,8 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
     segments = pd.DataFrame(
         seg_rows,
         columns=["shard", "term", "df", "max_tf", "min_dl", "doc_blocks",
-                 "tf_blocks", "dl_blocks", "block_max_tf", "block_min_dl",
+                 "tf_blocks", "dl_blocks", "pos_blocks",
+                 "block_max_tf", "block_min_dl",
                  "block_last_doc", "sky_tf", "sky_dl", "sky_off",
                  "imp_head_doc_blocks", "imp_head_tf_blocks",
                  "imp_head_dl_blocks", "imp_tail_doc_blocks",
@@ -269,6 +282,7 @@ def _atomic_parquet(df: pd.DataFrame, path: Path) -> None:
                 ("doc_blocks", pa.list_(pa.binary())),
                 ("tf_blocks", pa.list_(pa.binary())),
                 ("dl_blocks", pa.list_(pa.binary())),
+                ("pos_blocks", pa.list_(pa.binary())),
                 ("block_max_tf", pa.list_(pa.int32())),
                 ("block_min_dl", pa.list_(pa.int32())),
                 ("block_last_doc", pa.list_(pa.int64())),

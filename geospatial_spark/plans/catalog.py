@@ -134,6 +134,34 @@ def _bm25_wand(query: str, k: int = 10):
     return run
 
 
+def _bm25_phrase(phrase: str, k: int = 10):
+    """Exact-phrase top-k through the positions stream of the REAL
+    compressed index (operators/phrase.py), re-keyed and rounded under
+    the same contract as the other wand entries."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        probe = s.search_phrase_df(phrase, 1)
+        if probe is None or not probe.take(1):
+            return (_docs(spark, sf_dir)
+                    .select("doc_id", F.lit(0.0).alias("score")).limit(0))
+        df = _adaptive_overfetch(
+            spark, lambda m: s.search_phrase_df(phrase, m), k, s.n_docs)
+        return (
+            df.select(
+                F.substring_index("doc_id", ":", 1).cast("long").alias("doc_id"),
+                F.col("score").alias("raw"))
+            .orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("doc_id"))
+            .select("doc_id", F.round("raw", ROUND_DP).alias("score"))
+            .limit(k)
+        )
+
+    return run
+
+
 def _term_buckets(limit: int = 50):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         post, *_ = _doc_index(spark, sf_dir)
@@ -189,6 +217,8 @@ def _union_of(terms: list[str]):
     return run
 
 
+PHRASE_Q = "table scan"
+PHRASE_Q_RARE = "fast table scan"
 BM25_Q_MULTI = "spark merge table scan"
 BM25_Q_SINGLE = "spark"
 BM25_Q_MISSING = "qqqqzzz"
@@ -540,6 +570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_multi": _bm25_wand(BM25_Q_MULTI, 10),
         "bm25_wand_single": _bm25_wand(BM25_Q_SINGLE, 10),
         "bm25_wand_hot": _bm25_wand("the table", 10),
+        # exact-phrase via the positions stream (Lucene .pos analogue)
+        "bm25_phrase": _bm25_phrase(PHRASE_Q, 10),
+        "bm25_phrase_rare": _bm25_phrase(PHRASE_Q_RARE, 10),
         # BM25 relational scorer (always-correct second path)
         "bm25_topk_multi": _bm25(BM25_Q_MULTI, 10),
         "bm25_topk_single": _bm25(BM25_Q_SINGLE, 10),
@@ -594,6 +627,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand_multi": osql.bm25_topk_sql(BM25_Q_MULTI, 10),
         "bm25_wand_single": osql.bm25_topk_sql(BM25_Q_SINGLE, 10),
         "bm25_wand_hot": osql.bm25_topk_sql("the table", 10),
+        "bm25_phrase": osql.bm25_phrase_sql(PHRASE_Q, 10),
+        "bm25_phrase_rare": osql.bm25_phrase_sql(PHRASE_Q_RARE, 10),
         "bm25_topk_multi": osql.bm25_topk_sql(BM25_Q_MULTI, 10),
         "bm25_topk_single": osql.bm25_topk_sql(BM25_Q_SINGLE, 10),
         "bm25_topk_missing": osql.bm25_topk_sql(BM25_Q_MISSING, 10),

@@ -149,7 +149,8 @@ class IndexSearcher:
         if not df_global:
             return None
 
-        matched = self._segments().where(F.col("term").isin(list(df_global)))
+        matched = (self._segments().where(F.col("term").isin(list(df_global)))
+                   .drop("pos_blocks"))  # plain search never reads positions
         n_docs, avgdl = self.n_docs, self.avgdl
         shard_docs, gdirs = self.shard_docs, self.gdirs
         kk = int(k)
@@ -188,6 +189,63 @@ class IndexSearcher:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
 
+    def search_phrase_df(self, phrase: str, k: int = 10) -> DataFrame | None:
+        """Exact-phrase top-k as a DataFrame (doc_id, score, phrase_tf).
+
+        A doc matches iff the phrase's tokens appear consecutively in
+        the kept token stream; matched docs score as the sum of the
+        phrase's distinct terms' BM25 contributions (operators/phrase).
+        Requires a v2 (positions) index. None = no possible match.
+        """
+        norm = self.manifest.get("normalization") or {}
+        slots = [norm.get(t, t) for t in tokenize_py(phrase)]
+        if not slots or self.n_docs == 0:
+            return None
+        distinct = sorted(set(slots))
+        df_global = self._df_for(distinct)
+        if len(df_global) < len(distinct):
+            return None  # a phrase term absent from the corpus ⇒ no doc matches
+
+        matched = self._segments().where(F.col("term").isin(distinct))
+        n_docs, avgdl = self.n_docs, self.avgdl
+        shard_docs, gdirs = self.shard_docs, self.gdirs
+        kk = int(k)
+
+        def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from pathlib import Path as _P
+
+            import pyarrow.parquet as pq
+
+            from geospatial_spark.operators.phrase import phrase_match_shard
+            from geospatial_spark.plans import lifecycle as lc_w
+
+            gen, shard = str(key[0]), int(key[1])
+            base = shard << ORD_SHARD_SHIFT
+            rows_by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
+            local, scores, ptf = phrase_match_shard(
+                slots, rows_by_term, base, df_global, n_docs, avgdl, kk)
+            if len(local) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                                     "score": pd.Series([], dtype="float64"),
+                                     "phrase_tf": pd.Series([], dtype="int64")})
+            ids = pq.read_table(
+                lc_w.docmap_path(_P(gdirs[gen]), shard), columns=["doc_id"]
+            ).column("doc_id").take(local.tolist()).to_pylist()
+            return pd.DataFrame({"doc_id": ids,
+                                 "score": scores.astype(np.float64),
+                                 "phrase_tf": ptf.astype(np.int64)})
+
+        per_shard = matched.groupBy("gen", "shard").applyInPandas(
+            run_shard, schema="doc_id string, score double, phrase_tf long"
+        )
+        return per_shard.orderBy(F.desc("score"), *merge_tie_break()).limit(kk)
+
+    def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[str, float]]:
+        df = self.search_phrase_df(phrase, k)
+        if df is None:
+            return []
+        return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
     def search_many(self, queries: dict[str, str], k: int = 10
                     ) -> dict[str, list[tuple[str, float]]]:
         """Batched top-k: ALL queries in one Spark job. The segment scan
@@ -211,7 +269,8 @@ class IndexSearcher:
         if not df_global:
             return out
 
-        matched = self._segments().where(F.col("term").isin(list(df_global)))
+        matched = (self._segments().where(F.col("term").isin(list(df_global)))
+                   .drop("pos_blocks"))
         n_docs, avgdl = self.n_docs, self.avgdl
         shard_docs, gdirs = self.shard_docs, self.gdirs
         kk = int(k)

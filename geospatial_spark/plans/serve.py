@@ -139,7 +139,7 @@ class LocalSearcher:
     # them get ONE batched second read; dominated hot terms usually need
     # NONE (discovery lives in imp_head) and fall back to a targeted
     # per-file fetch only when discovery overruns the head
-    HEAVY_COLS = ("doc_blocks", "tf_blocks", "dl_blocks",
+    HEAVY_COLS = ("doc_blocks", "tf_blocks", "dl_blocks", "pos_blocks",
                   "imp_tail_doc_blocks", "imp_tail_tf_blocks",
                   "imp_tail_dl_blocks")
 
@@ -174,14 +174,18 @@ class LocalSearcher:
                 cold_cols = [c for c in names
                              if c not in ("imp_tail_doc_blocks",
                                           "imp_tail_tf_blocks",
-                                          "imp_tail_dl_blocks")]
+                                          "imp_tail_dl_blocks",
+                                          "pos_blocks")]
                 rows.extend(reader.read_terms(cold_q, cold_cols))
             if hot_q:
                 light = [c for c in names if c not in self.HEAVY_COLS]
                 rows.extend(reader.read_terms(hot_q, light))
             if not rows:
                 continue
-            heavy_all = [c for c in names if c in self.HEAVY_COLS]
+            # targeted completion fetch: byte streams only — positions
+            # are never needed by plain search
+            heavy_all = [c for c in names
+                         if c in self.HEAVY_COLS and c != "pos_blocks"]
             for r in rows:
                 if r.get("doc_blocks") is None:
                     r["_fetch_heavy"] = reader.make_fetch(

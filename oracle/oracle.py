@@ -48,6 +48,33 @@ class OracleIndex:
         conv, _, turn = doc_id.rpartition(":")
         return (conv, int(turn))
 
+    def search_phrase(self, rows: list[tuple[str, int, str]], phrase: str,
+                      k: int = 10) -> list[tuple[str, float, int]]:
+        """Exact-phrase reference: (doc_id, score, phrase_tf) for docs
+        whose kept token stream contains the phrase's tokens
+        consecutively; score = sum of the phrase's DISTINCT terms' BM25
+        contributions (the engine contract, operators/phrase.py).
+        rows must be the same rows the index was built from."""
+        slots = tokenize_py(phrase)
+        if not slots:
+            return []
+        hits = []
+        for conv_id, turn_idx, text in rows:
+            toks = tokenize_py(text)
+            m = sum(1 for s in range(len(toks) - len(slots) + 1)
+                    if toks[s: s + len(slots)] == slots)
+            if not m:
+                continue
+            doc_id = f"{conv_id}:{turn_idx}"
+            score = 0.0
+            for t in sorted(set(slots)):
+                plist = self.postings.get(t, {})
+                score += term_score(plist.get(doc_id, 0), self.doclens[doc_id],
+                                    self.avgdl, len(plist), self.n_docs)
+            hits.append((doc_id, score, m))
+        hits.sort(key=lambda h: (-h[1], self.doc_sort_key(h[0])))
+        return hits[:k]
+
     def search(self, query: str, k: int = 10) -> list[tuple[str, float]]:
         """Exact BM25 top-k; unique query terms (no idf double-count);
         per-doc score = sum over terms in canonical sorted term order

@@ -92,7 +92,8 @@ def test_bulk_encoder_byte_identical(term_docsets):
     out = encode_shard_postings(docs, tfs, dls,
                                 np.array(starts, dtype=np.int64),
                                 np.array(ends, dtype=np.int64))
-    db_l, tb_l, lb_l, bmax_l, bmin_l, blast_l, sky_tf_l, sky_dl_l, sky_off_l = out
+    (db_l, tb_l, lb_l, bmax_l, bmin_l, blast_l, sky_tf_l, sky_dl_l,
+     sky_off_l, pos_l) = out
     for i, (d, t, l) in enumerate(zip(docs_l, tfs_l, dls_l)):
         rdb, rtb, rbmax, rblast = encode_posting(d, t)
         assert db_l[i] == rdb

@@ -1,0 +1,115 @@
+"""Phrase-query gate: positions stream + exact-phrase matching.
+
+Engine (IndexSearcher.search_phrase over pos_blocks) must agree with
+the pure-Python oracle (OracleIndex.search_phrase) on matched docs,
+exact scores, and phrase occurrence counts — including repeated-term
+phrases, hot (impact-copied) terms inside a phrase, and phrases
+spanning delta generations.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from geospatial_spark.functions.tokenize import tokenize_py
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, small_transcripts, tmp_path_factory):
+    from geospatial_spark.plans.build import build_index
+
+    root = str(tmp_path_factory.mktemp("phraseidx") / "idx")
+    # low hot_df_copy so phrases containing an impact-copied (hot) term
+    # exercise the doc-ordered fallback the phrase path relies on
+    build_index(spark, small_transcripts, root, n_shards=8, hot_df_copy=32)
+    return root
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, built_index):
+    from geospatial_spark.plans.query import IndexSearcher
+
+    return IndexSearcher(spark, built_index)
+
+
+@pytest.fixture(scope="module")
+def rows(small_transcripts_pd):
+    return list(zip(small_transcripts_pd["conv_id"],
+                    small_transcripts_pd["turn_idx"],
+                    small_transcripts_pd["text"]))
+
+
+def _data_phrases(rows, n=6):
+    """Bigrams/trigrams lifted from real documents — guaranteed hits."""
+    out = []
+    for _, _, text in rows[:50]:
+        toks = tokenize_py(text)
+        if len(toks) >= 4:
+            out.append(" ".join(toks[1:3]))
+            out.append(" ".join(toks[0:3]))
+        if len(out) >= n:
+            break
+    return out
+
+
+def _check(searcher, oracle, rows, phrase, k=10):
+    got = searcher.search_phrase(phrase, k)
+    want = [(d, s) for d, s, _ in oracle.search_phrase(rows, phrase, k)]
+    assert [d for d, _ in got] == [d for d, _ in want], phrase
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), (phrase, gd)
+
+
+def test_phrases_from_data(searcher, small_oracle, rows):
+    phrases = _data_phrases(rows)
+    assert phrases
+    hit_any = False
+    for p in phrases:
+        _check(searcher, small_oracle, rows, p)
+        hit_any = hit_any or bool(searcher.search_phrase(p, 5))
+    assert hit_any  # at least one lifted phrase must actually match
+
+
+def test_phrase_fixed_cases(searcher, small_oracle, rows):
+    for p in ["the", "the the", "deploy the", "the spark",
+              "spark the spark", "zzz missing phrase", "the zzzz"]:
+        _check(searcher, small_oracle, rows, p)
+
+
+def test_phrase_tf_counts(searcher, small_oracle, rows):
+    """phrase_tf column == oracle occurrence count (overlap-counting)."""
+    phrases = _data_phrases(rows, n=3) + ["the"]
+    for p in phrases:
+        df = searcher.search_phrase_df(p, 10)
+        if df is None:
+            continue
+        got = {r["doc_id"]: r["phrase_tf"] for r in df.collect()}
+        want = {d: m for d, _, m in small_oracle.search_phrase(rows, p, 10)}
+        assert got == want, p
+
+
+def test_phrase_missing_term_short_circuits(searcher):
+    assert searcher.search_phrase("qqqqzzz never seen", 10) == []
+    assert searcher.search_phrase("", 10) == []
+
+
+def test_phrase_across_generations(spark, small_transcripts,
+                                   small_oracle, rows, tmp_path_factory):
+    """Split the corpus into a base build + an append delta: phrase
+    results over the two-generation index must equal the single-build
+    answer (scores use summed cross-generation stats)."""
+    from pyspark.sql import functions as F
+
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.query import IndexSearcher
+
+    root = str(tmp_path_factory.mktemp("phrasegen") / "idx")
+    part1 = small_transcripts.where(F.crc32(F.col("conv_id")) % 2 == 0)
+    part2 = small_transcripts.where(F.crc32(F.col("conv_id")) % 2 == 1)
+    build_index(spark, part1, root, n_shards=4, generation="g0001")
+    build_index(spark, part2, root, n_shards=4, generation="g0002", append=True)
+    s = IndexSearcher(spark, root)
+    for p in _data_phrases(rows, n=3) + ["the the"]:
+        _check(s, small_oracle, rows, p)

@@ -65,15 +65,17 @@ def test_encoded_matches_py():
 
     texts = pd.Series(["Deploy the SPARK job!", "", None, "?!...", "a1-b2",
                        "x" * 65, "one two one", "PySpark and pyspark"])
-    codes, vocab, doc_idx, dl = tokenize_encoded(texts)
+    codes, vocab, doc_idx, dl, pos = tokenize_encoded(texts)
     assert list(vocab) == sorted(set(vocab))
     for i, raw in enumerate(texts):
         expect = tokenize_py(raw)
         got = list(vocab[codes[doc_idx == i]])
         assert got == expect, raw
         assert dl[i] == len(expect)
+        # position contract: 0-based index in the KEPT token stream
+        assert list(pos[doc_idx == i]) == list(range(len(expect)))
     # with normalization: vocab-level mapping
-    codes, vocab, doc_idx, dl = tokenize_encoded(texts, {"pyspark": "spark"})
+    codes, vocab, doc_idx, dl, pos = tokenize_encoded(texts, {"pyspark": "spark"})
     got = list(vocab[codes[doc_idx == 7]])
     assert got == ["spark", "and", "spark"]
 
@@ -83,7 +85,7 @@ def test_encoded_matches_py():
 def test_encoded_matches_py_property(texts):
     from geospatial_spark.functions.tokenize import tokenize_encoded
 
-    codes, vocab, doc_idx, dl = tokenize_encoded(pd.Series(texts, dtype=object))
+    codes, vocab, doc_idx, dl, pos = tokenize_encoded(pd.Series(texts, dtype=object))
     for i, raw in enumerate(texts):
         assert list(vocab[codes[doc_idx == i]]) == tokenize_py(raw)
 
