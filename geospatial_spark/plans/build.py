@@ -2,9 +2,10 @@
 
 Pipeline (SURVEY.md §3.1 lifecycle equivalent):
 
-  read transcripts → validate → range-partition docs into shards by
-  (conv_id, turn_idx) → per-shard kernel (mapInPandas, Arrow batches):
-  fingerprint → [skip if checkpointed] → vectorized tokenize →
+  read transcripts → validate → deterministic hash-bucket docs into
+  shards (xxhash64 mod n_shards) → per-shard kernel (applyInPandas,
+  Arrow batches): sort → fingerprint → [skip if checkpointed] →
+  vectorized tokenize →
   tf via pandas groupby → delta-gap + varint FOR-block encode with
   block-max metadata → atomic parquet write + checkpoint JSON →
   metrics row → driver aggregates stats → publish manifest LAST.
@@ -16,9 +17,12 @@ Scale design (10^12 turns / 100 TB):
     skew is eliminated structurally (the north rule's salted-key
     handling; an explicit salted agg utility also exists in
     operators/grid.py for term-keyed shuffles like the dictionary).
-  * One wide shuffle total (the range repartition); tokenize/tf/encode
-    are shard-local. Shard count is the operator's memory knob: size so
-    a shard's text fits a worker (~docs_per_shard × avg_text).
+  * One wide shuffle total (the hash bucketing — no sampling pass, no
+    second input scan); tokenize/tf/encode are shard-local. Shard count
+    is the operator's memory knob: size so a shard's text fits a worker
+    (~docs_per_shard × avg_text). Hash assignment is a pure row
+    function: re-runs land byte-identical shards (resume-stable) and
+    hot conversations spread uniformly (no range-boundary skew).
   * Checkpoint fingerprint = hash of shard content in stable order;
     re-run after a kill skips finished shards
     (DatasourceUpdateService.shouldUpdate sha256 analogue, :282-292).
@@ -30,7 +34,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-from collections.abc import Iterator
 from pathlib import Path
 
 import numpy as np
@@ -50,7 +53,8 @@ ORD_SHARD_SHIFT = 40  # doc_ord = (shard << 40) | local_idx
 DICT_SALTS = 16  # salt fan-out for the term-keyed dictionary aggregation
 
 
-def _build_dictionary(spark: SparkSession, gdir: Path, n_shards: int) -> int:
+def _build_dictionary(spark: SparkSession, gdir: Path, n_shards: int,
+                      seg_files: list[str] | None = None) -> int:
     """Global term dictionary: term → df (sum of shard-local dfs).
 
     The one term-KEYED shuffle in the engine, so it gets explicit
@@ -61,7 +65,11 @@ def _build_dictionary(spark: SparkSession, gdir: Path, n_shards: int) -> int:
     structurally.) Input is already pre-aggregated to ≤ n_shards rows
     per term, so this is metadata-sized at any corpus scale.
     """
-    seg = spark.read.parquet(str(gdir / "segments-*.parquet"))
+    if seg_files:
+        # manifest-recorded names (the put-mode contract: never list)
+        seg = spark.read.parquet(*[str(gdir / f) for f in seg_files])
+    else:
+        seg = spark.read.parquet(str(gdir / "segments-*.parquet"))
     partial = (
         seg.withColumn("salt", F.pmod(F.col("shard"), F.lit(DICT_SALTS)))
         .groupBy("term", "salt")
@@ -264,12 +272,18 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
     return segments, docmap, stats
 
 
-def _atomic_parquet(df: pd.DataFrame, path: Path) -> None:
+def _write_parquet(df: pd.DataFrame, path: Path,
+                   mode: str = lc.STORAGE_POSIX) -> None:
+    """Land one immutable parquet artifact through the storage adapter:
+    posix → temp + os.replace (partial writes invisible); put → direct
+    single-shot write to a unique content-tokenized name (the
+    object-store protocol — no rename exists there; the checkpoint that
+    records the name is the commit point)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_suffix(".tmp")
+    tmp = path if mode == lc.STORAGE_PUT else path.with_suffix(".tmp")
     schema = None
     if "doc_blocks" in df.columns:
         schema = pa.schema(
@@ -305,48 +319,62 @@ def _atomic_parquet(df: pd.DataFrame, path: Path) -> None:
     # min/max stats let a query's term filter prune to the few row
     # groups that contain its terms (I/O ∝ matched postings)
     pq.write_table(table, tmp, row_group_size=256)
-    os.replace(tmp, path)
+    if tmp is not path:
+        os.replace(tmp, path)
 
 
 def _make_shard_builder(gdir_str: str, normalization: dict[str, str] | None = None,
-                        hot_df_copy: int = HOT_DF_COPY):
+                        hot_df_copy: int = HOT_DF_COPY,
+                        storage: str = lc.STORAGE_POSIX):
     """Returns the mapInPandas kernel. gdir + dictionary passed by value
     (no driver globals captured by reference)."""
 
     cfg_digest = _config_digest(normalization, hot_df_copy)
 
-    def build_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        shard = TaskContext.get().partitionId()
+    def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
         gdir = Path(gdir_str)
 
-        parts = [b[["doc_id", "text"]] for b in batches]
-        if parts:
-            data = pd.concat(parts, ignore_index=True)
-        else:
-            data = pd.DataFrame({"doc_id": pd.Series([], dtype=object),
-                                 "text": pd.Series([], dtype=object)})
+        # deterministic shard-local order (the fingerprint and the
+        # in-shard doc_ord tie-break both depend on it); rows arrive in
+        # arbitrary post-shuffle order
+        data = (pdf[["conv_id", "turn_idx", "doc_id", "text"]]
+                .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+                .reset_index(drop=True))
 
         fp = _fingerprint(data["doc_id"], data["text"], cfg_digest)
         cp_path = lc.checkpoint_path(gdir, shard)
-        seg_path = lc.segment_path(gdir, shard)
-        dm_path = lc.docmap_path(gdir, shard)
+        # put mode: unique content-derived name — deterministic (same
+        # content re-PUTs the same object idempotently), never renamed
+        token = fp[:10] if storage == lc.STORAGE_PUT else None
+        seg_name = lc.segment_file(shard, token)
+        dm_name = lc.docmap_file(shard, token)
 
         cp = lc.read_json(cp_path)
-        if cp and cp.get("fingerprint") == fp and seg_path.exists() and dm_path.exists():
-            # resume fast path: fingerprint-matched shard, skip rebuild
-            yield pd.DataFrame([{**cp["stats"], "shard": shard,
-                                 "fingerprint": fp, "skipped": 1}])
-            return
+        if cp and cp.get("fingerprint") == fp:
+            files = cp.get("files") or {}
+            sp = gdir / files.get("segments", lc.segment_file(shard))
+            dp = gdir / files.get("docmap", lc.docmap_file(shard))
+            if sp.exists() and dp.exists():
+                # resume fast path: fingerprint-matched shard, skip rebuild
+                return pd.DataFrame([{**cp["stats"], "shard": shard,
+                                      "fingerprint": fp, "skipped": 1,
+                                      "segment_file": sp.name,
+                                      "docmap_file": dp.name}])
 
         segments, docmap, stats = _encode_shard(shard, data["doc_id"], data["text"],
                                                 normalization, hot_df_copy)
-        _atomic_parquet(segments, seg_path)
-        _atomic_parquet(docmap, dm_path)
-        # checkpoint written LAST: its presence implies complete files
-        lc.atomic_write_json(cp_path, {"fingerprint": fp, "stats": stats})
-        yield pd.DataFrame([{**stats, "shard": shard, "fingerprint": fp, "skipped": 0}])
+        _write_parquet(segments, gdir / seg_name, storage)
+        _write_parquet(docmap, gdir / dm_name, storage)
+        # checkpoint written LAST: it NAMES the landed files (the commit
+        # record — readers and resume resolve names from it, never from
+        # directory listings)
+        lc.put_json(cp_path, {"fingerprint": fp, "stats": stats,
+                              "files": {"segments": seg_name,
+                                        "docmap": dm_name}}, storage)
+        return pd.DataFrame([{**stats, "shard": shard, "fingerprint": fp,
+                              "skipped": 0, "segment_file": seg_name,
+                              "docmap_file": dm_name}])
 
     return build_shard
 
@@ -360,6 +388,7 @@ def build_index(
     append: bool = False,
     normalization: dict[str, str] | None = None,
     hot_df_copy: int = HOT_DF_COPY,
+    storage: str | None = None,
 ) -> dict:
     """Build (or resume) the index; returns the published manifest.
 
@@ -378,7 +407,7 @@ def build_index(
     with lc.BuildLock(index_root, owner=f"build:{generation}"):
         return _build_index_locked(spark, transcripts, index_root, n_shards,
                                    generation, append, normalization,
-                                   hot_df_copy)
+                                   hot_df_copy, lc.storage_mode(storage))
 
 
 def _build_index_locked(
@@ -390,6 +419,7 @@ def _build_index_locked(
     append: bool,
     normalization: dict[str, str] | None,
     hot_df_copy: int,
+    storage: str,
 ) -> dict:
     import time as _time
 
@@ -414,28 +444,44 @@ def _build_index_locked(
     try:
         gdir.mkdir(parents=True, exist_ok=True)
         docs = with_doc_id(transcripts).select("conv_id", "turn_idx", "doc_id", "text")
-        parts = docs.repartitionByRange(n_shards, "conv_id", "turn_idx") \
-                    .sortWithinPartitions("conv_id", "turn_idx")
-        metrics_df = parts.mapInPandas(
-            _make_shard_builder(str(gdir), normalization, hot_df_copy),
+        # deterministic hash-bucket sharding: shard = xxhash64(doc key)
+        # mod n_shards. Two properties repartitionByRange lacks, both
+        # load-bearing at scale: (a) NO sampling pass — range
+        # partitioning runs an extra job over the whole input to sample
+        # boundaries, a full second scan at 100 TB, and its sampled
+        # boundaries are nondeterministic run-to-run, which silently
+        # defeats fingerprint-based resume; (b) assignment is a pure
+        # row function, so a killed build re-runs into byte-identical
+        # shards and skips every finished one.
+        keyed = docs.withColumn(
+            "shard_key",
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_shards)).cast("int"))
+        metrics_df = keyed.groupBy("shard_key").applyInPandas(
+            _make_shard_builder(str(gdir), normalization, hot_df_copy, storage),
             schema=BUILD_METRIC_SCHEMA)
         metrics = [r.asDict() for r in metrics_df.collect()]
 
         # purge stale shard files from a previous build of this
-        # generation with a different shard count (they would otherwise
-        # be globbed into queries and inflate df / corrupt idf)
-        live = {m["shard"] for m in metrics}
-        for f in sorted(gdir.glob("segments-*.parquet")):
-            sid = int(f.stem.split("-")[1])
-            if sid not in live:
+        # generation (different shard count, or different content token
+        # in put mode) — they would otherwise linger and, for legacy
+        # glob readers, inflate df / corrupt idf
+        live_files = ({m["segment_file"] for m in metrics}
+                      | {m["docmap_file"] for m in metrics})
+        live_shards = {m["shard"] for m in metrics}
+        for f in sorted(gdir.glob("segments-*.parquet")) + \
+                sorted(gdir.glob("docmap-*.parquet")):
+            if f.name not in live_files:
                 f.unlink()
-                lc.docmap_path(gdir, sid).unlink(missing_ok=True)
-                lc.checkpoint_path(gdir, sid).unlink(missing_ok=True)
+        for f in sorted((gdir / "_checkpoints").glob("part-*.json")):
+            if int(f.stem.split("-")[1]) not in live_shards:
+                f.unlink()
 
         n_docs_g = sum(m["docs_tokenized"] for m in metrics)
         total_tokens_g = sum(m["total_tokens"] for m in metrics)
         # zero-row input → zero partitions → no segment files to read
-        n_terms = _build_dictionary(spark, gdir, n_shards) if metrics else 0
+        n_terms = (_build_dictionary(spark, gdir, n_shards,
+                                     [m["segment_file"] for m in metrics])
+                   if metrics else 0)
         gen_entry = {
             "id": generation,
             "n_shards": n_shards,
@@ -491,12 +537,13 @@ def _build_index_locked(
             "bm25": {"k1": 1.2, "b": 0.75},
             # queries must normalize through the same dictionary
             "normalization": normalization or {},
+            "storage": storage,
             # single-generation compatibility block (tests, tooling)
             "n_shards": n_shards,
             "n_terms": n_terms,
             "shards": gen_entry["shards"],
         }
-        lc.publish_manifest(index_root, manifest)
+        lc.publish_manifest(index_root, manifest, storage)
         return manifest
     except Exception as exc:  # mark CREATE_FAILED, keep prior manifest serving
         lc.mark_create_failed(index_root, generation, repr(exc), build_record={

@@ -126,6 +126,49 @@ class BuildLock:
         lock_path(self.root).unlink(missing_ok=True)
 
 
+# -- storage adapter ----------------------------------------------------
+#
+# Two landing protocols for immutable artifacts:
+#   * "posix"  — write temp file + os.replace: partial writes are
+#     invisible on POSIX filesystems where in-place writes ARE visible.
+#   * "put"    — single-shot write to a UNIQUE content-tokenized name,
+#     no rename anywhere: the object-store protocol (S3/GCS PUT is
+#     all-or-nothing; rename does not exist). The shard checkpoint and
+#     the manifest record the actual file names, and readers resolve
+#     names from the manifest — never from directory listings.
+# Commit point in both modes = the checkpoint/manifest JSON naming the
+# files, written after the data lands.
+
+STORAGE_POSIX = "posix"
+STORAGE_PUT = "put"
+
+
+def storage_mode(override: str | None = None) -> str:
+    if override:
+        return override
+    return os.environ.get("SPARK_GRAFT_STORAGE", STORAGE_POSIX)
+
+
+def segment_file(shard: int, token: str | None = None) -> str:
+    return (f"segments-{shard:05d}-{token}.parquet" if token
+            else f"segments-{shard:05d}.parquet")
+
+
+def docmap_file(shard: int, token: str | None = None) -> str:
+    return (f"docmap-{shard:05d}-{token}.parquet" if token
+            else f"docmap-{shard:05d}.parquet")
+
+
+def put_json(path: Path, obj: dict, mode: str = STORAGE_POSIX) -> None:
+    """JSON landing through the storage adapter: posix → temp+rename;
+    put → direct single-shot write (the atomic-PUT analogue)."""
+    if mode == STORAGE_PUT:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(obj, indent=1, sort_keys=True))
+    else:
+        atomic_write_json(path, obj)
+
+
 def gen_dir(root: str | Path, generation: str) -> Path:
     return Path(root) / f"{GEN_PREFIX}{generation}"
 
@@ -165,9 +208,10 @@ def read_manifest(root: str | Path) -> dict | None:
     return read_json(manifest_path(root))
 
 
-def publish_manifest(root: str | Path, manifest: dict) -> None:
+def publish_manifest(root: str | Path, manifest: dict,
+                     mode: str = STORAGE_POSIX) -> None:
     """The atomic 'flip currentIndex + state' step — done LAST."""
-    atomic_write_json(manifest_path(root), manifest)
+    put_json(manifest_path(root), manifest, mode)
 
 
 def mark_create_failed(root: str | Path, generation: str, error: str,
@@ -183,6 +227,20 @@ def mark_create_failed(root: str | Path, generation: str, error: str,
         "previous": prior if prior and prior.get("state") == STATE_AVAILABLE else None,
     }
     atomic_write_json(Path(root) / f"manifest.FAILED-{generation}.json", failed)
+
+
+def gen_shard_files(g: dict) -> tuple[list[str], dict[int, str]]:
+    """(segment file names, shard → docmap file name) for one manifest
+    generation entry. Names come from the manifest (the put-mode
+    contract: readers never list directories), falling back to the
+    legacy deterministic names for pre-adapter manifests."""
+    segs: list[str] = []
+    dms: dict[int, str] = {}
+    for s in g["shards"]:
+        sh = int(s["shard"])
+        segs.append(s.get("segment_file") or segment_file(sh))
+        dms[sh] = s.get("docmap_file") or docmap_file(sh)
+    return segs, dms
 
 
 def list_generations(root: str | Path) -> list[str]:

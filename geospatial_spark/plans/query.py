@@ -90,6 +90,15 @@ class IndexSearcher:
             (g["id"], int(s["shard"])): int(s["docs_tokenized"])
             for g in self.gens for s in g["shards"]
         }
+        # manifest-recorded artifact names (storage adapter: put-mode
+        # names are unique/tokenized — readers never list directories)
+        self.seg_files: dict[str, list[str]] = {}
+        self.docmap_files: dict[tuple[str, int], str] = {}
+        for g in self.gens:
+            segs, dms = lc.gen_shard_files(g)
+            self.seg_files[g["id"]] = segs
+            for sh, name in dms.items():
+                self.docmap_files[(g["id"], sh)] = name
         total_terms = sum(int(g.get("n_terms", 0)) for g in self.gens)
         self._dict_small = total_terms <= self.DICT_CACHE_MAX
         self._dict: dict[str, int] | None = None
@@ -126,7 +135,8 @@ class IndexSearcher:
     def _segments(self) -> DataFrame:
         parts = []
         for g in self.gens:
-            df = self.spark.read.parquet(f"{self.gdirs[g['id']]}/segments-*.parquet")
+            paths = [f"{self.gdirs[g['id']]}/{n}" for n in self.seg_files[g["id"]]]
+            df = self.spark.read.parquet(*paths)
             parts.append(df.withColumn("gen", F.lit(g["id"])))
         out = parts[0]
         for p in parts[1:]:
@@ -153,6 +163,7 @@ class IndexSearcher:
                    .drop("pos_blocks"))  # plain search never reads positions
         n_docs, avgdl = self.n_docs, self.avgdl
         shard_docs, gdirs = self.shard_docs, self.gdirs
+        dm_files = self.docmap_files
         kk = int(k)
 
         def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -172,7 +183,7 @@ class IndexSearcher:
                 return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
                                      "score": pd.Series([], dtype="float64")})
             ids = pq.read_table(
-                lc_w.docmap_path(_P(gdirs[gen]), shard), columns=["doc_id"]
+                _P(gdirs[gen]) / dm_files[(gen, shard)], columns=["doc_id"]
             ).column("doc_id").take(local.tolist()).to_pylist()
             return pd.DataFrame({"doc_id": ids, "score": scores.astype(np.float64)})
 
@@ -209,6 +220,7 @@ class IndexSearcher:
         matched = self._segments().where(F.col("term").isin(distinct))
         n_docs, avgdl = self.n_docs, self.avgdl
         shard_docs, gdirs = self.shard_docs, self.gdirs
+        dm_files = self.docmap_files
         kk = int(k)
 
         def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -229,7 +241,7 @@ class IndexSearcher:
                                      "score": pd.Series([], dtype="float64"),
                                      "phrase_tf": pd.Series([], dtype="int64")})
             ids = pq.read_table(
-                lc_w.docmap_path(_P(gdirs[gen]), shard), columns=["doc_id"]
+                _P(gdirs[gen]) / dm_files[(gen, shard)], columns=["doc_id"]
             ).column("doc_id").take(local.tolist()).to_pylist()
             return pd.DataFrame({"doc_id": ids,
                                  "score": scores.astype(np.float64),
@@ -273,6 +285,7 @@ class IndexSearcher:
                    .drop("pos_blocks"))
         n_docs, avgdl = self.n_docs, self.avgdl
         shard_docs, gdirs = self.shard_docs, self.gdirs
+        dm_files = self.docmap_files
         kk = int(k)
         q_spec = {qid: [t for t in ts if t in df_global]
                   for qid, ts in qterms.items()}
@@ -302,7 +315,7 @@ class IndexSearcher:
                     continue
                 if docmap_col is None:
                     docmap_col = pq.read_table(
-                        lc_w.docmap_path(_P(gdirs[gen]), shard),
+                        _P(gdirs[gen]) / dm_files[(gen, shard)],
                         columns=["doc_id"]).column("doc_id")
                 ids = docmap_col.take(local.tolist()).to_pylist()
                 outs.append(pd.DataFrame({

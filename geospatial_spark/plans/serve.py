@@ -63,6 +63,19 @@ class LocalSearcher:
             (g["id"], int(s["shard"])): int(s["docs_tokenized"])
             for g in self.gens for s in g["shards"]
         }
+        # manifest-recorded artifact names (storage adapter: put-mode
+        # names are unique/tokenized — the serving reader never lists)
+        self.docmap_files: dict[tuple[str, int], str] = {}
+        self._shard_file_maps: dict[str, dict[int, Path]] = {}
+        for g in self.gens:
+            _, dms = lc.gen_shard_files(g)
+            gdir = self.gdirs[g["id"]]
+            self._shard_file_maps[g["id"]] = {}
+            for s in g["shards"]:
+                sh = int(s["shard"])
+                self.docmap_files[(g["id"], sh)] = dms[sh]
+                self._shard_file_maps[g["id"]][sh] = gdir / (
+                    s.get("segment_file") or lc.segment_file(sh))
         self._dict: dict[str, int] | None = None
         self._imp_terms: dict[str, set] = {}  # gen -> terms with impact copies
         self._seg_ds = None  # lazy pyarrow dataset over all generations
@@ -75,7 +88,7 @@ class LocalSearcher:
                 for s in g["shards"]:
                     shard = int(s["shard"])
                     self._docmap_cache[(g["id"], shard)] = pq.read_table(
-                        lc.docmap_path(self.gdirs[g["id"]], shard),
+                        self.gdirs[g["id"]] / self.docmap_files[(g["id"], shard)],
                         columns=["doc_id"]).column("doc_id")
 
     # -- dictionary (loaded once; the frozen index makes this sound) ---
@@ -121,8 +134,8 @@ class LocalSearcher:
         if self._seg_ds is None:
             parts = []
             for g in self.gens:
-                gdir = self.gdirs[g["id"]]
-                files = sorted(str(p) for p in gdir.glob("segments-*.parquet"))
+                files = sorted(str(p) for p in
+                               self._shard_file_maps[g["id"]].values())
                 if files:
                     parts.append((g["id"], ds.dataset(files, format="parquet")))
             self._seg_ds = parts
@@ -131,7 +144,8 @@ class LocalSearcher:
     def _reader(self, gen_id: str) -> "_SegmentReader":
         r = self._readers.get(gen_id)
         if r is None:
-            r = _SegmentReader(self.gdirs[gen_id])
+            r = _SegmentReader(self.gdirs[gen_id],
+                               shard_files=self._shard_file_maps[gen_id])
             self._readers[gen_id] = r
         return r
 
@@ -207,8 +221,9 @@ class LocalSearcher:
                 key = (gen_id, shard)
                 col = self._docmap_cache.get(key)
                 if col is None:
-                    col = pq.read_table(lc.docmap_path(gdir, shard),
-                                        columns=["doc_id"]).column("doc_id")
+                    col = pq.read_table(
+                        gdir / self.docmap_files[(gen_id, shard)],
+                        columns=["doc_id"]).column("doc_id")
                     self._docmap_cache[key] = col
                 ids = col.take(local.tolist()).to_pylist()
                 return list(zip(ids, scores))
@@ -234,13 +249,18 @@ class _SegmentReader:
     a query term: I/O ∝ matched postings, with none of the generic
     dataset-scan overhead (~3 ms/file of fragment/stat evaluation)."""
 
-    def __init__(self, gdir):
+    def __init__(self, gdir, shard_files: dict[int, "Path"] | None = None):
         from pathlib import Path as _P
 
         self.gdir = _P(gdir)
-        self.files = sorted(self.gdir.glob("segments-*.parquet"))
+        if shard_files is not None:
+            # manifest-recorded names (storage adapter contract)
+            self._shard_file = dict(shard_files)
+            self.files = sorted(self._shard_file.values())
+        else:
+            self.files = sorted(self.gdir.glob("segments-*.parquet"))
+            self._shard_file = {int(p.stem.split("-")[1]): p for p in self.files}
         self._pf: dict = {}
-        self._shard_file = {int(p.stem.split("-")[1]): p for p in self.files}
         self.schema_names: list[str] = []
         self._pool = None  # persistent: pool spin-up costs ~180 ms/query
         if self.files:

@@ -110,6 +110,10 @@ BUILD_METRIC_SCHEMA = StructType(
         StructField("total_tokens", LongType(), False),
         StructField("fingerprint", StringType(), False),
         StructField("skipped", IntegerType(), False),
+        # actual landed file names (storage adapter: put-mode names are
+        # content-tokenized; readers resolve from the manifest)
+        StructField("segment_file", StringType(), False),
+        StructField("docmap_file", StringType(), False),
     ]
 )
 
