@@ -228,19 +228,43 @@ def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id",
 
 
 def ivf_topk(df: DataFrame, query_ids: list[int], k: int = 10,
-             n_clusters: int = 16, nprobe: int = 4, seed: int = 42,
+             n_clusters: int | None = None, nprobe: int | None = None,
+             seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 64) -> DataFrame:
+             dim: int = 64, n_corpus: int | None = None,
+             stats: dict | None = None) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into n_clusters inverted
     lists; each query probes its nprobe nearest centroids and scores
     exactly within them. Cost ∝ nprobe/n_clusters of the corpus per
     query; the corpus shuffles once on cluster id. Approximate by
-    construction (recall tunable via nprobe)."""
+    construction (recall tunable via nprobe).
+
+    Scale rule (defaults): n_clusters ≈ √N (the standard IVF sizing —
+    probe work and list length balance), nprobe = n_clusters/8 clamped
+    to ≥4 — so the probed fraction shrinks as 1/√N: 500 vectors → 22
+    lists/4 probes (18%); 50k → 223/27 (12%); 1B → 31623/3952 (0.04%
+    of the corpus per query). stats (optional dict) receives
+    {n_clusters, nprobe, probe_fraction}."""
+    import math
+
     import numpy as np
 
     from pyspark.sql.window import Window
 
+    if n_clusters is None or nprobe is None:
+        if n_corpus is None:
+            n_corpus = df.count()
+        if n_clusters is None:
+            n_clusters = max(16, int(math.isqrt(max(n_corpus, 1))))
+        if nprobe is None:
+            nprobe = max(4, n_clusters // 8)
+    nprobe = min(nprobe, n_clusters)
+    if stats is not None:
+        stats.update(n_clusters=n_clusters, nprobe=nprobe,
+                     probe_fraction=nprobe / float(n_clusters))
+
     C = spherical_kmeans_centroids(df, n_clusters, dim, seed,
+                                   sample=max(4096, 32 * n_clusters),
                                    id_col=id_col, vec_col=vec_col)
     assign = ivf_assign(df, C, id_col, vec_col)
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
@@ -274,6 +298,54 @@ def ivf_topk(df: DataFrame, query_ids: list[int], k: int = 10,
     )
 
 
+TARGET_BUCKET = 64  # desired mean vectors per LSH bucket at any corpus size
+MAX_PLANES = 24
+
+
+def adaptive_n_planes(n_corpus: int) -> int:
+    """Scale rule for sign-LSH bucket granularity: enough planes that a
+    bucket holds ~TARGET_BUCKET vectors (n / 2^planes ≈ TARGET_BUCKET),
+    clamped to [4, MAX_PLANES]. 500 vectors → 4 planes (the sandbox
+    gate); 50k → 10; 4M → 16; 1B → 24 — the 16–24-plane regime a
+    100 TB corpus needs falls out of the same rule that the small
+    fixtures pass through."""
+    import math
+
+    if n_corpus <= 1:
+        return 4
+    return max(4, min(MAX_PLANES, math.ceil(math.log2(n_corpus / TARGET_BUCKET))))
+
+
+def lsh_buckets_kernel(df: DataFrame, n_planes: int, seed: int = 42,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int = 64) -> DataFrame:
+    """Integer sign-LSH buckets via one numpy GEMM per Arrow batch —
+    the scale-path bucket assigner (the expression form in
+    hyperplane_lsh_buckets evaluates n_planes × dim interpreted lambda
+    steps per row; the kernel is one (batch × dim) @ (dim × planes)
+    multiply). bucket = Σ_i (sign(<v, h_i>) ≥ 0) << i, same planes and
+    sign convention as the expression form (parity asserted in tests).
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = lsh_planes(n_planes, seed, dim).T.tolist()  # dim × planes
+
+    def kernel(batches):
+        Pm = np.array(P, dtype=np.float64)
+        w = (np.int64(1) << np.arange(Pm.shape[1], dtype=np.int64))
+        for b in batches:
+            X = np.array(list(b[vec_col]), dtype=np.float64)
+            bits = (X @ Pm) >= 0.0
+            yield pd.DataFrame({
+                "vec_id": b[id_col].to_numpy(),
+                "bucket": bits.astype(np.int64) @ w,
+            })
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel, schema="vec_id long, bucket long")
+
+
 def hyperplane_lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            dim: int = 64) -> DataFrame:
@@ -290,40 +362,49 @@ def hyperplane_lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,
 
 
 def lsh_topk(df: DataFrame, query_ids: list[int], k: int = 10,
-             n_planes: int = 4, seed: int = 42, n_tables: int = 4,
+             n_planes: int | None = None, seed: int = 42, n_tables: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 64) -> DataFrame:
+             dim: int = 64, n_corpus: int | None = None,
+             stats: dict | None = None) -> DataFrame:
     """Bucketed ANN with multi-probe: exact cosine within the query's
     LSH bucket plus every bucket at Hamming distance 1 (flip one plane
     sign) — the standard recall repair for sign-LSH. Approximate by
-    construction; the brute-force op is the small-scale oracle. At
-    scale: corpus side shuffles once on bucket; the probe set per query
-    is n_planes+1 buckets, i.e. cost ∝ (n_planes+1)/2^n_planes of the
-    corpus."""
+    construction; the brute-force op is the small-scale oracle.
+
+    Scale shape: buckets are INTEGER keys from one numpy GEMM per Arrow
+    batch (lsh_buckets_kernel — the expression form costs n_planes × dim
+    interpreted lambda steps per row); the corpus side shuffles once per
+    table on bucket; the probe set per query is n_planes+1 buckets, so
+    cost ∝ n_tables·(n_planes+1)/2^n_planes of the corpus. n_planes
+    defaults to the adaptive rule (bucket ≈ TARGET_BUCKET vectors at any
+    corpus size — adaptive_n_planes), so the probed FRACTION falls as
+    the corpus grows. stats (optional dict) receives
+    {n_planes, probe_fraction_bound} for recall gates."""
     from pyspark.sql.window import Window
+
+    if n_planes is None:
+        if n_corpus is None:
+            n_corpus = df.count()
+        n_planes = adaptive_n_planes(n_corpus)
+    if stats is not None:
+        stats["n_planes"] = n_planes
+        stats["probe_fraction_bound"] = min(
+            1.0, n_tables * (n_planes + 1) / float(2 ** n_planes))
 
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     cands = None
     for t in range(n_tables):
-        bk = hyperplane_lsh_buckets(df, n_planes, seed + 1000 * t, id_col, vec_col, dim)
-        vecs = base.join(bk, "vec_id")
-        q0 = vecs.where(F.col("vec_id").isin(query_ids)) \
-                 .select(F.col("vec_id").alias("q"), F.col("bucket").alias("qb"))
-        # multi-probe: the bucket itself + each one-bit flip
-        probes = F.array(
-            F.col("qb"),
-            *[
-                F.concat(
-                    F.substring("qb", 1, i),
-                    F.when(F.substring("qb", i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
-                    F.substring("qb", i + 2, n_planes - i - 1),
-                )
-                for i in range(n_planes)
-            ],
-        )
+        bk = lsh_buckets_kernel(df, n_planes, seed + 1000 * t,
+                                id_col, vec_col, dim)
+        q0 = bk.where(F.col("vec_id").isin(query_ids)) \
+               .select(F.col("vec_id").alias("q"), F.col("bucket").alias("qb"))
+        # multi-probe: the bucket itself + each one-bit flip (XOR)
+        probes = F.array(F.col("qb"),
+                         *[F.col("qb").bitwiseXOR(F.lit(1 << i))
+                           for i in range(n_planes)])
         q = q0.select("q", F.explode(probes).alias("qb"))
-        hit = vecs.join(F.broadcast(q), vecs["bucket"] == q["qb"]) \
-                  .select("q", "vec_id")
+        hit = bk.join(F.broadcast(q), bk["bucket"] == q["qb"]) \
+                .select("q", "vec_id")
         cands = hit if cands is None else cands.unionByName(hit)
     cand = (
         cands.distinct()

@@ -339,19 +339,23 @@ def _embed_lsh_verified(spark, sf_dir):
 
 
 def _ann_lsh(spark, sf_dir):
-    """Rows-only check (approximate by construction — no SQL oracle)."""
+    """Rows-only check (approximate by construction — no SQL oracle).
+    Adaptive defaults: the SAME sizing rule that yields 16+ planes on a
+    100 TB corpus resolves to 4 planes here (tests/test_ann_scale.py
+    pins recall ≥0.9 under the rule at 50k vectors)."""
     from geospatial_spark.operators.similarity import lsh_topk
 
     return lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
 
 
 def _ann_ivf(spark, sf_dir):
-    """Rows-only check (approximate by construction — no SQL oracle)."""
+    """Rows-only check (approximate by construction — no SQL oracle).
+    nprobe raised above the adaptive default for THIS fixture only: the
+    synthetic embeddings are near-isotropic (max pairwise cosine ≈ 0.5)
+    so neighbor lists aren't cluster-concentrated; the adaptive √N rule
+    is recall-gated on clustered data in tests/test_ann_scale.py."""
     from geospatial_spark.operators.similarity import ivf_topk
 
-    # nprobe half the clusters: this synthetic data is near-isotropic
-    # (max pairwise cosine ≈ 0.5), so neighbor lists aren't cluster-
-    # concentrated; real embedding corpora probe far smaller fractions
     return ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10,
                     n_clusters=16, nprobe=8)
 
