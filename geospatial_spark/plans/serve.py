@@ -241,6 +241,57 @@ class LocalSearcher:
         return [(d, -neg) for neg, _, _, d in candidates[:k]]
 
 
+    def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[str, float]]:
+        """Exact-phrase top-k without a Spark job — same contract as
+        IndexSearcher.search_phrase (operators/phrase.py): phrase terms'
+        rows (including pos_blocks) read row-group-pruned per shard,
+        position intersection + distinct-term BM25 scoring local."""
+        import pyarrow.parquet as pq
+
+        from geospatial_spark.operators.phrase import phrase_match_shard
+
+        norm = self.manifest.get("normalization") or {}
+        slots = [norm.get(t, t) for t in tokenize_py(phrase)]
+        if not slots or self.n_docs == 0:
+            return []
+        distinct = sorted(set(slots))
+        df_global = self._df_for(distinct)
+        if len(df_global) < len(distinct):
+            return []  # a phrase term absent from the corpus ⇒ no match
+
+        candidates: list[tuple[float, str, int, str]] = []
+        for g in self.gens:
+            gen_id = g["id"]
+            gdir = self.gdirs[gen_id]
+            reader = self._reader(gen_id)
+            cols = [c for c in reader.schema_names
+                    if not c.startswith("imp_")]  # phrase never uses impact copies
+            rows = reader.read_terms(distinct, cols)
+            by_shard: dict[int, dict[str, dict]] = {}
+            for r in rows:
+                by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
+            for shard, rows_by_term in by_shard.items():
+                base = shard << ORD_SHARD_SHIFT
+                local, scores, _ = phrase_match_shard(
+                    slots, rows_by_term, base, df_global,
+                    self.n_docs, self.avgdl, k)
+                if len(local) == 0:
+                    continue
+                key = (gen_id, shard)
+                col = self._docmap_cache.get(key)
+                if col is None:
+                    col = pq.read_table(
+                        gdir / self.docmap_files[key],
+                        columns=["doc_id"]).column("doc_id")
+                    self._docmap_cache[key] = col
+                for doc_id, sc in zip(col.take(local.tolist()).to_pylist(),
+                                      scores):
+                    conv, _, turn = doc_id.rpartition(":")
+                    candidates.append((-float(sc), conv, int(turn), doc_id))
+        candidates.sort()
+        return [(d, -neg) for neg, _, _, d in candidates[:k]]
+
+
 class _SegmentReader:
     """Row-group-pruned threaded reader over one generation's segment
     files — the serving-grade I/O path. We own the format (term-sorted

@@ -90,6 +90,19 @@ def test_phrase_tf_counts(searcher, small_oracle, rows):
         assert got == want, p
 
 
+def test_phrase_serving_path_parity(built_index, small_oracle, rows):
+    """LocalSearcher (no-Spark serving) phrase results == oracle."""
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    ls = LocalSearcher(built_index)
+    for p in _data_phrases(rows, n=4) + ["the the", "zzz missing phrase"]:
+        got = ls.search_phrase(p, 10)
+        want = [(d, s) for d, s, _ in small_oracle.search_phrase(rows, p, 10)]
+        assert [d for d, _ in got] == [d for d, _ in want], p
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), (p, gd)
+
+
 def test_phrase_missing_term_short_circuits(searcher):
     assert searcher.search_phrase("qqqqzzz never seen", 10) == []
     assert searcher.search_phrase("", 10) == []
