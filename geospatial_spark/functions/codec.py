@@ -128,30 +128,38 @@ def encode_posting(doc_ords: np.ndarray, tfs: np.ndarray):
     return doc_blocks, tf_blocks, bmax_tf, blast
 
 
-def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                          term_starts: np.ndarray, term_ends: np.ndarray,
-                          positions: np.ndarray | None = None,
-                          run_tok_bounds: np.ndarray | None = None):
-    """Bulk encoder: one varint pass over a whole shard's posting stream
-    (runs sorted by (term, doc)), then zero-copy block slicing — ~5×
-    faster than per-term encode_posting, byte-identical output format.
+def encode_shard_streams(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                         term_starts: np.ndarray, term_ends: np.ndarray,
+                         positions: np.ndarray | None = None,
+                         run_tok_bounds: np.ndarray | None = None):
+    """Bulk encoder, flat-buffer form: ONE varint pass per stream over
+    the whole shard's posting stream (runs sorted by (term, doc)), with
+    block/term structure expressed as OFFSET ARRAYS into the shared
+    buffers — the zero-copy contract build-side Arrow assembly needs
+    (no per-term python lists, no per-block byte slicing).
 
-    Returns, per term i (aligned with term_starts):
-      doc_blocks[i], tf_blocks[i], dl_blocks[i]  — lists of bytes
-      block_max_tf[i], block_min_dl[i], block_last_doc[i] — lists of int
-      sky_tf[i], sky_dl[i] — flattened skyline (tf, dl) pairs per block
-      sky_off[i] — offsets into the flattened skyline, len nblocks+1
-      pos_blocks[i] — lists of bytes (or None when positions is None)
+    Returns a dict:
+      n_terms, total_blocks
+      first_block   int64[n_terms+1]   — term t owns blocks
+                                          [first_block[t], first_block[t+1])
+      doc_buf/tf_buf/dl_buf  bytes     — whole-shard varint streams
+      doc_bo/tf_bo/dl_bo  int64[total_blocks+1] — BYTE offset of each
+                                          block boundary into the buffer
+      pos_buf/pos_bo                   — same for positions (None when
+                                          positions is None)
+      bmax_tf/bmin_dl/blast  int64[total_blocks] — per-block metadata
+      sky_tf/sky_dl  int64[total_sky]  — flattened per-block skylines
+      sky_bo  int64[total_blocks+1]    — global skyline offsets per block
 
     positions (optional): per-TOKEN in-document positions, one value per
     occurrence, grouped by (term, doc) run — run i covers token indices
     [run_tok_bounds[i], run_tok_bounds[i+1]) and its positions are
     strictly ascending. Encoded as delta-gaps (first value of each run
-    absolute) in one varint pass, sliced on the SAME doc-block
-    boundaries as the doc stream, so a phrase query decodes positions
-    only for the blocks it touches (the Lucene .pos-file analogue —
-    reference's richer query relations, XYShapeQueryBuilder.java:62-71,
-    map to phrase/proximity here).
+    absolute), sliced on the SAME doc-block boundaries as the doc
+    stream, so a phrase query decodes positions only for the blocks it
+    touches (the Lucene .pos-file analogue — the reference's richer
+    query relations, XYShapeQueryBuilder.java:62-71, map to
+    phrase/proximity here).
 
     The skyline of a block is the set of (tf, dl) pairs not dominated by
     another pair (tf' ≥ tf and dl' ≤ dl): BM25 is monotone ↑tf ↓dl for
@@ -161,7 +169,16 @@ def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     """
     n = len(docs)
     if n == 0:
-        return [], [], [], [], [], [], [], [], [], ([] if positions is not None else None)
+        empty = np.zeros(1, dtype=np.int64)
+        return {
+            "n_terms": 0, "total_blocks": 0, "first_block": empty,
+            "doc_buf": b"", "tf_buf": b"", "dl_buf": b"",
+            "doc_bo": empty, "tf_bo": empty, "dl_bo": empty,
+            "pos_buf": b"" if positions is not None else None,
+            "pos_bo": empty if positions is not None else None,
+            "bmax_tf": empty[:0], "bmin_dl": empty[:0], "blast": empty[:0],
+            "sky_tf": empty[:0], "sky_dl": empty[:0], "sky_bo": empty,
+        }
     docs = np.ascontiguousarray(docs, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
     dls = np.ascontiguousarray(dls, dtype=np.uint64)
@@ -214,56 +231,104 @@ def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     blast = docs[be - 1].astype(np.int64)
 
     # per-block (tf, dl) skyline: sort by (tf desc, dl asc), keep pairs
-    # whose dl strictly undercuts the running minimum — fully vectorized
-    # (running np.minimum.accumulate per block slice; no per-posting
-    # Python)
-    sky_tf_blocks: list[list[int]] = []
-    sky_dl_blocks: list[list[int]] = []
+    # whose dl strictly undercuts the running minimum. Fully vectorized
+    # across ALL blocks at once: scatter each block's postings into one
+    # row of a (total_blocks × BLOCK) composite-key matrix (key packs
+    # (tf desc, dl asc) into one int64; padding = int64.max sorts last
+    # and can never be kept), sort rows, run the running-min keep test
+    # as matrix ops. Replaces a per-block python loop that dominated
+    # shard encode time at ~16k blocks.
     tfs_i = tfs.astype(np.int64)
     dls_i = dls.astype(np.int64)
-    for j in range(total_blocks):
-        t_s, t_e = int(bs[j]), int(be[j])
-        btf = tfs_i[t_s:t_e]
-        bdl = dls_i[t_s:t_e]
-        order = np.lexsort((bdl, -btf))
-        sd = bdl[order]
-        rm = np.minimum.accumulate(sd)
-        keep = np.empty(len(sd), dtype=bool)
-        keep[0] = True
-        keep[1:] = sd[1:] < rm[:-1]
-        sky_tf_blocks.append(btf[order][keep].tolist())
-        sky_dl_blocks.append(sd[keep].tolist())
+    lens = be - bs
+    row_of = np.repeat(np.arange(total_blocks, dtype=np.int64), lens)
+    col_of = np.arange(n, dtype=np.int64) - np.repeat(bs, lens)
+    key = np.full((total_blocks, BLOCK), np.iinfo(np.int64).max, dtype=np.int64)
+    # tf, dl both < 2^31 (dl < 2^22 by the position-packing contract)
+    key[row_of, col_of] = ((np.int64(2**31 - 1) - tfs_i) << np.int64(32)) | dls_i
+    key.sort(axis=1)
+    sd = key & np.int64(0xFFFFFFFF)
+    rm = np.minimum.accumulate(sd, axis=1)
+    keep = np.empty_like(sd, dtype=bool)
+    keep[:, 0] = True
+    keep[:, 1:] = sd[:, 1:] < rm[:, :-1]
+    keep &= key != np.iinfo(np.int64).max  # never keep padding
+    flat_keep = keep.ravel()
+    sky_tf_flat = ((np.int64(2**31 - 1) - (key >> np.int64(32)))
+                   .ravel()[flat_keep])
+    sky_dl_flat = sd.ravel()[flat_keep]
+    sky_counts = keep.sum(axis=1).astype(np.int64)
 
-    mv_doc, mv_tf, mv_dl = memoryview(doc_buf), memoryview(tf_buf), memoryview(dl_buf)
-    out_docs, out_tfs, out_dls = [], [], []
-    out_bmax, out_bmin, out_blast = [], [], []
-    out_sky_tf, out_sky_dl, out_sky_off = [], [], []
-    out_pos = [] if positions is not None else None
-    for t in range(len(term_starts)):
-        b0, b1 = int(first_block[t]), int(first_block[t] + nblocks_per_term[t])
-        out_docs.append([bytes(mv_doc[doc_off[bs[j]]: doc_off[be[j]]]) for j in range(b0, b1)])
-        out_tfs.append([bytes(mv_tf[tf_off[bs[j]]: tf_off[be[j]]]) for j in range(b0, b1)])
-        out_dls.append([bytes(mv_dl[dl_off[bs[j]]: dl_off[be[j]]]) for j in range(b0, b1)])
-        if out_pos is not None:
-            # block j holds postings [bs[j], be[j]) → token bytes
-            # [pos_off[rtb[bs[j]]], pos_off[rtb[be[j]]])
-            out_pos.append([bytes(mv_pos[pos_off[rtb[bs[j]]]: pos_off[rtb[be[j]]]])
-                            for j in range(b0, b1)])
-        out_bmax.append(bmax_tf[b0:b1].tolist())
-        out_bmin.append(bmin_dl[b0:b1].tolist())
-        out_blast.append(blast[b0:b1].tolist())
-        flat_tf: list[int] = []
-        flat_dl: list[int] = []
-        offs = [0]
-        for j in range(b0, b1):
-            flat_tf.extend(sky_tf_blocks[j])
-            flat_dl.extend(sky_dl_blocks[j])
-            offs.append(len(flat_tf))
-        out_sky_tf.append(flat_tf)
-        out_sky_dl.append(flat_dl)
-        out_sky_off.append(offs)
-    return (out_docs, out_tfs, out_dls, out_bmax, out_bmin, out_blast,
-            out_sky_tf, out_sky_dl, out_sky_off, out_pos)
+    # blocks tile the posting stream contiguously (be[j] == bs[j+1]), so
+    # block byte boundaries are just the stream offsets sampled at block
+    # starts — no slicing, no copies
+    bs_ext = np.concatenate((bs, [n]))
+    return {
+        "n_terms": len(term_starts),
+        "total_blocks": total_blocks,
+        "first_block": np.concatenate((first_block,
+                                       [total_blocks])).astype(np.int64),
+        "doc_buf": doc_buf, "tf_buf": tf_buf, "dl_buf": dl_buf,
+        "doc_bo": doc_off[bs_ext], "tf_bo": tf_off[bs_ext],
+        "dl_bo": dl_off[bs_ext],
+        "pos_buf": pos_buf if positions is not None else None,
+        "pos_bo": pos_off[rtb[bs_ext]] if positions is not None else None,
+        "bmax_tf": bmax_tf, "bmin_dl": bmin_dl, "blast": blast,
+        "sky_tf": sky_tf_flat,
+        "sky_dl": sky_dl_flat,
+        "sky_bo": np.concatenate(([0], np.cumsum(sky_counts))),
+    }
+
+
+def encode_shard_postings(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                          term_starts: np.ndarray, term_ends: np.ndarray,
+                          positions: np.ndarray | None = None,
+                          run_tok_bounds: np.ndarray | None = None):
+    """Per-term list view over encode_shard_streams (kept for tests and
+    tooling — the build path consumes the flat-buffer form directly).
+    Byte-identical to the historical per-term encode_posting output.
+
+    Returns, per term i (aligned with term_starts):
+      doc_blocks[i], tf_blocks[i], dl_blocks[i]  — lists of bytes
+      block_max_tf[i], block_min_dl[i], block_last_doc[i] — lists of int
+      sky_tf[i], sky_dl[i] — flattened skyline (tf, dl) pairs per block
+      sky_off[i] — offsets into the flattened skyline, len nblocks+1
+      pos_blocks[i] — lists of bytes (or None when positions is None)
+    """
+    st = encode_shard_streams(docs, tfs, dls, term_starts, term_ends,
+                              positions, run_tok_bounds)
+    nt = st["n_terms"]
+    if nt == 0:
+        return [], [], [], [], [], [], [], [], [], ([] if positions is not None else None)
+    fb = st["first_block"]
+    mv = {k: memoryview(st[k]) for k in ("doc_buf", "tf_buf", "dl_buf")}
+    if st["pos_buf"] is not None:
+        mv["pos_buf"] = memoryview(st["pos_buf"])
+    out = {k: [] for k in ("doc", "tf", "dl", "pos", "bmax", "bmin",
+                           "blast", "sky_tf", "sky_dl", "sky_off")}
+    for t in range(nt):
+        b0, b1 = int(fb[t]), int(fb[t + 1])
+        for key, buf, bo in (("doc", "doc_buf", "doc_bo"),
+                             ("tf", "tf_buf", "tf_bo"),
+                             ("dl", "dl_buf", "dl_bo")):
+            off = st[bo]
+            out[key].append([bytes(mv[buf][off[j]: off[j + 1]])
+                             for j in range(b0, b1)])
+        if st["pos_buf"] is not None:
+            off = st["pos_bo"]
+            out["pos"].append([bytes(mv["pos_buf"][off[j]: off[j + 1]])
+                               for j in range(b0, b1)])
+        out["bmax"].append(st["bmax_tf"][b0:b1].tolist())
+        out["bmin"].append(st["bmin_dl"][b0:b1].tolist())
+        out["blast"].append(st["blast"][b0:b1].tolist())
+        sb = st["sky_bo"]
+        base = int(sb[b0])
+        out["sky_tf"].append(st["sky_tf"][base: int(sb[b1])].tolist())
+        out["sky_dl"].append(st["sky_dl"][base: int(sb[b1])].tolist())
+        out["sky_off"].append([int(sb[j]) - base for j in range(b0, b1 + 1)])
+    return (out["doc"], out["tf"], out["dl"], out["bmax"], out["bmin"],
+            out["blast"], out["sky_tf"], out["sky_dl"], out["sky_off"],
+            out["pos"] if st["pos_buf"] is not None else None)
 
 
 def decode_positions_stream(pos_bytes: bytes, tfs: np.ndarray) -> np.ndarray:
@@ -326,24 +391,38 @@ def encode_impact_posting(local_docs: np.ndarray, tfs: np.ndarray,
     order = np.lexsort((ld, -key))
     ld, tf, dl = ld[order], tf[order], dl[order]
 
+    # re-sort docs ascending WITHIN each impact block in one pass
+    # (block-major lexsort), then ONE varint pass per stream with
+    # per-block byte slicing — byte-identical to per-block encodes but
+    # without thousands of small-array varint calls (the measured hot
+    # spot: numpy per-call overhead dominated sub-128-value encodes)
+    block_ids = np.arange(n, dtype=np.int64) // BLOCK
+    o2 = np.lexsort((ld, block_ids))
+    ld, tf, dl = ld[o2], tf[o2], dl[o2]
+    bstarts = np.arange(0, n, BLOCK, dtype=np.int64)
+    gaps = np.empty(n, dtype=np.int64)
+    if n > 1:
+        gaps[1:] = ld[1:] - ld[:-1]
+    gaps[bstarts] = ld[bstarts]  # first value of each block absolute
+
+    doc_buf, doc_lens = varint_encode_with_lengths(gaps.astype(np.uint64))
+    tf_buf, tf_lens = varint_encode_with_lengths(tf.astype(np.uint64))
+    dl_buf, dl_lens = varint_encode_with_lengths(dl.astype(np.uint64))
+    doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
+    dl_off = np.concatenate(([0], np.cumsum(dl_lens)))
+    bends = np.minimum(bstarts + BLOCK, n)
+    mv_doc, mv_tf, mv_dl = memoryview(doc_buf), memoryview(tf_buf), memoryview(dl_buf)
+
     doc_blocks, tf_blocks, dl_blocks = [], [], []
     sky_tf: list[int] = []
     sky_dl: list[int] = []
     sky_off = [0]
-    for i in range(0, n, BLOCK):
-        d = ld[i: i + BLOCK]
-        t = tf[i: i + BLOCK]
-        l = dl[i: i + BLOCK]
-        o = np.argsort(d, kind="stable")
-        d, t, l = d[o], t[o], l[o]
-        gaps = np.empty(len(d), dtype=np.uint64)
-        gaps[0] = np.uint64(d[0])
-        if len(d) > 1:
-            gaps[1:] = (d[1:] - d[:-1]).astype(np.uint64)
-        doc_blocks.append(varint_encode(gaps))
-        tf_blocks.append(varint_encode(t.astype(np.uint64)))
-        dl_blocks.append(varint_encode(l.astype(np.uint64)))
-        s_tf, s_dl = _block_skyline(t, l)
+    for s, e in zip(bstarts, bends):
+        doc_blocks.append(bytes(mv_doc[doc_off[s]: doc_off[e]]))
+        tf_blocks.append(bytes(mv_tf[tf_off[s]: tf_off[e]]))
+        dl_blocks.append(bytes(mv_dl[dl_off[s]: dl_off[e]]))
+        s_tf, s_dl = _block_skyline(tf[s:e], dl[s:e])
         sky_tf.extend(int(x) for x in s_tf)
         sky_dl.extend(int(x) for x in s_dl)
         sky_off.append(len(sky_tf))

@@ -89,6 +89,48 @@ LIMIT {k}
 """.strip()
 
 
+def bm25_near_sql(query: str, slop: int, k: int = 10,
+                  table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """Two-term proximity top-k: docs where min |pos(t1) − pos(t2)| ≤
+    slop over the kept token stream, scored as the two terms' BM25 sum
+    (the engine contract, operators/phrase.near_match_shard). The SQL
+    form is pinned to exactly two distinct terms (the k-term engine
+    generalization is oracle-tested in pure Python instead — a k-way
+    lateral-unnest min-window in SQL buys nothing for the gate)."""
+    terms = sorted(set(tokenize_py(query)))
+    assert len(terms) == 2, "bm25_near_sql oracle covers 2-term queries"
+    t1, t2 = terms
+    per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "dft.df", "s.n")
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks) + 1), i -> toks[i] = '{t1}') AS p1,
+         list_filter(range(1, len(toks) + 1), i -> toks[i] = '{t2}') AS p2
+  FROM docs
+),
+near_docs AS (
+  SELECT p.doc_id
+  FROM pos p, unnest(p.p1) AS u1(a), unnest(p.p2) AS u2(b)
+  GROUP BY p.doc_id
+  HAVING min(abs(u1.a - u2.b)) <= {int(slop)}
+),
+qt AS ({_qterms_values(query)}),
+dft AS (SELECT term, count(*)::INT AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, SUM({per_term}) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.doc_id IN (SELECT doc_id FROM near_docs)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, {ROUND_DP}) AS score
+FROM scored
+ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def term_buckets_sql(limit: int = 50, table: str = "documents",
                      id_col: str = "doc_id", text_col: str = "text") -> str:
     """Bucket agg analogue of geohex_grid: term → df, top-N by df."""

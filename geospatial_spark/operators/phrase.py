@@ -149,15 +149,8 @@ def phrase_match_shard(
     phrase_tf = np.searchsorted(start_docs, matched, side="right") - \
         np.searchsorted(start_docs, matched, side="left")
 
-    # score = Σ over distinct terms of exact BM25 at the matched docs
-    scores = np.zeros(len(matched), dtype=np.float64)
-    for t in distinct:
-        docs, tfs, dls, _ = decoded[t]
-        sel = np.searchsorted(docs, matched)
-        tff = tfs[sel].astype(np.float64)
-        dlf = dls[sel].astype(np.float64)
-        idf_t = idf(int(df_global[t]), n_docs)
-        scores += idf_t * (tff / (tff + K1 * (1.0 - B + B * (dlf / avgdl))))
+    scores = _score_distinct_terms(matched, distinct, decoded, df_global,
+                                   n_docs, avgdl)
 
     if len(matched) > k:
         kth = np.partition(scores, -k)[-k]
@@ -166,3 +159,128 @@ def phrase_match_shard(
     order = np.lexsort((matched, -scores))
     top = order[:k]
     return matched[top], scores[top], phrase_tf[top]
+
+
+def _score_distinct_terms(matched, distinct, decoded, df_global, n_docs,
+                          avgdl):
+    """Σ over the distinct terms' exact BM25 at the matched docs (the
+    shared phrase/proximity scoring contract: match-as-filter,
+    terms-as-scorer)."""
+    scores = np.zeros(len(matched), dtype=np.float64)
+    for t in distinct:
+        docs, tfs, dls, _ = decoded[t]
+        sel = np.searchsorted(docs, matched)
+        tff = tfs[sel].astype(np.float64)
+        dlf = dls[sel].astype(np.float64)
+        idf_t = idf(int(df_global[t]), n_docs)
+        scores += idf_t * (tff / (tff + K1 * (1.0 - B + B * (dlf / avgdl))))
+    return scores
+
+
+def near_match_shard(
+    terms: list[str],
+    slop: int,
+    rows_by_term: dict[str, dict],
+    base_ord: int,
+    df_global: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+):
+    """Proximity (slop) matching: a doc matches iff some window of
+    positions of width ≤ slop contains ALL the distinct query terms
+    (order-free) — min over one-position-per-term tuples of
+    (max − min) ≤ slop. Matched docs score as the sum of the distinct
+    terms' BM25 contributions (the phrase contract).
+
+    Returns (local_docs, scores, min_span) of the shard's top-k.
+
+    Scale shape: doc-set intersection first (rarest term drives), then
+    the classic k-sorted-lists minimum-window two-pointer runs ONLY on
+    the surviving candidates' merged position arrays — per-candidate
+    cost is linear in that doc's matched-token count; candidates after
+    an AND of all terms are few by construction.
+    """
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
+             np.empty(0, dtype=np.int64))
+    distinct = sorted(set(terms))
+    if any(t not in rows_by_term for t in distinct):
+        return empty
+    m = len(distinct)
+
+    decoded: dict[str, tuple] = {}
+    cand = None
+    for t in sorted(distinct, key=lambda t: int(rows_by_term[t]["df"])):
+        docs, tfs, dls, poss = _decode_full_posting(rows_by_term[t], base_ord)
+        decoded[t] = (docs, tfs, dls, poss)
+        cand = docs if cand is None else np.intersect1d(cand, docs,
+                                                        assume_unique=True)
+        if len(cand) == 0:
+            return empty
+
+    if m == 1:
+        matched = cand
+        spans = np.zeros(len(cand), dtype=np.int64)
+    else:
+        # merged (doc, pos, slot) across terms, restricted to candidates
+        d_all, p_all, s_all = [], [], []
+        for j, t in enumerate(distinct):
+            docs, tfs, dls, poss = decoded[t]
+            sel = np.searchsorted(docs, cand)
+            tok_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            reps = tfs[sel]
+            idx = np.repeat(tok_starts[sel], reps) + (
+                np.arange(int(reps.sum())) -
+                np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])), reps))
+            d_all.append(np.repeat(cand, reps))
+            p_all.append(poss[idx])
+            s_all.append(np.full(int(reps.sum()), j, dtype=np.int64))
+        d = np.concatenate(d_all)
+        p = np.concatenate(p_all)
+        s = np.concatenate(s_all)
+        order = np.lexsort((p, d))
+        d, p, s = d[order], p[order], s[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(d[1:] != d[:-1]) + 1, [len(d)]))
+
+        matched_l, span_l = [], []
+        need = m
+        for bi in range(len(bounds) - 1):
+            lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+            pos_d = p[lo:hi]
+            slot_d = s[lo:hi]
+            counts = np.zeros(need, dtype=np.int64)
+            have = 0
+            best = np.iinfo(np.int64).max
+            left = 0
+            for right in range(len(pos_d)):
+                c = slot_d[right]
+                counts[c] += 1
+                if counts[c] == 1:
+                    have += 1
+                while have == need:
+                    span = pos_d[right] - pos_d[left]
+                    if span < best:
+                        best = int(span)
+                    cl = slot_d[left]
+                    counts[cl] -= 1
+                    if counts[cl] == 0:
+                        have -= 1
+                    left += 1
+            if best <= slop:
+                matched_l.append(int(d[lo]))
+                span_l.append(best)
+        if not matched_l:
+            return empty
+        matched = np.array(matched_l, dtype=np.int64)
+        spans = np.array(span_l, dtype=np.int64)
+
+    scores = _score_distinct_terms(matched, distinct, decoded, df_global,
+                                   n_docs, avgdl)
+    if len(matched) > k:
+        kth = np.partition(scores, -k)[-k]
+        keep = scores >= kth
+        matched, scores, spans = matched[keep], scores[keep], spans[keep]
+    order = np.lexsort((matched, -scores))
+    top = order[:k]
+    return matched[top], scores[top], spans[top]

@@ -138,11 +138,74 @@ HOT_DF_COPY = 8192
 IMPACT_HEAD_BLOCKS = 16
 
 
+def _seg_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("shard", pa.int32()),
+            ("term", pa.string()),
+            ("df", pa.int32()),
+            ("max_tf", pa.int32()),
+            ("min_dl", pa.int32()),
+            ("doc_blocks", pa.list_(pa.binary())),
+            ("tf_blocks", pa.list_(pa.binary())),
+            ("dl_blocks", pa.list_(pa.binary())),
+            ("pos_blocks", pa.list_(pa.binary())),
+            ("block_max_tf", pa.list_(pa.int32())),
+            ("block_min_dl", pa.list_(pa.int32())),
+            ("block_last_doc", pa.list_(pa.int64())),
+            ("sky_tf", pa.list_(pa.int32())),
+            ("sky_dl", pa.list_(pa.int32())),
+            ("sky_off", pa.list_(pa.int32())),
+            ("imp_head_doc_blocks", pa.list_(pa.binary())),
+            ("imp_head_tf_blocks", pa.list_(pa.binary())),
+            ("imp_head_dl_blocks", pa.list_(pa.binary())),
+            ("imp_tail_doc_blocks", pa.list_(pa.binary())),
+            ("imp_tail_tf_blocks", pa.list_(pa.binary())),
+            ("imp_tail_dl_blocks", pa.list_(pa.binary())),
+            ("imp_sky_tf", pa.list_(pa.int32())),
+            ("imp_sky_dl", pa.list_(pa.int32())),
+            ("imp_sky_off", pa.list_(pa.int32())),
+        ]
+    )
+
+
+def _bin_list_column(buf: bytes, byte_offsets, list_offsets):
+    """list<binary> column assembled ZERO-COPY over one shared stream
+    buffer: byte_offsets are the per-block boundaries into buf,
+    list_offsets the per-term block boundaries. A shard's stream must
+    stay < 2 GiB (int32 offsets) — shard count is the sizing knob."""
+    import pyarrow as pa
+
+    vo = byte_offsets.astype(np.int32)
+    values = pa.Array.from_buffers(
+        pa.binary(), len(vo) - 1,
+        [None, pa.py_buffer(vo.tobytes()), pa.py_buffer(buf)])
+    return pa.ListArray.from_arrays(pa.array(list_offsets.astype(np.int32)),
+                                    values)
+
+
+def _int_list_column(values, list_offsets, dtype):
+    import pyarrow as pa
+
+    return pa.ListArray.from_arrays(
+        pa.array(list_offsets.astype(np.int32)),
+        pa.array(values.astype(dtype)))
+
+
 def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
                   normalization: dict[str, str] | None = None,
                   hot_df_copy: int = HOT_DF_COPY):
-    """Tokenize + posting encode one shard. Returns (segments_df,
-    docmap_df, stats dict). All hot paths vectorized."""
+    """Tokenize + posting encode one shard. Returns (segments pyarrow
+    Table, docmap_df, stats dict). All hot paths vectorized; the
+    segment table is assembled zero-copy from the bulk encoder's flat
+    buffers (measured: python per-term row assembly cost more than the
+    varint encode itself)."""
+    import pyarrow as pa
+
+    from geospatial_spark.functions.codec import encode_shard_streams
+
     n = len(doc_ids)
     # Arrow-native tokenize + dictionary encode: terms become int codes,
     # only the vocab is sorted/normalized (functions/tokenize.tokenize_encoded)
@@ -151,9 +214,10 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
     flat_docs = doc_ords[flat_doc_idx] if len(flat_doc_idx) else np.empty(0, dtype=np.int64)
     flat_dls = dl[flat_doc_idx] if len(flat_doc_idx) else np.empty(0, dtype=np.int64)
 
-    seg_rows = []
     n_postings = 0
     n_bytes = 0
+    schema = _seg_schema()
+    segments = schema.empty_table()
     if len(codes):
         # all-numpy tf computation: int-code lexsort + run-length
         # segmentation (no object-dtype groupby, no string sort)
@@ -177,57 +241,33 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
         starts = np.concatenate(([0], tchange)).astype(np.int64)
         ends = np.concatenate((tchange, [len(term_codes)])).astype(np.int64)
         terms_sorted = uniq_terms[term_codes[starts]]
-        # bulk block encode: one varint pass over the whole shard stream
+        # bulk block encode: one varint pass per stream, flat buffers
         run_tok_bounds = np.concatenate((run_starts, [len(tc)])).astype(np.int64)
-        (db_l, tb_l, lb_l, bmax_l, bmin_l, blast_l,
-         sky_tf_l, sky_dl_l, sky_off_l, pos_l) = encode_shard_postings(
+        st = encode_shard_streams(
             docs_arr, tfs_arr, dls_arr.astype(np.uint64), starts, ends,
             positions=pc_, run_tok_bounds=run_tok_bounds,
         )
         n_postings = int(len(term_codes))
+        n_terms = st["n_terms"]
+        fb = st["first_block"]  # int64[n_terms+1]
+        n_bytes += (len(st["doc_buf"]) + len(st["tf_buf"])
+                    + len(st["dl_buf"]) + len(st["pos_buf"]))
+
+        # ---- impact-ordered copies for hot terms (few) ---------------
         from geospatial_spark.functions.codec import encode_impact_posting
 
         avgdl_local = float(dl.mean()) if n else 0.0
         local_idx_all = (dc[run_starts] & ((np.int64(1) << ORD_SHARD_SHIFT) - 1)).astype(np.int64)
-        for ti, (s, e) in enumerate(zip(starts, ends)):
-            db, tb, lb = db_l[ti], tb_l[ti], lb_l[ti]
-            pb = pos_l[ti]
-            nb = (sum(len(x) for x in db) + sum(len(x) for x in tb)
-                  + sum(len(x) for x in lb) + sum(len(x) for x in pb))
-            n_bytes += nb
-            row = {
-                "shard": shard,
-                "term": str(terms_sorted[ti]),
-                "df": int(e - s),
-                "max_tf": int(max(bmax_l[ti])),
-                "min_dl": int(min(bmin_l[ti])),
-                "doc_blocks": db,
-                "tf_blocks": tb,
-                "dl_blocks": lb,
-                "pos_blocks": pb,
-                "block_max_tf": bmax_l[ti],
-                "block_min_dl": bmin_l[ti],
-                "block_last_doc": blast_l[ti],
-                "sky_tf": sky_tf_l[ti],
-                "sky_dl": sky_dl_l[ti],
-                "sky_off": sky_off_l[ti],
-                "imp_head_doc_blocks": None,
-                "imp_head_tf_blocks": None,
-                "imp_head_dl_blocks": None,
-                "imp_tail_doc_blocks": None,
-                "imp_tail_tf_blocks": None,
-                "imp_tail_dl_blocks": None,
-                "imp_sky_tf": None,
-                "imp_sky_dl": None,
-                "imp_sky_off": None,
-            }
-            if hot_df_copy and (e - s) >= hot_df_copy:
+        imp = {k: [None] * n_terms for k in
+               ("hd", "ht", "hl", "td", "tt", "tl", "stf", "sdl", "soff")}
+        if hot_df_copy:
+            H = IMPACT_HEAD_BLOCKS
+            for ti in np.flatnonzero((ends - starts) >= hot_df_copy):
+                s, e = int(starts[ti]), int(ends[ti])
                 # impact-ordered copy: the early-termination path that
-                # keeps saturated stopword queries sublinear in df. The
-                # stream is stored head/tail-split: discovery almost
-                # always terminates inside the first IMPACT_HEAD_BLOCKS,
-                # so a serving-path reader can skip the tail bytes (and
-                # the doc-ordered bytes) of hot terms entirely
+                # keeps saturated stopword queries sublinear in df; the
+                # stream is head/tail-split so serving readers can skip
+                # the tail (and doc-ordered) bytes of hot terms
                 (idb, itb, ilb, is_tf, is_dl, is_off) = encode_impact_posting(
                     local_idx_all[s:e],
                     tfs_arr[s:e].astype(np.int64),
@@ -236,25 +276,52 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
                 )
                 n_bytes += (sum(len(x) for x in idb) + sum(len(x) for x in itb)
                             + sum(len(x) for x in ilb))
-                H = IMPACT_HEAD_BLOCKS
-                row.update(imp_head_doc_blocks=idb[:H], imp_head_tf_blocks=itb[:H],
-                           imp_head_dl_blocks=ilb[:H],
-                           imp_tail_doc_blocks=idb[H:], imp_tail_tf_blocks=itb[H:],
-                           imp_tail_dl_blocks=ilb[H:],
-                           imp_sky_tf=is_tf, imp_sky_dl=is_dl, imp_sky_off=is_off)
-            seg_rows.append(row)
+                imp["hd"][ti], imp["td"][ti] = idb[:H], idb[H:]
+                imp["ht"][ti], imp["tt"][ti] = itb[:H], itb[H:]
+                imp["hl"][ti], imp["tl"][ti] = ilb[:H], ilb[H:]
+                imp["stf"][ti], imp["sdl"][ti] = is_tf, is_dl
+                imp["soff"][ti] = is_off
 
-    segments = pd.DataFrame(
-        seg_rows,
-        columns=["shard", "term", "df", "max_tf", "min_dl", "doc_blocks",
-                 "tf_blocks", "dl_blocks", "pos_blocks",
-                 "block_max_tf", "block_min_dl",
-                 "block_last_doc", "sky_tf", "sky_dl", "sky_off",
-                 "imp_head_doc_blocks", "imp_head_tf_blocks",
-                 "imp_head_dl_blocks", "imp_tail_doc_blocks",
-                 "imp_tail_tf_blocks", "imp_tail_dl_blocks",
-                 "imp_sky_tf", "imp_sky_dl", "imp_sky_off"],
-    )
+        # ---- zero-copy Arrow assembly --------------------------------
+        nb_per_term = fb[1:] - fb[:-1]
+        sb = st["sky_bo"]
+        # sky_off column: per term, the block skyline offsets LOCALIZED
+        # to the term (sb[b0..b1] − sb[b0]), flattened
+        reps = nb_per_term + 1
+        pos_in_term = np.arange(int(reps.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+        idx = np.repeat(fb[:-1], reps) + pos_in_term
+        sky_off_vals = sb[idx] - np.repeat(sb[fb[:-1]], reps)
+        sky_off_offsets = np.concatenate(([0], np.cumsum(reps)))
+
+        cols = [
+            pa.array(np.full(n_terms, shard, dtype=np.int32)),
+            pa.array(terms_sorted),
+            pa.array((ends - starts).astype(np.int32)),
+            pa.array(np.maximum.reduceat(st["bmax_tf"], fb[:-1]).astype(np.int32)),
+            pa.array(np.minimum.reduceat(st["bmin_dl"], fb[:-1]).astype(np.int32)),
+            _bin_list_column(st["doc_buf"], st["doc_bo"], fb),
+            _bin_list_column(st["tf_buf"], st["tf_bo"], fb),
+            _bin_list_column(st["dl_buf"], st["dl_bo"], fb),
+            _bin_list_column(st["pos_buf"], st["pos_bo"], fb),
+            _int_list_column(st["bmax_tf"], fb, np.int32),
+            _int_list_column(st["bmin_dl"], fb, np.int32),
+            _int_list_column(st["blast"], fb, np.int64),
+            _int_list_column(st["sky_tf"], sb[fb], np.int32),
+            _int_list_column(st["sky_dl"], sb[fb], np.int32),
+            _int_list_column(sky_off_vals, sky_off_offsets, np.int32),
+            pa.array(imp["hd"], type=pa.list_(pa.binary())),
+            pa.array(imp["ht"], type=pa.list_(pa.binary())),
+            pa.array(imp["hl"], type=pa.list_(pa.binary())),
+            pa.array(imp["td"], type=pa.list_(pa.binary())),
+            pa.array(imp["tt"], type=pa.list_(pa.binary())),
+            pa.array(imp["tl"], type=pa.list_(pa.binary())),
+            pa.array(imp["stf"], type=pa.list_(pa.int32())),
+            pa.array(imp["sdl"], type=pa.list_(pa.int32())),
+            pa.array(imp["soff"], type=pa.list_(pa.int32())),
+        ]
+        segments = pa.Table.from_arrays(cols, schema=schema)
+
     docmap = pd.DataFrame(
         {
             "shard": np.full(n, shard, dtype=np.int32),
@@ -284,37 +351,8 @@ def _write_parquet(df: pd.DataFrame, path: Path,
 
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path if mode == lc.STORAGE_PUT else path.with_suffix(".tmp")
-    schema = None
-    if "doc_blocks" in df.columns:
-        schema = pa.schema(
-            [
-                ("shard", pa.int32()),
-                ("term", pa.string()),
-                ("df", pa.int32()),
-                ("max_tf", pa.int32()),
-                ("min_dl", pa.int32()),
-                ("doc_blocks", pa.list_(pa.binary())),
-                ("tf_blocks", pa.list_(pa.binary())),
-                ("dl_blocks", pa.list_(pa.binary())),
-                ("pos_blocks", pa.list_(pa.binary())),
-                ("block_max_tf", pa.list_(pa.int32())),
-                ("block_min_dl", pa.list_(pa.int32())),
-                ("block_last_doc", pa.list_(pa.int64())),
-                ("sky_tf", pa.list_(pa.int32())),
-                ("sky_dl", pa.list_(pa.int32())),
-                ("sky_off", pa.list_(pa.int32())),
-                ("imp_head_doc_blocks", pa.list_(pa.binary())),
-                ("imp_head_tf_blocks", pa.list_(pa.binary())),
-                ("imp_head_dl_blocks", pa.list_(pa.binary())),
-                ("imp_tail_doc_blocks", pa.list_(pa.binary())),
-                ("imp_tail_tf_blocks", pa.list_(pa.binary())),
-                ("imp_tail_dl_blocks", pa.list_(pa.binary())),
-                ("imp_sky_tf", pa.list_(pa.int32())),
-                ("imp_sky_dl", pa.list_(pa.int32())),
-                ("imp_sky_off", pa.list_(pa.int32())),
-            ]
-        )
-    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    table = (df if isinstance(df, pa.Table)
+             else pa.Table.from_pandas(df, preserve_index=False))
     # small row groups: terms are sorted within the file, so parquet
     # min/max stats let a query's term filter prune to the few row
     # groups that contain its terms (I/O ∝ matched postings)

@@ -162,6 +162,33 @@ def _bm25_phrase(phrase: str, k: int = 10):
     return run
 
 
+def _bm25_near(query: str, slop: int, k: int = 10):
+    """Proximity (slop) top-k via the positions stream; same re-key and
+    rounding contract as the other index-path entries."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        probe = s.search_near_df(query, slop, 1)
+        if probe is None or not probe.take(1):
+            return (_docs(spark, sf_dir)
+                    .select("doc_id", F.lit(0.0).alias("score")).limit(0))
+        df = _adaptive_overfetch(
+            spark, lambda m: s.search_near_df(query, slop, m), k, s.n_docs)
+        return (
+            df.select(
+                F.substring_index("doc_id", ":", 1).cast("long").alias("doc_id"),
+                F.col("score").alias("raw"))
+            .orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("doc_id"))
+            .select("doc_id", F.round("raw", ROUND_DP).alias("score"))
+            .limit(k)
+        )
+
+    return run
+
+
 def _term_buckets(limit: int = 50):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         post, *_ = _doc_index(spark, sf_dir)
@@ -219,6 +246,7 @@ def _union_of(terms: list[str]):
 
 PHRASE_Q = "table scan"
 PHRASE_Q_RARE = "fast table scan"
+NEAR_SLOP = 3
 BM25_Q_MULTI = "spark merge table scan"
 BM25_Q_SINGLE = "spark"
 BM25_Q_MISSING = "qqqqzzz"
@@ -577,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-phrase via the positions stream (Lucene .pos analogue)
         "bm25_phrase": _bm25_phrase(PHRASE_Q, 10),
         "bm25_phrase_rare": _bm25_phrase(PHRASE_Q_RARE, 10),
+        "bm25_near": _bm25_near(PHRASE_Q, NEAR_SLOP, 10),
         # BM25 relational scorer (always-correct second path)
         "bm25_topk_multi": _bm25(BM25_Q_MULTI, 10),
         "bm25_topk_single": _bm25(BM25_Q_SINGLE, 10),
@@ -633,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand_hot": osql.bm25_topk_sql("the table", 10),
         "bm25_phrase": osql.bm25_phrase_sql(PHRASE_Q, 10),
         "bm25_phrase_rare": osql.bm25_phrase_sql(PHRASE_Q_RARE, 10),
+        "bm25_near": osql.bm25_near_sql(PHRASE_Q, NEAR_SLOP, 10),
         "bm25_topk_multi": osql.bm25_topk_sql(BM25_Q_MULTI, 10),
         "bm25_topk_single": osql.bm25_topk_sql(BM25_Q_SINGLE, 10),
         "bm25_topk_missing": osql.bm25_topk_sql(BM25_Q_MISSING, 10),

@@ -258,6 +258,61 @@ class IndexSearcher:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
 
+    def search_near_df(self, query: str, slop: int, k: int = 10
+                       ) -> DataFrame | None:
+        """Proximity top-k (doc_id, score, min_span): docs where some
+        ≤slop-wide position window holds ALL the query's distinct terms
+        (order-free); scored as the sum of the distinct terms' BM25
+        contributions (operators/phrase.near_match_shard)."""
+        norm = self.manifest.get("normalization") or {}
+        terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
+        if not terms or self.n_docs == 0:
+            return None
+        df_global = self._df_for(terms)
+        if len(df_global) < len(terms):
+            return None  # AND semantics: a missing term ⇒ no match
+
+        matched = self._segments().where(F.col("term").isin(terms))
+        n_docs, avgdl = self.n_docs, self.avgdl
+        shard_docs, gdirs = self.shard_docs, self.gdirs
+        dm_files = self.docmap_files
+        kk, sl = int(k), int(slop)
+
+        def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from pathlib import Path as _P
+
+            import pyarrow.parquet as pq
+
+            from geospatial_spark.operators.phrase import near_match_shard
+
+            gen, shard = str(key[0]), int(key[1])
+            base = shard << ORD_SHARD_SHIFT
+            rows_by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
+            local, scores, spans = near_match_shard(
+                terms, sl, rows_by_term, base, df_global, n_docs, avgdl, kk)
+            if len(local) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                                     "score": pd.Series([], dtype="float64"),
+                                     "min_span": pd.Series([], dtype="int64")})
+            ids = pq.read_table(
+                _P(gdirs[gen]) / dm_files[(gen, shard)], columns=["doc_id"]
+            ).column("doc_id").take(local.tolist()).to_pylist()
+            return pd.DataFrame({"doc_id": ids,
+                                 "score": scores.astype(np.float64),
+                                 "min_span": spans.astype(np.int64)})
+
+        per_shard = matched.groupBy("gen", "shard").applyInPandas(
+            run_shard, schema="doc_id string, score double, min_span long"
+        )
+        return per_shard.orderBy(F.desc("score"), *merge_tie_break()).limit(kk)
+
+    def search_near(self, query: str, slop: int, k: int = 10
+                    ) -> list[tuple[str, float]]:
+        df = self.search_near_df(query, slop, k)
+        if df is None:
+            return []
+        return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
     def search_many(self, queries: dict[str, str], k: int = 10
                     ) -> dict[str, list[tuple[str, float]]]:
         """Batched top-k: ALL queries in one Spark job. The segment scan

@@ -75,6 +75,36 @@ class OracleIndex:
         hits.sort(key=lambda h: (-h[1], self.doc_sort_key(h[0])))
         return hits[:k]
 
+    def search_near(self, rows: list[tuple[str, int, str]], query: str,
+                    slop: int, k: int = 10) -> list[tuple[str, float, int]]:
+        """Proximity reference: (doc_id, score, min_span) for docs where
+        some position window of width ≤ slop holds ALL distinct query
+        terms; brute-force over position tuples (independent of the
+        engine's two-pointer algorithm)."""
+        from itertools import product
+
+        terms = sorted(set(tokenize_py(query)))
+        if not terms:
+            return []
+        hits = []
+        for conv_id, turn_idx, text in rows:
+            toks = tokenize_py(text)
+            plists = [[i for i, x in enumerate(toks) if x == t] for t in terms]
+            if any(not pl for pl in plists):
+                continue
+            best = min(max(combo) - min(combo) for combo in product(*plists))
+            if best > slop:
+                continue
+            doc_id = f"{conv_id}:{turn_idx}"
+            score = 0.0
+            for t in terms:
+                plist = self.postings.get(t, {})
+                score += term_score(plist.get(doc_id, 0), self.doclens[doc_id],
+                                    self.avgdl, len(plist), self.n_docs)
+            hits.append((doc_id, score, best))
+        hits.sort(key=lambda h: (-h[1], self.doc_sort_key(h[0])))
+        return hits[:k]
+
     def search(self, query: str, k: int = 10) -> list[tuple[str, float]]:
         """Exact BM25 top-k; unique query terms (no idf double-count);
         per-doc score = sum over terms in canonical sorted term order

@@ -108,6 +108,33 @@ def test_phrase_missing_term_short_circuits(searcher):
     assert searcher.search_phrase("", 10) == []
 
 
+def test_near_matches_oracle(searcher, small_oracle, rows):
+    """Proximity engine vs brute-force pure-Python oracle, including a
+    3-term query (the SQL oracle covers 2 terms; python covers k)."""
+    cases = [("deploy spark", 3), ("deploy spark", 0), ("the spark", 1),
+             ("deploy the spark", 4), ("spark spark", 2),
+             ("zzz spark", 5)]
+    # lift a real co-occurring word pair for a guaranteed hit
+    toks = tokenize_py(rows[0][2])
+    if len(toks) >= 3:
+        cases.append((f"{toks[0]} {toks[2]}", 2))
+    for q, slop in cases:
+        got = searcher.search_near(q, slop, 10)
+        want = [(d, s) for d, s, _ in small_oracle.search_near(rows, q, slop, 10)]
+        assert [d for d, _ in got] == [d for d, _ in want], (q, slop)
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), (q, gd)
+
+
+def test_near_min_span_column(searcher, small_oracle, rows):
+    df = searcher.search_near_df("deploy the spark", 6, 10)
+    if df is None:
+        pytest.skip("terms absent at this scale")
+    got = {r["doc_id"]: r["min_span"] for r in df.collect()}
+    want = {d: sp for d, _, sp in small_oracle.search_near(rows, "deploy the spark", 6, 10)}
+    assert got == want
+
+
 def test_phrase_across_generations(spark, small_transcripts,
                                    small_oracle, rows, tmp_path_factory):
     """Split the corpus into a base build + an append delta: phrase

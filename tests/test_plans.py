@@ -172,3 +172,23 @@ def test_simhash_has_single_aggregate_no_explode_blowup(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     # exactly one Generate: the single token explode (round 1 had two)
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+
+
+def test_plain_search_scan_prunes_positions(spark, tiny_transcripts,
+                                            tmp_path_factory):
+    """Non-phrase search must not ship position bytes: the pos_blocks
+    drop has to reach the parquet scan (ReadSchema excludes it), and
+    the phrase path must read it."""
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.query import IndexSearcher
+
+    root = str(tmp_path_factory.mktemp("pruneidx") / "idx")
+    build_index(spark, tiny_transcripts, root, n_shards=2)
+    s = IndexSearcher(spark, root)
+    plain = explain(s.search_df("the spark", 5))
+    scans = [ln for ln in plain.splitlines() if "ReadSchema" in ln]
+    seg_scans = [ln for ln in scans if "doc_blocks" in ln]
+    assert seg_scans and all("pos_blocks" not in ln for ln in seg_scans), plain
+    phrase = explain(s.search_phrase_df("the spark", 5))
+    assert any("pos_blocks" in ln for ln in phrase.splitlines()
+               if "ReadSchema" in ln), phrase
