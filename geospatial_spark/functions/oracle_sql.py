@@ -131,6 +131,59 @@ LIMIT {k}
 """.strip()
 
 
+def bm25_bool_sql(should: str = "", filter_q: str = "", must_not: str = "",
+                  k: int = 10, table: str = "documents",
+                  id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Bool-query oracle mirroring IndexSearcher.search_bool: scored
+    should-OR (≥1 should term must match when given) ∩ filter-AND ∖
+    must_not, hits score 0.0 in pure filter context."""
+    sh = sorted(set(tokenize_py(should)))
+    fl = sorted(set(tokenize_py(filter_q)))
+    mn = sorted(set(tokenize_py(must_not)))
+    assert sh or fl, "bool oracle requires a positive clause"
+
+    def in_list(terms):
+        return ", ".join(f"'{t}'" for t in terms)
+
+    parts = []
+    if fl:
+        parts.append(
+            f"(SELECT count(DISTINCT term) FROM tok t2 WHERE t2.doc_id = d.doc_id "
+            f"AND t2.term IN ({in_list(fl)})) = {len(fl)}")
+    if mn:
+        parts.append(
+            f"NOT EXISTS (SELECT 1 FROM tok t3 WHERE t3.doc_id = d.doc_id "
+            f"AND t3.term IN ({in_list(mn)}))")
+    if sh:
+        parts.append(
+            f"EXISTS (SELECT 1 FROM tok t4 WHERE t4.doc_id = d.doc_id "
+            f"AND t4.term IN ({in_list(sh)}))")
+    where = " AND ".join(parts)
+
+    if sh:
+        per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "dft.df", "s.n")
+        return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+dft AS (SELECT term, count(*)::INT AS df FROM tf WHERE term IN ({in_list(sh)}) GROUP BY 1),
+hits AS (SELECT DISTINCT d.doc_id FROM dl d WHERE {where}),
+scored AS (
+  SELECT tf.doc_id, SUM({per_term}) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ({in_list(sh)})
+    AND tf.doc_id IN (SELECT doc_id FROM hits)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, {ROUND_DP}) AS score FROM scored
+ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC LIMIT {k}
+""".strip()
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+hits AS (SELECT DISTINCT d.doc_id FROM dl d WHERE {where})
+SELECT doc_id, CAST(0.0 AS DOUBLE) AS score FROM hits
+ORDER BY doc_id ASC LIMIT {k}
+""".strip()
+
+
 def term_buckets_sql(limit: int = 50, table: str = "documents",
                      id_col: str = "doc_id", text_col: str = "text") -> str:
     """Bucket agg analogue of geohex_grid: term → df, top-N by df."""

@@ -1,0 +1,102 @@
+"""Boolean query over the compressed index: should / filter / must_not.
+
+The OpenSearch `bool` query analogue (the reference wraps its shape
+queries into bool/filter contexts via QueryBuilders — e.g. the
+processor path builds filtered queries around the geometry predicate,
+index/query/xyshape/XYShapeQueryBuilder.java:62-71). Clause semantics
+(documented contract, shared with the DuckDB oracle):
+
+  should    — scored OR: a matching doc contains ≥1 should term
+              (minimum_should_match = 1 when any should terms are
+              given); score = Σ BM25 over the should terms present.
+  filter    — unscored AND: every filter term must appear.
+  must_not  — unscored NOT: no must_not term may appear.
+  no should clauses → matching is filter/must_not only and every hit
+              scores 0.0 (OpenSearch's constant-score filter context).
+
+Scale shape: per shard the filter/must_not streams decode doc ids only
+(no tf/dl use) into membership masks; should postings decode once and
+scatter-add. Everything is bulk varint + numpy; candidate sets shrink
+by the most selective filter first at the mask level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geospatial_spark.functions.bm25 import B, K1, idf
+from geospatial_spark.operators.phrase import _decode_full_posting
+
+
+def bool_match_shard(
+    should: list[str],
+    filters: list[str],
+    must_not: list[str],
+    rows_by_term: dict[str, dict],
+    n_local_docs: int,
+    base_ord: int,
+    df_global: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+):
+    """Score one shard. Returns (local_docs, scores) of the shard's
+    top-k (score desc, doc asc; exact scores)."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    if n_local_docs == 0:
+        return empty
+    # a filter term with no postings in this shard ⇒ nothing matches here
+    if any(t not in rows_by_term for t in filters):
+        return empty
+
+    allowed = np.ones(n_local_docs, dtype=bool)
+    for t in filters:
+        docs, _, _, _ = _decode_full_posting(rows_by_term[t], base_ord,
+                                             need_positions=False)
+        mask = np.zeros(n_local_docs, dtype=bool)
+        mask[docs] = True
+        allowed &= mask
+        if not allowed.any():
+            return empty
+    for t in must_not:
+        r = rows_by_term.get(t)
+        if r is None:
+            continue
+        docs, _, _, _ = _decode_full_posting(r, base_ord,
+                                             need_positions=False)
+        allowed[docs] = False
+    if not allowed.any():
+        return empty
+
+    if should:
+        scores = np.zeros(n_local_docs, dtype=np.float64)
+        hit = np.zeros(n_local_docs, dtype=bool)
+        for t in should:
+            r = rows_by_term.get(t)
+            if r is None:
+                continue
+            docs, tfs, dls, _ = _decode_full_posting(r, base_ord,
+                                                     need_positions=False)
+            tff = tfs.astype(np.float64)
+            dlf = dls.astype(np.float64)
+            idf_t = idf(int(df_global[t]), n_docs)
+            scores[docs] += idf_t * (
+                tff / (tff + K1 * (1.0 - B + B * (dlf / avgdl))))
+            hit[docs] = True
+        cand = np.flatnonzero(hit & allowed)
+        if len(cand) == 0:
+            return empty
+        cscores = scores[cand]
+    else:
+        cand = np.flatnonzero(allowed)
+        if len(cand) == 0:
+            return empty
+        cscores = np.zeros(len(cand), dtype=np.float64)
+
+    if len(cand) > k:
+        kth = np.partition(cscores, -k)[-k]
+        keep = cscores >= kth
+        cand, cscores = cand[keep], cscores[keep]
+    order = np.lexsort((cand, -cscores))
+    top = order[:k]
+    return cand[top], cscores[top]

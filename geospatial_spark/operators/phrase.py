@@ -45,8 +45,9 @@ def _as_bytes(x) -> bytes:
     return x.as_py() if hasattr(x, "as_py") else bytes(x)
 
 
-def _decode_full_posting(r: dict, base_ord: int):
-    """One segment row → (local_docs asc, tfs, dls, flat positions).
+def _decode_full_posting(r: dict, base_ord: int, need_positions: bool = True):
+    """One segment row → (local_docs asc, tfs, dls, flat positions —
+    None when need_positions=False).
 
     Doc-ordered blocks only (phrase never touches impact copies). The
     leading gap of every block is made absolute from block_last_doc
@@ -54,7 +55,7 @@ def _decode_full_posting(r: dict, base_ord: int):
     """
     db, tb, lb = r["doc_blocks"], r["tf_blocks"], r["dl_blocks"]
     pb = r.get("pos_blocks")
-    if pb is None:
+    if pb is None and need_positions:
         raise ValueError(
             f"segment row for term {r.get('term')!r} has no position "
             "stream (pre-v2 generation) — rebuild to enable phrase queries")
@@ -78,7 +79,8 @@ def _decode_full_posting(r: dict, base_ord: int):
     seg_off = cs[starts_flat] - gaps[starts_flat]
     docs = cs - np.repeat(seg_off, lens) - base_ord
 
-    poss = decode_positions_stream(b"".join(_as_bytes(x) for x in pb), tfs)
+    poss = (decode_positions_stream(b"".join(_as_bytes(x) for x in pb), tfs)
+            if need_positions else None)
     return docs, tfs, dls, poss
 
 

@@ -189,6 +189,34 @@ def _bm25_near(query: str, slop: int, k: int = 10):
     return run
 
 
+def _bm25_bool(should: str, filter_q: str, must_not: str, k: int = 10):
+    """Bool query (should/filter/must_not) through the compressed
+    index; same re-key and rounding contract as the wand entries."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        probe = s.search_bool_df(should, filter_q, must_not, 1)
+        if probe is None or not probe.take(1):
+            return (_docs(spark, sf_dir)
+                    .select("doc_id", F.lit(0.0).alias("score")).limit(0))
+        df = _adaptive_overfetch(
+            spark, lambda m: s.search_bool_df(should, filter_q, must_not, m),
+            k, s.n_docs)
+        return (
+            df.select(
+                F.substring_index("doc_id", ":", 1).cast("long").alias("doc_id"),
+                F.col("score").alias("raw"))
+            .orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("doc_id"))
+            .select("doc_id", F.round("raw", ROUND_DP).alias("score"))
+            .limit(k)
+        )
+
+    return run
+
+
 def _term_buckets(limit: int = 50):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         post, *_ = _doc_index(spark, sf_dir)
@@ -247,6 +275,7 @@ def _union_of(terms: list[str]):
 PHRASE_Q = "table scan"
 PHRASE_Q_RARE = "fast table scan"
 NEAR_SLOP = 3
+BOOL_Q = ("spark merge", "table", "vector")  # should, filter, must_not
 BM25_Q_MULTI = "spark merge table scan"
 BM25_Q_SINGLE = "spark"
 BM25_Q_MISSING = "qqqqzzz"
@@ -606,6 +635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": _bm25_phrase(PHRASE_Q, 10),
         "bm25_phrase_rare": _bm25_phrase(PHRASE_Q_RARE, 10),
         "bm25_near": _bm25_near(PHRASE_Q, NEAR_SLOP, 10),
+        # bool query: scored should-OR ∩ filter-AND ∖ must_not
+        "bm25_bool": _bm25_bool(*BOOL_Q, 10),
+        "bm25_bool_filter_only": _bm25_bool("", BOOL_Q[1], BOOL_Q[2], 10),
         # BM25 relational scorer (always-correct second path)
         "bm25_topk_multi": _bm25(BM25_Q_MULTI, 10),
         "bm25_topk_single": _bm25(BM25_Q_SINGLE, 10),
@@ -663,6 +695,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase": osql.bm25_phrase_sql(PHRASE_Q, 10),
         "bm25_phrase_rare": osql.bm25_phrase_sql(PHRASE_Q_RARE, 10),
         "bm25_near": osql.bm25_near_sql(PHRASE_Q, NEAR_SLOP, 10),
+        "bm25_bool": osql.bm25_bool_sql(*BOOL_Q, 10),
+        "bm25_bool_filter_only": osql.bm25_bool_sql("", BOOL_Q[1], BOOL_Q[2], 10),
         "bm25_topk_multi": osql.bm25_topk_sql(BM25_Q_MULTI, 10),
         "bm25_topk_single": osql.bm25_topk_sql(BM25_Q_SINGLE, 10),
         "bm25_topk_missing": osql.bm25_topk_sql(BM25_Q_MISSING, 10),

@@ -313,6 +313,73 @@ class IndexSearcher:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
 
+    def search_bool_df(self, should: str = "", filter_q: str = "",
+                       must_not: str = "", k: int = 10) -> DataFrame | None:
+        """Boolean query (operators/boolquery.py): scored should-OR
+        (minimum_should_match=1 when should terms are given) restricted
+        by unscored filter-AND and must_not-NOT clauses; with no should
+        clause every hit scores 0.0 (filter context)."""
+        norm = self.manifest.get("normalization") or {}
+
+        def toks(text: str) -> list[str]:
+            return sorted({norm.get(t, t) for t in tokenize_py(text)})
+
+        sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
+        # a positive clause is required: pure-NOT would be a match_all
+        # scan (shards with zero matched segment rows still hold hits),
+        # which is not an index-serviceable query shape
+        if (not sh and not fl) or self.n_docs == 0:
+            return None
+        df_global = self._df_for(sorted(set(sh + fl + mn)))
+        if any(t not in df_global for t in fl):
+            return None  # a filter term absent from the corpus ⇒ no hits
+        sh = [t for t in sh if t in df_global]
+        if should and not sh:
+            return None  # should clause given but no term exists
+        mn = [t for t in mn if t in df_global]
+
+        scan_terms = sorted(set(sh + fl + mn))
+        matched = (self._segments().where(F.col("term").isin(scan_terms))
+                   .drop("pos_blocks"))
+        n_docs, avgdl = self.n_docs, self.avgdl
+        shard_docs, gdirs = self.shard_docs, self.gdirs
+        dm_files = self.docmap_files
+        kk = int(k)
+
+        def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from pathlib import Path as _P
+
+            import pyarrow.parquet as pq
+
+            from geospatial_spark.operators.boolquery import bool_match_shard
+
+            gen, shard = str(key[0]), int(key[1])
+            base = shard << ORD_SHARD_SHIFT
+            rows_by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
+            local, scores = bool_match_shard(
+                sh, fl, mn, rows_by_term, shard_docs.get((gen, shard), 0),
+                base, df_global, n_docs, avgdl, kk)
+            if len(local) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                                     "score": pd.Series([], dtype="float64")})
+            ids = pq.read_table(
+                _P(gdirs[gen]) / dm_files[(gen, shard)], columns=["doc_id"]
+            ).column("doc_id").take(local.tolist()).to_pylist()
+            return pd.DataFrame({"doc_id": ids,
+                                 "score": scores.astype(np.float64)})
+
+        per_shard = matched.groupBy("gen", "shard").applyInPandas(
+            run_shard, schema="doc_id string, score double"
+        )
+        return per_shard.orderBy(F.desc("score"), *merge_tie_break()).limit(kk)
+
+    def search_bool(self, should: str = "", filter_q: str = "",
+                    must_not: str = "", k: int = 10) -> list[tuple[str, float]]:
+        df = self.search_bool_df(should, filter_q, must_not, k)
+        if df is None:
+            return []
+        return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
     def search_many(self, queries: dict[str, str], k: int = 10
                     ) -> dict[str, list[tuple[str, float]]]:
         """Batched top-k: ALL queries in one Spark job. The segment scan

@@ -1,0 +1,87 @@
+"""Bool-query gates: should/filter/must_not semantics over the index
+path vs a brute-force pure-Python reference."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from geospatial_spark.functions.tokenize import tokenize_py
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, small_transcripts, tmp_path_factory):
+    from geospatial_spark.plans.build import build_index
+
+    root = str(tmp_path_factory.mktemp("boolidx") / "idx")
+    build_index(spark, small_transcripts, root, n_shards=4, hot_df_copy=32)
+    return root
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, built_index):
+    from geospatial_spark.plans.query import IndexSearcher
+
+    return IndexSearcher(spark, built_index)
+
+
+@pytest.fixture(scope="module")
+def rows(small_transcripts_pd):
+    return list(zip(small_transcripts_pd["conv_id"],
+                    small_transcripts_pd["turn_idx"],
+                    small_transcripts_pd["text"]))
+
+
+def _ref_bool(oracle, rows, should, filter_q, must_not, k=10):
+    from geospatial_spark.functions.bm25 import term_score
+
+    sh = sorted(set(tokenize_py(should)))
+    fl = sorted(set(tokenize_py(filter_q)))
+    mn = sorted(set(tokenize_py(must_not)))
+    hits = []
+    for conv, turn, text in rows:
+        toks = set(tokenize_py(text))
+        if fl and not all(t in toks for t in fl):
+            continue
+        if any(t in toks for t in mn):
+            continue
+        if sh:
+            present = [t for t in sh if t in toks]
+            if not present:
+                continue
+            doc_id = f"{conv}:{turn}"
+            score = sum(
+                term_score(oracle.postings[t][doc_id], oracle.doclens[doc_id],
+                           oracle.avgdl, len(oracle.postings[t]),
+                           oracle.n_docs) for t in present)
+        else:
+            doc_id = f"{conv}:{turn}"
+            score = 0.0
+        hits.append((doc_id, score))
+    hits.sort(key=lambda h: (-h[1], oracle.doc_sort_key(h[0])))
+    return hits[:k]
+
+
+CASES = [
+    ("deploy spark", "the", ""),
+    ("deploy spark", "the", "job"),
+    ("the", "", "spark"),
+    ("", "the spark", "deploy"),     # filter context: score 0.0
+    ("deploy", "zzz-not-in-corpus", ""),   # filter term missing → empty
+    ("zzz-not-in-corpus", "the", ""),      # should given but absent → empty
+]
+
+
+@pytest.mark.parametrize("should,filter_q,must_not", CASES)
+def test_bool_matches_reference(searcher, small_oracle, rows,
+                                should, filter_q, must_not):
+    got = searcher.search_bool(should, filter_q, must_not, 10)
+    want = _ref_bool(small_oracle, rows, should, filter_q, must_not, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], (should, filter_q, must_not)
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), gd
+
+
+def test_bool_requires_positive_clause(searcher):
+    assert searcher.search_bool("", "", "the", 10) == []
