@@ -23,22 +23,34 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", default=None,
+                    help="transcripts parquet (omit with --merge)")
     ap.add_argument("--index", required=True)
     ap.add_argument("--shards", type=int, default=None)
     ap.add_argument("--generation", default="g0001")
     ap.add_argument("--append", action="store_true")
+    ap.add_argument("--merge", action="store_true",
+                    help="segment-merge all live generations into one "
+                         "(force-merge; never re-reads source text)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
-    from geospatial_spark.plans.build import build_index
     from geospatial_spark.session import get_spark
-    from geospatial_spark.sources.transcripts import read_transcripts
 
     spark = get_spark("cli-build", cores=args.cores)
-    tx = read_transcripts(spark, args.input)
-    m = build_index(spark, tx, args.index, n_shards=args.shards,
-                    generation=args.generation, append=args.append)
+    if args.merge:
+        from geospatial_spark.plans.compact import merge_generations
+
+        m = merge_generations(spark, args.index, n_shards=args.shards)
+    else:
+        if not args.input:
+            ap.error("--input is required unless --merge is given")
+        from geospatial_spark.plans.build import build_index
+        from geospatial_spark.sources.transcripts import read_transcripts
+
+        tx = read_transcripts(spark, args.input)
+        m = build_index(spark, tx, args.index, n_shards=args.shards,
+                        generation=args.generation, append=args.append)
     print(json.dumps({
         "state": m["state"], "generation": m["generation"],
         "n_docs": m["n_docs"], "avgdl": m["avgdl"],

@@ -21,24 +21,51 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", required=True)
+    ap.add_argument("--query", default="",
+                    help="match query (scored OR); doubles as the bool "
+                         "should clause when --filter/--must-not given")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--local", action="store_true",
                     help="serve without Spark (pyarrow row-group reads)")
+    ap.add_argument("--phrase", action="store_true",
+                    help="treat --query as an exact phrase")
+    ap.add_argument("--slop", type=int, default=None,
+                    help="proximity: all query terms within a window "
+                         "of this width")
+    ap.add_argument("--filter", default="",
+                    help="bool filter clause (unscored AND)")
+    ap.add_argument("--must-not", dest="must_not", default="",
+                    help="bool must_not clause (unscored NOT)")
     args = ap.parse_args()
 
+    mode = ("phrase" if args.phrase else
+            "near" if args.slop is not None else
+            "bool" if (args.filter or args.must_not) else "match")
     if args.local:
         from geospatial_spark.plans.serve import LocalSearcher
 
-        hits = LocalSearcher(args.index).search(args.query, args.k)
+        ls = LocalSearcher(args.index)
+        if mode == "phrase":
+            hits = ls.search_phrase(args.query, args.k)
+        elif mode == "match":
+            hits = ls.search(args.query, args.k)
+        else:
+            raise SystemExit(f"--local does not serve {mode} queries yet")
     else:
         from geospatial_spark.plans.query import IndexSearcher
         from geospatial_spark.session import get_spark
 
         spark = get_spark("cli-query", cores=args.cores)
         s = IndexSearcher(spark, args.index)
-        hits = s.search(args.query, args.k)
+        if mode == "phrase":
+            hits = s.search_phrase(args.query, args.k)
+        elif mode == "near":
+            hits = s.search_near(args.query, args.slop, args.k)
+        elif mode == "bool":
+            hits = s.search_bool(args.query, args.filter, args.must_not, args.k)
+        else:
+            hits = s.search(args.query, args.k)
     print(json.dumps({
         "query": args.query, "k": args.k,
         "hits": [{"doc_id": d, "score": sc, "rank": i + 1}

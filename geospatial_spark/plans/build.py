@@ -194,6 +194,99 @@ def _int_list_column(values, list_offsets, dtype):
         pa.array(values.astype(dtype)))
 
 
+def encode_runs_to_segments(shard: int, terms_sorted, starts, ends,
+                            docs_arr, tfs_arr, dls_arr, pos_flat,
+                            run_tok_bounds, avgdl_local: float,
+                            hot_df_copy: int = HOT_DF_COPY):
+    """(term, doc) runs (term-major, doc asc, positions flat per token)
+    → one shard's segment table. Shared by the tokenize build path and
+    the segment-merge compaction path (which reconstructs runs from
+    decoded generations instead of raw text). Returns
+    (segments pa.Table, n_postings, n_bytes)."""
+    import pyarrow as pa
+
+    from geospatial_spark.functions.codec import (
+        encode_impact_posting,
+        encode_shard_streams,
+    )
+
+    st = encode_shard_streams(docs_arr, tfs_arr, dls_arr, starts, ends,
+                              positions=pos_flat,
+                              run_tok_bounds=run_tok_bounds)
+    n_postings = int(len(docs_arr))
+    n_terms = st["n_terms"]
+    fb = st["first_block"]  # int64[n_terms+1]
+    n_bytes = (len(st["doc_buf"]) + len(st["tf_buf"])
+               + len(st["dl_buf"]) + len(st["pos_buf"]))
+
+    # ---- impact-ordered copies for hot terms (few) -------------------
+    local_idx_all = (docs_arr.astype(np.int64)
+                     & ((np.int64(1) << ORD_SHARD_SHIFT) - 1))
+    imp = {k: [None] * n_terms for k in
+           ("hd", "ht", "hl", "td", "tt", "tl", "stf", "sdl", "soff")}
+    if hot_df_copy:
+        H = IMPACT_HEAD_BLOCKS
+        for ti in np.flatnonzero((ends - starts) >= hot_df_copy):
+            s, e = int(starts[ti]), int(ends[ti])
+            # impact-ordered copy: the early-termination path that
+            # keeps saturated stopword queries sublinear in df; the
+            # stream is head/tail-split so serving readers can skip
+            # the tail (and doc-ordered) bytes of hot terms
+            (idb, itb, ilb, is_tf, is_dl, is_off) = encode_impact_posting(
+                local_idx_all[s:e],
+                tfs_arr[s:e].astype(np.int64),
+                dls_arr[s:e].astype(np.int64),
+                avgdl_local,
+            )
+            n_bytes += (sum(len(x) for x in idb) + sum(len(x) for x in itb)
+                        + sum(len(x) for x in ilb))
+            imp["hd"][ti], imp["td"][ti] = idb[:H], idb[H:]
+            imp["ht"][ti], imp["tt"][ti] = itb[:H], itb[H:]
+            imp["hl"][ti], imp["tl"][ti] = ilb[:H], ilb[H:]
+            imp["stf"][ti], imp["sdl"][ti] = is_tf, is_dl
+            imp["soff"][ti] = is_off
+
+    # ---- zero-copy Arrow assembly -------------------------------------
+    nb_per_term = fb[1:] - fb[:-1]
+    sb = st["sky_bo"]
+    # sky_off column: per term, the block skyline offsets LOCALIZED
+    # to the term (sb[b0..b1] − sb[b0]), flattened
+    reps = nb_per_term + 1
+    pos_in_term = np.arange(int(reps.sum())) - np.repeat(
+        np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+    idx = np.repeat(fb[:-1], reps) + pos_in_term
+    sky_off_vals = sb[idx] - np.repeat(sb[fb[:-1]], reps)
+    sky_off_offsets = np.concatenate(([0], np.cumsum(reps)))
+
+    cols = [
+        pa.array(np.full(n_terms, shard, dtype=np.int32)),
+        pa.array(terms_sorted),
+        pa.array((ends - starts).astype(np.int32)),
+        pa.array(np.maximum.reduceat(st["bmax_tf"], fb[:-1]).astype(np.int32)),
+        pa.array(np.minimum.reduceat(st["bmin_dl"], fb[:-1]).astype(np.int32)),
+        _bin_list_column(st["doc_buf"], st["doc_bo"], fb),
+        _bin_list_column(st["tf_buf"], st["tf_bo"], fb),
+        _bin_list_column(st["dl_buf"], st["dl_bo"], fb),
+        _bin_list_column(st["pos_buf"], st["pos_bo"], fb),
+        _int_list_column(st["bmax_tf"], fb, np.int32),
+        _int_list_column(st["bmin_dl"], fb, np.int32),
+        _int_list_column(st["blast"], fb, np.int64),
+        _int_list_column(st["sky_tf"], sb[fb], np.int32),
+        _int_list_column(st["sky_dl"], sb[fb], np.int32),
+        _int_list_column(sky_off_vals, sky_off_offsets, np.int32),
+        pa.array(imp["hd"], type=pa.list_(pa.binary())),
+        pa.array(imp["ht"], type=pa.list_(pa.binary())),
+        pa.array(imp["hl"], type=pa.list_(pa.binary())),
+        pa.array(imp["td"], type=pa.list_(pa.binary())),
+        pa.array(imp["tt"], type=pa.list_(pa.binary())),
+        pa.array(imp["tl"], type=pa.list_(pa.binary())),
+        pa.array(imp["stf"], type=pa.list_(pa.int32())),
+        pa.array(imp["sdl"], type=pa.list_(pa.int32())),
+        pa.array(imp["soff"], type=pa.list_(pa.int32())),
+    ]
+    return pa.Table.from_arrays(cols, schema=_seg_schema()), n_postings, n_bytes
+
+
 def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
                   normalization: dict[str, str] | None = None,
                   hot_df_copy: int = HOT_DF_COPY):
@@ -241,86 +334,12 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
         starts = np.concatenate(([0], tchange)).astype(np.int64)
         ends = np.concatenate((tchange, [len(term_codes)])).astype(np.int64)
         terms_sorted = uniq_terms[term_codes[starts]]
-        # bulk block encode: one varint pass per stream, flat buffers
         run_tok_bounds = np.concatenate((run_starts, [len(tc)])).astype(np.int64)
-        st = encode_shard_streams(
-            docs_arr, tfs_arr, dls_arr.astype(np.uint64), starts, ends,
-            positions=pc_, run_tok_bounds=run_tok_bounds,
-        )
-        n_postings = int(len(term_codes))
-        n_terms = st["n_terms"]
-        fb = st["first_block"]  # int64[n_terms+1]
-        n_bytes += (len(st["doc_buf"]) + len(st["tf_buf"])
-                    + len(st["dl_buf"]) + len(st["pos_buf"]))
-
-        # ---- impact-ordered copies for hot terms (few) ---------------
-        from geospatial_spark.functions.codec import encode_impact_posting
-
         avgdl_local = float(dl.mean()) if n else 0.0
-        local_idx_all = (dc[run_starts] & ((np.int64(1) << ORD_SHARD_SHIFT) - 1)).astype(np.int64)
-        imp = {k: [None] * n_terms for k in
-               ("hd", "ht", "hl", "td", "tt", "tl", "stf", "sdl", "soff")}
-        if hot_df_copy:
-            H = IMPACT_HEAD_BLOCKS
-            for ti in np.flatnonzero((ends - starts) >= hot_df_copy):
-                s, e = int(starts[ti]), int(ends[ti])
-                # impact-ordered copy: the early-termination path that
-                # keeps saturated stopword queries sublinear in df; the
-                # stream is head/tail-split so serving readers can skip
-                # the tail (and doc-ordered) bytes of hot terms
-                (idb, itb, ilb, is_tf, is_dl, is_off) = encode_impact_posting(
-                    local_idx_all[s:e],
-                    tfs_arr[s:e].astype(np.int64),
-                    dls_arr[s:e].astype(np.int64),
-                    avgdl_local,
-                )
-                n_bytes += (sum(len(x) for x in idb) + sum(len(x) for x in itb)
-                            + sum(len(x) for x in ilb))
-                imp["hd"][ti], imp["td"][ti] = idb[:H], idb[H:]
-                imp["ht"][ti], imp["tt"][ti] = itb[:H], itb[H:]
-                imp["hl"][ti], imp["tl"][ti] = ilb[:H], ilb[H:]
-                imp["stf"][ti], imp["sdl"][ti] = is_tf, is_dl
-                imp["soff"][ti] = is_off
-
-        # ---- zero-copy Arrow assembly --------------------------------
-        nb_per_term = fb[1:] - fb[:-1]
-        sb = st["sky_bo"]
-        # sky_off column: per term, the block skyline offsets LOCALIZED
-        # to the term (sb[b0..b1] − sb[b0]), flattened
-        reps = nb_per_term + 1
-        pos_in_term = np.arange(int(reps.sum())) - np.repeat(
-            np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
-        idx = np.repeat(fb[:-1], reps) + pos_in_term
-        sky_off_vals = sb[idx] - np.repeat(sb[fb[:-1]], reps)
-        sky_off_offsets = np.concatenate(([0], np.cumsum(reps)))
-
-        cols = [
-            pa.array(np.full(n_terms, shard, dtype=np.int32)),
-            pa.array(terms_sorted),
-            pa.array((ends - starts).astype(np.int32)),
-            pa.array(np.maximum.reduceat(st["bmax_tf"], fb[:-1]).astype(np.int32)),
-            pa.array(np.minimum.reduceat(st["bmin_dl"], fb[:-1]).astype(np.int32)),
-            _bin_list_column(st["doc_buf"], st["doc_bo"], fb),
-            _bin_list_column(st["tf_buf"], st["tf_bo"], fb),
-            _bin_list_column(st["dl_buf"], st["dl_bo"], fb),
-            _bin_list_column(st["pos_buf"], st["pos_bo"], fb),
-            _int_list_column(st["bmax_tf"], fb, np.int32),
-            _int_list_column(st["bmin_dl"], fb, np.int32),
-            _int_list_column(st["blast"], fb, np.int64),
-            _int_list_column(st["sky_tf"], sb[fb], np.int32),
-            _int_list_column(st["sky_dl"], sb[fb], np.int32),
-            _int_list_column(sky_off_vals, sky_off_offsets, np.int32),
-            pa.array(imp["hd"], type=pa.list_(pa.binary())),
-            pa.array(imp["ht"], type=pa.list_(pa.binary())),
-            pa.array(imp["hl"], type=pa.list_(pa.binary())),
-            pa.array(imp["td"], type=pa.list_(pa.binary())),
-            pa.array(imp["tt"], type=pa.list_(pa.binary())),
-            pa.array(imp["tl"], type=pa.list_(pa.binary())),
-            pa.array(imp["stf"], type=pa.list_(pa.int32())),
-            pa.array(imp["sdl"], type=pa.list_(pa.int32())),
-            pa.array(imp["soff"], type=pa.list_(pa.int32())),
-        ]
-        segments = pa.Table.from_arrays(cols, schema=schema)
+        segments, n_postings, n_bytes = encode_runs_to_segments(
+            shard, terms_sorted, starts, ends, docs_arr, tfs_arr,
+            dls_arr.astype(np.uint64), pc_, run_tok_bounds, avgdl_local,
+            hot_df_copy)
 
     docmap = pd.DataFrame(
         {
