@@ -128,3 +128,67 @@ def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from winagg").collect()
     }
     assert got == batch
+
+
+def test_stream_then_scheduled_merge_lifecycle(spark, small_transcripts_pd,
+                                               tmp_path):
+    """Full lifecycle at scale-shape: streaming drops produce delta
+    generations → a scheduled maintenance tick force-merges them via
+    segment merge (no source re-read) → the collapsed index still
+    answers match AND phrase queries oracle-exactly, and generation
+    cleanup reclaims the superseded deltas."""
+    import math
+
+    from geospatial_spark.plans import lifecycle as lc
+    from geospatial_spark.plans.compact import merge_generations
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.streaming.incremental import start_incremental_index
+    from geospatial_spark.streaming.scheduler import RefreshLoop, RefreshPolicy
+    from oracle.oracle import OracleIndex
+
+    src = tmp_path / "src"
+    src.mkdir()
+    third = len(small_transcripts_pd) // 3
+    for i in range(3):
+        lo = i * third
+        hi = None if i == 2 else (i + 1) * third
+        small_transcripts_pd.iloc[lo:hi].to_parquet(
+            src / f"drop-{i}.parquet", index=False)
+    root = str(tmp_path / "idx")
+    q = start_incremental_index(spark, str(src), root,
+                                checkpoint=str(tmp_path / "ck"), n_shards=2)
+    q.awaitTermination(120)
+    n_gens_before = len(lc.read_manifest(root)["generations"])
+    assert n_gens_before >= 1
+
+    clock_t = [0.0]
+    loop = RefreshLoop(lambda: merge_generations(spark, root, n_shards=4),
+                       RefreshPolicy(interval_seconds=60.0),
+                       clock=lambda: clock_t[0],
+                       sleep=lambda s: clock_t.__setitem__(0, clock_t[0] + s))
+    hist = loop.run(max_runs=1)
+    assert hist[0].ok, hist[0].error
+
+    m = lc.read_manifest(root)
+    assert len(m["generations"]) == 1
+    assert m["n_docs"] == len(small_transcripts_pd)
+
+    rows = list(zip(small_transcripts_pd["conv_id"],
+                    small_transcripts_pd["turn_idx"],
+                    small_transcripts_pd["text"]))
+    oracle = OracleIndex.build(rows)
+    s = IndexSearcher(spark, root)
+    for query in ["deploy the spark job", "the"]:
+        want = oracle.search(query, 10)
+        got = s.search(query, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), query
+    got = s.search_phrase("deploy the", 10)
+    want = [(d, sc) for d, sc, _ in oracle.search_phrase(rows, "deploy the", 10)]
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+    deleted = lc.delete_unused_generations(root, grace_seconds=0.0)
+    assert set(deleted) >= {g for g in lc.list_generations(root)
+                            if g != m["generation"]} or deleted
+    assert lc.list_generations(root) == [m["generation"]]
