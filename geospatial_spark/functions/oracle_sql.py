@@ -454,6 +454,35 @@ WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= {threshold}
 """.strip()
 
 
+def dup_groups_sql(threshold: float = 0.8, n_seeds: int = 16,
+                   n_bands: int = 4, table: str = "documents",
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Connected components over the LSH-verified near-dup graph via a
+    recursive reachability closure (fine at gate scale; the engine uses
+    min-label propagation over the same edge set). Returns
+    (doc_id, canonical_id, group_size) for every doc."""
+    verified = lsh_verified_dups_sql(threshold, n_seeds, n_bands,
+                                     table, id_col, text_col)
+    # reuse the verified-pairs query as a subquery edge list
+    return f"""
+WITH RECURSIVE
+verified AS ({verified}),
+edges AS (SELECT a AS s, b AS d FROM verified
+          UNION SELECT b, a FROM verified),
+allnodes AS (SELECT {id_col} AS doc_id FROM {table}),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM allnodes
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+),
+comp AS (SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY 1),
+sizes AS (SELECT canonical_id, count(*)::BIGINT AS group_size
+          FROM comp GROUP BY 1)
+SELECT c.doc_id, c.canonical_id, s.group_size
+FROM comp c JOIN sizes s USING (canonical_id)
+""".strip()
+
+
 def simhash_sql(table: str = "documents", id_col: str = "doc_id",
                 text_col: str = "text") -> str:
     return f"""

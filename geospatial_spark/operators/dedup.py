@@ -169,6 +169,61 @@ def lsh_verified_dups(df: DataFrame, id_col: str, text_col: str = "text",
                                candidates=cand)
 
 
+def dup_groups(df: DataFrame, id_col: str, text_col: str = "text",
+               threshold: float = 0.8,
+               pairs: DataFrame | None = None,
+               max_iters: int = 25) -> DataFrame:
+    """Near-dup GROUP assignment — the step a real dedup pipeline runs
+    after pair discovery: connected components over the LSH-verified
+    similarity graph, canonical = the component's minimum doc id.
+    Returns (doc_id, canonical_id, group_size) for EVERY doc (docs in
+    no pair are their own singleton group).
+
+    Scale shape: iteration runs ONLY over the dup graph's nodes (a tiny
+    fraction of the corpus — every edge survived Jaccard ≥ threshold),
+    via min-label propagation: label(n) ← min(label(n), labels of
+    neighbors) until fixpoint, O(component diameter) rounds of small
+    joins; near-dup chains are shallow in practice. The corpus-sized
+    side is touched once, by the final left join."""
+    from pyspark.sql import functions as F
+
+    if pairs is None:
+        pairs = lsh_verified_dups(df, id_col, text_col, threshold) \
+            .select("a", "b")
+    edges = (pairs.select(F.col("a").alias("s"), F.col("b").alias("d"))
+             .unionByName(pairs.select(F.col("b").alias("s"),
+                                       F.col("a").alias("d")))
+             .distinct())
+    labels = (edges.select(F.col("s").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    labels = labels.localCheckpoint() if labels.take(1) else labels
+    for _ in range(max_iters):
+        prop = (edges.join(labels, edges["s"] == labels["node"])
+                .select(F.col("d").alias("node"), "label"))
+        new_labels = (labels.unionByName(prop)
+                      .groupBy("node").agg(F.min("label").alias("label"))
+                      .localCheckpoint())  # truncate the iterative lineage
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"dup_groups did not converge in {max_iters} rounds")
+
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"))
+    assign = labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("canonical_id"), "group_size")
+    everyone = df.select(F.col(id_col).alias("doc_id"))
+    return (everyone.join(assign, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
+                    F.coalesce("group_size", F.lit(1)).cast("long").alias("group_size")))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """32-bit SimHash: per distinct token, a md5-derived 32-bit hash,
     weighted by tf; bit b of the sketch is 1 iff the tf-weighted sum of

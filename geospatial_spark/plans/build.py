@@ -106,11 +106,12 @@ def _fingerprint(doc_ids: pd.Series, texts: pd.Series,
 
 
 def _config_digest(normalization: dict[str, str] | None,
-                   hot_df_copy: int = 0) -> str:
+                   hot_df_copy: int = 0, store_positions: bool = True) -> str:
     h = hashlib.sha256()
     if normalization:
         for k in sorted(normalization):
             h.update(f"{k}\x01{normalization[k]}\x02".encode())
+    h.update(f"pos={int(store_positions)}".encode())
     # the impact-copy threshold changes segment bytes → a different value
     # must invalidate checkpoints (old segments would lack/mis-size the
     # impact streams)
@@ -198,6 +199,9 @@ def encode_runs_to_segments(shard: int, terms_sorted, starts, ends,
                             docs_arr, tfs_arr, dls_arr, pos_flat,
                             run_tok_bounds, avgdl_local: float,
                             hot_df_copy: int = HOT_DF_COPY):
+    """pos_flat may be None (store_positions=False builds): the
+    pos_blocks column is then all-null and phrase/proximity queries are
+    refused driver-side."""
     """(term, doc) runs (term-major, doc asc, positions flat per token)
     → one shard's segment table. Shared by the tokenize build path and
     the segment-merge compaction path (which reconstructs runs from
@@ -216,8 +220,8 @@ def encode_runs_to_segments(shard: int, terms_sorted, starts, ends,
     n_postings = int(len(docs_arr))
     n_terms = st["n_terms"]
     fb = st["first_block"]  # int64[n_terms+1]
-    n_bytes = (len(st["doc_buf"]) + len(st["tf_buf"])
-               + len(st["dl_buf"]) + len(st["pos_buf"]))
+    n_bytes = (len(st["doc_buf"]) + len(st["tf_buf"]) + len(st["dl_buf"])
+               + (len(st["pos_buf"]) if st["pos_buf"] is not None else 0))
 
     # ---- impact-ordered copies for hot terms (few) -------------------
     local_idx_all = (docs_arr.astype(np.int64)
@@ -267,7 +271,9 @@ def encode_runs_to_segments(shard: int, terms_sorted, starts, ends,
         _bin_list_column(st["doc_buf"], st["doc_bo"], fb),
         _bin_list_column(st["tf_buf"], st["tf_bo"], fb),
         _bin_list_column(st["dl_buf"], st["dl_bo"], fb),
-        _bin_list_column(st["pos_buf"], st["pos_bo"], fb),
+        (_bin_list_column(st["pos_buf"], st["pos_bo"], fb)
+         if st["pos_buf"] is not None
+         else pa.nulls(n_terms, type=pa.list_(pa.binary()))),
         _int_list_column(st["bmax_tf"], fb, np.int32),
         _int_list_column(st["bmin_dl"], fb, np.int32),
         _int_list_column(st["blast"], fb, np.int64),
@@ -289,7 +295,8 @@ def encode_runs_to_segments(shard: int, terms_sorted, starts, ends,
 
 def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
                   normalization: dict[str, str] | None = None,
-                  hot_df_copy: int = HOT_DF_COPY):
+                  hot_df_copy: int = HOT_DF_COPY,
+                  store_positions: bool = True):
     """Tokenize + posting encode one shard. Returns (segments pyarrow
     Table, docmap_df, stats dict). All hot paths vectorized; the
     segment table is assembled zero-copy from the bulk encoder's flat
@@ -338,8 +345,10 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
         avgdl_local = float(dl.mean()) if n else 0.0
         segments, n_postings, n_bytes = encode_runs_to_segments(
             shard, terms_sorted, starts, ends, docs_arr, tfs_arr,
-            dls_arr.astype(np.uint64), pc_, run_tok_bounds, avgdl_local,
-            hot_df_copy)
+            dls_arr.astype(np.uint64),
+            pc_ if store_positions else None,
+            run_tok_bounds if store_positions else None,
+            avgdl_local, hot_df_copy)
 
     docmap = pd.DataFrame(
         {
@@ -382,11 +391,12 @@ def _write_parquet(df: pd.DataFrame, path: Path,
 
 def _make_shard_builder(gdir_str: str, normalization: dict[str, str] | None = None,
                         hot_df_copy: int = HOT_DF_COPY,
-                        storage: str = lc.STORAGE_POSIX):
-    """Returns the mapInPandas kernel. gdir + dictionary passed by value
+                        storage: str = lc.STORAGE_POSIX,
+                        store_positions: bool = True):
+    """Returns the applyInPandas kernel. gdir + config passed by value
     (no driver globals captured by reference)."""
 
-    cfg_digest = _config_digest(normalization, hot_df_copy)
+    cfg_digest = _config_digest(normalization, hot_df_copy, store_positions)
 
     def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
@@ -420,7 +430,8 @@ def _make_shard_builder(gdir_str: str, normalization: dict[str, str] | None = No
                                       "docmap_file": dp.name}])
 
         segments, docmap, stats = _encode_shard(shard, data["doc_id"], data["text"],
-                                                normalization, hot_df_copy)
+                                                normalization, hot_df_copy,
+                                                store_positions)
         _write_parquet(segments, gdir / seg_name, storage)
         _write_parquet(docmap, gdir / dm_name, storage)
         # checkpoint written LAST: it NAMES the landed files (the commit
@@ -446,6 +457,7 @@ def build_index(
     normalization: dict[str, str] | None = None,
     hot_df_copy: int = HOT_DF_COPY,
     storage: str | None = None,
+    store_positions: bool = True,
 ) -> dict:
     """Build (or resume) the index; returns the published manifest.
 
@@ -464,7 +476,8 @@ def build_index(
     with lc.BuildLock(index_root, owner=f"build:{generation}"):
         return _build_index_locked(spark, transcripts, index_root, n_shards,
                                    generation, append, normalization,
-                                   hot_df_copy, lc.storage_mode(storage))
+                                   hot_df_copy, lc.storage_mode(storage),
+                                   store_positions)
 
 
 def _build_index_locked(
@@ -477,6 +490,7 @@ def _build_index_locked(
     normalization: dict[str, str] | None,
     hot_df_copy: int,
     storage: str,
+    store_positions: bool = True,
 ) -> dict:
     import time as _time
 
@@ -497,6 +511,10 @@ def _build_index_locked(
             raise ValueError(
                 "append build passed a normalization map different from "
                 "the prior manifest's; rebuild (append=False) to change it")
+        if bool(prior.get("positions", True)) != bool(store_positions):
+            raise ValueError(
+                "append build's store_positions differs from the prior "
+                "manifest's; rebuild (append=False) to change it")
 
     try:
         gdir.mkdir(parents=True, exist_ok=True)
@@ -514,7 +532,8 @@ def _build_index_locked(
             "shard_key",
             F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_shards)).cast("int"))
         metrics_df = keyed.groupBy("shard_key").applyInPandas(
-            _make_shard_builder(str(gdir), normalization, hot_df_copy, storage),
+            _make_shard_builder(str(gdir), normalization, hot_df_copy, storage,
+                                store_positions),
             schema=BUILD_METRIC_SCHEMA)
         metrics = [r.asDict() for r in metrics_df.collect()]
 
@@ -594,6 +613,7 @@ def _build_index_locked(
             "bm25": {"k1": 1.2, "b": 0.75},
             # queries must normalize through the same dictionary
             "normalization": normalization or {},
+            "positions": bool(store_positions),
             "storage": storage,
             # single-generation compatibility block (tests, tooling)
             "n_shards": n_shards,

@@ -358,6 +358,12 @@ def _lsh_verified(spark, sf_dir):
     return lsh_verified_dups(_docs(spark, sf_dir), "doc_id", threshold=0.8)
 
 
+def _dup_groups(spark, sf_dir):
+    from geospatial_spark.operators.dedup import dup_groups
+
+    return dup_groups(_docs(spark, sf_dir), "doc_id", threshold=0.8)
+
+
 def _simhash(spark, sf_dir):
     from geospatial_spark.operators.dedup import simhash
 
@@ -659,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": _minhash_lsh_pairs,
         "dedup_ngram_jaccard": _ngram_jaccard,
         "dedup_lsh_verified": _lsh_verified,
+        "dedup_groups": _dup_groups,
         "dedup_simhash": _simhash,
         # embeddings / similarity
         "embed_norm": _embed_norm,
@@ -715,6 +722,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": osql.minhash_lsh_pairs_sql(table=_DOC_SUBSET),
         "dedup_ngram_jaccard": osql.ngram_jaccard_sql(threshold=0.5, table=_DOC_SUBSET),
         "dedup_lsh_verified": osql.lsh_verified_dups_sql(threshold=0.8),
+        "dedup_groups": osql.dup_groups_sql(threshold=0.8),
         "dedup_simhash": osql.simhash_sql(),
         "embed_norm": osql.embed_norm_sql(),
         "ann_topk_bruteforce": osql.ann_topk_sql(ANN_QUERY_IDS, 10),

@@ -213,6 +213,9 @@ def merge_generations(spark: SparkSession, index_root: str,
         m = lc.read_manifest(index_root)
         if not m or m.get("state") != lc.STATE_AVAILABLE:
             raise ValueError(f"index at {index_root} not AVAILABLE")
+        if not m.get("positions", True):
+            raise ValueError("segment merge requires a positions index "
+                             "(store_positions=True builds)")
         gens = m.get("generations", [])
         if len(gens) <= 1:
             return m

@@ -208,6 +208,10 @@ class IndexSearcher:
         phrase's distinct terms' BM25 contributions (operators/phrase).
         Requires a v2 (positions) index. None = no possible match.
         """
+        if not self.manifest.get("positions", True):
+            raise ValueError("index built with store_positions=False "
+                             "cannot serve phrase queries — rebuild with "
+                             "positions")
         norm = self.manifest.get("normalization") or {}
         slots = [norm.get(t, t) for t in tokenize_py(phrase)]
         if not slots or self.n_docs == 0:
@@ -264,6 +268,10 @@ class IndexSearcher:
         ≤slop-wide position window holds ALL the query's distinct terms
         (order-free); scored as the sum of the distinct terms' BM25
         contributions (operators/phrase.near_match_shard)."""
+        if not self.manifest.get("positions", True):
+            raise ValueError("index built with store_positions=False "
+                             "cannot serve proximity queries — rebuild "
+                             "with positions")
         norm = self.manifest.get("normalization") or {}
         terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
         if not terms or self.n_docs == 0:

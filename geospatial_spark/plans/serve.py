@@ -250,6 +250,9 @@ class LocalSearcher:
 
         from geospatial_spark.operators.phrase import phrase_match_shard
 
+        if not self.manifest.get("positions", True):
+            raise ValueError("index built with store_positions=False "
+                             "cannot serve phrase queries")
         norm = self.manifest.get("normalization") or {}
         slots = [norm.get(t, t) for t in tokenize_py(phrase)]
         if not slots or self.n_docs == 0:

@@ -129,3 +129,17 @@ def test_multi_value_lookup_sorted(spark):
     assert out[1] == ["A", "B"]
     assert out[2] == ["C"]
     assert out[3] == []
+
+
+def test_dup_groups_transitive_closure(spark):
+    """Chained pairs must collapse transitively: A~B, B~C → one group
+    with canonical min(A,B,C), regardless of discovery order."""
+    from geospatial_spark.operators.dedup import dup_groups
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(1, 7)],
+                                 ["doc_id", "text"])
+    pairs = spark.createDataFrame([(2, 3), (1, 2), (5, 6)], ["a", "b"])
+    got = {r["doc_id"]: (r["canonical_id"], r["group_size"])
+           for r in dup_groups(docs, "doc_id", pairs=pairs).collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3),
+                   4: (4, 1), 5: (5, 2), 6: (5, 2)}

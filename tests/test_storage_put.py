@@ -113,3 +113,40 @@ def test_put_mode_rebuild_purges_stale_tokens(spark, small_transcripts,
         assert old[s["shard"]] not in names  # stale object purged
     hits = IndexSearcher(spark, root).search("zz9freshterm", 5)
     assert hits
+
+
+def test_store_positions_false_builds_smaller(spark, tiny_transcripts,
+                                              tmp_path_factory, small_oracle):
+    """store_positions=False: plain search identical, phrase refused
+    cleanly, segment bytes strictly smaller than a positions build."""
+    import math
+
+    import pytest as _pytest
+
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.query import IndexSearcher
+
+    base = tmp_path_factory.mktemp("nopos")
+    m_with = build_index(spark, tiny_transcripts, str(base / "w"), n_shards=2)
+    m_wo = build_index(spark, tiny_transcripts, str(base / "wo"), n_shards=2,
+                       store_positions=False)
+    b_with = sum(s["bytes_compressed"] for s in m_with["shards"])
+    b_wo = sum(s["bytes_compressed"] for s in m_wo["shards"])
+    assert b_wo < b_with
+    assert m_wo["positions"] is False
+
+    s_w = IndexSearcher(spark, str(base / "w"))
+    s_o = IndexSearcher(spark, str(base / "wo"))
+    for q in ["the spark", "deploy"]:
+        a, b = s_w.search(q, 5), s_o.search(q, 5)
+        assert [d for d, _ in a] == [d for d, _ in b]
+        for (_, sa), (_, sb) in zip(a, b):
+            assert math.isclose(sa, sb, rel_tol=1e-12)
+    with _pytest.raises(ValueError, match="store_positions"):
+        s_o.search_phrase_df("the spark", 5)
+    with _pytest.raises(ValueError, match="store_positions"):
+        s_o.search_near_df("the spark", 2, 5)
+    # append must not silently flip the flag
+    with _pytest.raises(ValueError, match="store_positions"):
+        build_index(spark, tiny_transcripts, str(base / "wo"), n_shards=2,
+                    generation="g0002", append=True, store_positions=True)
