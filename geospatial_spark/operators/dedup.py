@@ -172,7 +172,8 @@ def lsh_verified_dups(df: DataFrame, id_col: str, text_col: str = "text",
 def dup_groups(df: DataFrame, id_col: str, text_col: str = "text",
                threshold: float = 0.8,
                pairs: DataFrame | None = None,
-               max_iters: int = 25) -> DataFrame:
+               max_iters: int = 25,
+               driver_max_edges: int = 2_000_000) -> DataFrame:
     """Near-dup GROUP assignment — the step a real dedup pipeline runs
     after pair discovery: connected components over the LSH-verified
     similarity graph, canonical = the component's minimum doc id.
@@ -194,6 +195,38 @@ def dup_groups(df: DataFrame, id_col: str, text_col: str = "text",
              .unionByName(pairs.select(F.col("b").alias("s"),
                                        F.col("a").alias("d")))
              .distinct())
+
+    # the dup GRAPH is tiny relative to the corpus (edges survived
+    # Jaccard ≥ threshold); below driver_max_edges the components
+    # resolve in one collect + union-find instead of a multi-job
+    # propagation loop — the loop remains the unbounded-graph path
+    edge_rows = edges.limit(driver_max_edges + 1).collect()
+    if len(edge_rows) <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edge_rows:
+            a, b = row["s"], row["d"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        assign_rows = [(n, find(n)) for n in parent]
+        spark = df.sparkSession
+        id_type = dict(df.dtypes)[id_col]
+        labels = spark.createDataFrame(
+            assign_rows or [], schema=f"node {id_type}, label {id_type}")
+        return _dup_groups_finish(df, id_col, labels, small=True)
+
     labels = (edges.select(F.col("s").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     labels = labels.localCheckpoint() if labels.take(1) else labels
@@ -211,12 +244,20 @@ def dup_groups(df: DataFrame, id_col: str, text_col: str = "text",
             break
     else:
         raise RuntimeError(f"dup_groups did not converge in {max_iters} rounds")
+    return _dup_groups_finish(df, id_col, labels, small=False)
+
+
+def _dup_groups_finish(df: DataFrame, id_col: str, labels: DataFrame,
+                       small: bool) -> DataFrame:
+    from pyspark.sql import functions as F
 
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("group_size"))
     assign = labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("canonical_id"), "group_size")
+    if small:
+        assign = F.broadcast(assign)  # driver-resolved graph: tiny
     everyone = df.select(F.col(id_col).alias("doc_id"))
     return (everyone.join(assign, "doc_id", "left")
             .select("doc_id",

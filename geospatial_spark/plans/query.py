@@ -470,6 +470,166 @@ class IndexSearcher:
             out[r["qid"]].append((r["doc_id"], float(r["score"])))
         return out
 
+    def search_many_mixed(self, queries: dict[str, dict], k: int = 10
+                          ) -> dict[str, list[tuple[str, float]]]:
+        """Batched MIXED-TYPE search: every query in ONE Spark job —
+        one segment scan over the union of all queries' terms (the
+        positions column ships only when the batch contains a
+        phrase/near query), one applyInPandas pass dispatching each
+        query to its kernel, one window truncation.
+
+        queries: qid → spec:
+          {"type": "match",  "q": text}
+          {"type": "phrase", "q": text}
+          {"type": "near",   "q": text, "slop": int}
+          {"type": "bool",   "should": text, "filter": text,
+                             "must_not": text}   (clauses optional)
+        """
+        norm = self.manifest.get("normalization") or {}
+
+        def toks_set(text: str) -> list[str]:
+            return sorted({norm.get(t, t) for t in tokenize_py(text or "")})
+
+        def toks_seq(text: str) -> list[str]:
+            return [norm.get(t, t) for t in tokenize_py(text or "")]
+
+        out: dict[str, list[tuple[str, float]]] = {q: [] for q in queries}
+        if self.n_docs == 0:
+            return out
+        needs_pos = any(s.get("type") in ("phrase", "near")
+                        for s in queries.values())
+        if needs_pos and not self.manifest.get("positions", True):
+            raise ValueError("batch contains phrase/near queries but the "
+                             "index was built with store_positions=False")
+
+        # driver-side planning: per-query term sets + early-empty
+        plans: dict[str, dict] = {}
+        all_terms: set[str] = set()
+        for qid, spec in queries.items():
+            typ = spec.get("type", "match")
+            if typ == "match":
+                ts = toks_set(spec.get("q", ""))
+                p = {"type": typ, "terms": ts}
+            elif typ == "phrase":
+                slots = toks_seq(spec.get("q", ""))
+                p = {"type": typ, "slots": slots,
+                     "terms": sorted(set(slots))}
+            elif typ == "near":
+                ts = toks_set(spec.get("q", ""))
+                p = {"type": typ, "terms": ts,
+                     "slop": int(spec.get("slop", 0))}
+            elif typ == "bool":
+                p = {"type": typ,
+                     "should": toks_set(spec.get("should", "")),
+                     "filter": toks_set(spec.get("filter", "")),
+                     "must_not": toks_set(spec.get("must_not", ""))}
+                p["terms"] = sorted(set(p["should"] + p["filter"]
+                                        + p["must_not"]))
+            else:
+                raise ValueError(f"unknown query type {typ!r} for {qid!r}")
+            plans[qid] = p
+            all_terms.update(p["terms"])
+        if not all_terms:
+            return out
+        df_global = self._df_for(sorted(all_terms))
+
+        live: dict[str, dict] = {}
+        for qid, p in plans.items():
+            t = p["type"]
+            if t == "match":
+                p["terms"] = [x for x in p["terms"] if x in df_global]
+                ok = bool(p["terms"])
+            elif t in ("phrase", "near"):
+                ok = bool(p["terms"]) and all(x in df_global
+                                              for x in p["terms"])
+            else:
+                p["should"] = [x for x in p["should"] if x in df_global]
+                p["must_not"] = [x for x in p["must_not"] if x in df_global]
+                ok = (all(x in df_global for x in p["filter"])
+                      and (bool(p["should"]) or bool(p["filter"]))
+                      and not (queries[qid].get("should") and not p["should"]))
+            if ok:
+                live[qid] = p
+        if not live:
+            return out
+
+        scan_terms = sorted({t for p in live.values() for t in p["terms"]
+                             if t in df_global})
+        matched = self._segments().where(F.col("term").isin(scan_terms))
+        if not needs_pos:
+            matched = matched.drop("pos_blocks")
+        n_docs, avgdl = self.n_docs, self.avgdl
+        shard_docs, gdirs = self.shard_docs, self.gdirs
+        dm_files = self.docmap_files
+        kk = int(k)
+
+        def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from pathlib import Path as _P
+
+            import pyarrow.parquet as pq
+
+            from geospatial_spark.operators.boolquery import bool_match_shard
+            from geospatial_spark.operators.phrase import (
+                near_match_shard,
+                phrase_match_shard,
+            )
+
+            gen, shard = str(key[0]), int(key[1])
+            base = shard << ORD_SHARD_SHIFT
+            n_local = shard_docs.get((gen, shard), 0)
+            rows_by_term = {rec["term"]: rec
+                            for rec in pdf.to_dict("records")}
+            docmap_col = None
+            outs = []
+            for qid, p in live.items():
+                t = p["type"]
+                if t == "match":
+                    rows = [rows_by_term[x] for x in p["terms"]
+                            if x in rows_by_term]
+                    if not rows:
+                        continue
+                    local, scores = wand_shard(rows, n_local, base,
+                                               df_global, n_docs, avgdl, kk)
+                elif t == "phrase":
+                    local, scores, _ = phrase_match_shard(
+                        p["slots"], rows_by_term, base, df_global,
+                        n_docs, avgdl, kk)
+                elif t == "near":
+                    local, scores, _ = near_match_shard(
+                        p["terms"], p["slop"], rows_by_term, base,
+                        df_global, n_docs, avgdl, kk)
+                else:
+                    local, scores = bool_match_shard(
+                        p["should"], p["filter"], p["must_not"],
+                        rows_by_term, n_local, base, df_global,
+                        n_docs, avgdl, kk)
+                if len(local) == 0:
+                    continue
+                if docmap_col is None:
+                    docmap_col = pq.read_table(
+                        _P(gdirs[gen]) / dm_files[(gen, shard)],
+                        columns=["doc_id"]).column("doc_id")
+                ids = docmap_col.take(local.tolist()).to_pylist()
+                outs.append(pd.DataFrame({
+                    "qid": qid, "doc_id": ids,
+                    "score": scores.astype(np.float64)}))
+            if outs:
+                return pd.concat(outs, ignore_index=True)
+            return pd.DataFrame({"qid": pd.Series([], dtype=object),
+                                 "doc_id": pd.Series([], dtype=object),
+                                 "score": pd.Series([], dtype="float64")})
+
+        from pyspark.sql.window import Window
+
+        per_shard = matched.groupBy("gen", "shard").applyInPandas(
+            run_shard, schema="qid string, doc_id string, score double")
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), *merge_tie_break())
+        top = (per_shard.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= kk))
+        for r in sorted(top.collect(), key=lambda r: (r["qid"], r["rank"])):
+            out[r["qid"]].append((r["doc_id"], float(r["score"])))
+        return out
+
     def fetch_doc_text(self, doc_id: str, transcripts: DataFrame) -> str | None:
         """1-row lookup of a doc's text (limit-1 dictionary search
         analogue, GeoIpDataDao.java:252)."""

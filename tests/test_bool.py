@@ -85,3 +85,35 @@ def test_bool_matches_reference(searcher, small_oracle, rows,
 
 def test_bool_requires_positive_clause(searcher):
     assert searcher.search_bool("", "", "the", 10) == []
+
+
+def test_search_many_mixed_matches_individual(spark, searcher, small_oracle,
+                                              rows):
+    """One batched job must equal the per-query paths for every type."""
+    batch = {
+        "m1": {"type": "match", "q": "deploy the spark job"},
+        "m2": {"type": "match", "q": "zzz-not-in-corpus"},
+        "p1": {"type": "phrase", "q": "deploy the"},
+        "p2": {"type": "phrase", "q": ""},
+        "n1": {"type": "near", "q": "deploy spark", "slop": 3},
+        "b1": {"type": "bool", "should": "deploy spark", "filter": "the",
+               "must_not": "job"},
+        "b2": {"type": "bool", "filter": "the spark"},
+    }
+    got = searcher.search_many_mixed(batch, k=10)
+    want = {
+        "m1": searcher.search("deploy the spark job", 10),
+        "m2": [],
+        "p1": searcher.search_phrase("deploy the", 10),
+        "p2": [],
+        "n1": searcher.search_near("deploy spark", 3, 10),
+        "b1": searcher.search_bool("deploy spark", "the", "job", 10),
+        "b2": searcher.search_bool("", "the spark", "", 10),
+    }
+    assert set(got) == set(batch)
+    for qid in batch:
+        assert [d for d, _ in got[qid]] == [d for d, _ in want[qid]], qid
+        for (gd, gs), (_, ws) in zip(got[qid], want[qid]):
+            import math as _m
+
+            assert _m.isclose(gs, ws, rel_tol=1e-12), (qid, gd)
