@@ -48,10 +48,13 @@ def main() -> None:
         ls = LocalSearcher(args.index)
         if mode == "phrase":
             hits = ls.search_phrase(args.query, args.k)
-        elif mode == "match":
-            hits = ls.search(args.query, args.k)
+        elif mode == "near":
+            hits = ls.search_near(args.query, args.slop, args.k)
+        elif mode == "bool":
+            hits = ls.search_bool(args.query, args.filter, args.must_not,
+                                  args.k)
         else:
-            raise SystemExit(f"--local does not serve {mode} queries yet")
+            hits = ls.search(args.query, args.k)
     else:
         from geospatial_spark.plans.query import IndexSearcher
         from geospatial_spark.session import get_spark

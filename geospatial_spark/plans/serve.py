@@ -295,6 +295,113 @@ class LocalSearcher:
         return [(d, -neg) for neg, _, _, d in candidates[:k]]
 
 
+    def search_near(self, query: str, slop: int, k: int = 10
+                    ) -> list[tuple[str, float]]:
+        """Proximity top-k on the serving path — same contract as
+        IndexSearcher.search_near."""
+        import pyarrow.parquet as pq
+
+        from geospatial_spark.operators.phrase import near_match_shard
+
+        if not self.manifest.get("positions", True):
+            raise ValueError("index built with store_positions=False "
+                             "cannot serve proximity queries")
+        norm = self.manifest.get("normalization") or {}
+        terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
+        if not terms or self.n_docs == 0:
+            return []
+        df_global = self._df_for(terms)
+        if len(df_global) < len(terms):
+            return []  # AND semantics
+
+        candidates: list[tuple[float, str, int, str]] = []
+        for g in self.gens:
+            gen_id = g["id"]
+            gdir = self.gdirs[gen_id]
+            reader = self._reader(gen_id)
+            cols = [c for c in reader.schema_names
+                    if not c.startswith("imp_")]
+            by_shard: dict[int, dict[str, dict]] = {}
+            for r in reader.read_terms(terms, cols):
+                by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
+            for shard, rows_by_term in by_shard.items():
+                base = shard << ORD_SHARD_SHIFT
+                local, scores, _ = near_match_shard(
+                    terms, int(slop), rows_by_term, base, df_global,
+                    self.n_docs, self.avgdl, k)
+                if len(local) == 0:
+                    continue
+                key = (gen_id, shard)
+                col = self._docmap_cache.get(key)
+                if col is None:
+                    col = pq.read_table(gdir / self.docmap_files[key],
+                                        columns=["doc_id"]).column("doc_id")
+                    self._docmap_cache[key] = col
+                for doc_id, sc in zip(col.take(local.tolist()).to_pylist(),
+                                      scores):
+                    conv, _, turn = doc_id.rpartition(":")
+                    candidates.append((-float(sc), conv, int(turn), doc_id))
+        candidates.sort()
+        return [(d, -neg) for neg, _, _, d in candidates[:k]]
+
+    def search_bool(self, should: str = "", filter_q: str = "",
+                    must_not: str = "", k: int = 10
+                    ) -> list[tuple[str, float]]:
+        """Bool query on the serving path — same contract as
+        IndexSearcher.search_bool (positive clause required)."""
+        import pyarrow.parquet as pq
+
+        from geospatial_spark.operators.boolquery import bool_match_shard
+
+        norm = self.manifest.get("normalization") or {}
+
+        def toks(text: str) -> list[str]:
+            return sorted({norm.get(t, t) for t in tokenize_py(text)})
+
+        sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
+        if (not sh and not fl) or self.n_docs == 0:
+            return []
+        df_global = self._df_for(sorted(set(sh + fl + mn)))
+        if any(t not in df_global for t in fl):
+            return []
+        sh = [t for t in sh if t in df_global]
+        if should and not sh:
+            return []
+        mn = [t for t in mn if t in df_global]
+        scan_terms = sorted(set(sh + fl + mn))
+
+        candidates: list[tuple[float, str, int, str]] = []
+        for g in self.gens:
+            gen_id = g["id"]
+            gdir = self.gdirs[gen_id]
+            reader = self._reader(gen_id)
+            cols = [c for c in reader.schema_names
+                    if not c.startswith("imp_") and c != "pos_blocks"]
+            by_shard: dict[int, dict[str, dict]] = {}
+            for r in reader.read_terms(scan_terms, cols):
+                by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
+            for shard, rows_by_term in by_shard.items():
+                base = shard << ORD_SHARD_SHIFT
+                local, scores = bool_match_shard(
+                    sh, fl, mn, rows_by_term,
+                    self.shard_docs[(gen_id, shard)], base, df_global,
+                    self.n_docs, self.avgdl, k)
+                if len(local) == 0:
+                    continue
+                key = (gen_id, shard)
+                col = self._docmap_cache.get(key)
+                if col is None:
+                    col = pq.read_table(gdir / self.docmap_files[key],
+                                        columns=["doc_id"]).column("doc_id")
+                    self._docmap_cache[key] = col
+                for doc_id, sc in zip(col.take(local.tolist()).to_pylist(),
+                                      scores):
+                    conv, _, turn = doc_id.rpartition(":")
+                    candidates.append((-float(sc), conv, int(turn), doc_id))
+        candidates.sort()
+        return [(d, -neg) for neg, _, _, d in candidates[:k]]
+
+
 class _SegmentReader:
     """Row-group-pruned threaded reader over one generation's segment
     files — the serving-grade I/O path. We own the format (term-sorted

@@ -120,3 +120,35 @@ def test_local_multi_generation(spark, small_transcripts_pd, tmp_path):
         expected = oracle.search(q, 10)
         got = s.search(q, 10)
         assert [d for d, _ in got] == [d for d, _ in expected], q
+
+
+def test_serving_near_and_bool_parity(spark, small_transcripts, small_oracle,
+                                      tmp_path_factory):
+    """LocalSearcher near/bool results == IndexSearcher results (the
+    serving path must carry the full query surface)."""
+    import math
+
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    root = str(tmp_path_factory.mktemp("servefull") / "idx")
+    build_index(spark, small_transcripts, root, n_shards=4, hot_df_copy=32)
+    s = IndexSearcher(spark, root)
+    ls = LocalSearcher(root)
+
+    for q, slop in [("deploy spark", 3), ("the spark", 1),
+                    ("zzz spark", 5)]:
+        a, b = s.search_near(q, slop, 10), ls.search_near(q, slop, 10)
+        assert [d for d, _ in a] == [d for d, _ in b], (q, slop)
+        for (_, sa), (_, sb) in zip(a, b):
+            assert math.isclose(sa, sb, rel_tol=1e-12)
+
+    cases = [("deploy spark", "the", "job"), ("", "the spark", "deploy"),
+             ("deploy", "zzz-not-in-corpus", ""), ("the", "", "spark")]
+    for should, flt, mn in cases:
+        a = s.search_bool(should, flt, mn, 10)
+        b = ls.search_bool(should, flt, mn, 10)
+        assert [d for d, _ in a] == [d for d, _ in b], (should, flt, mn)
+        for (_, sa), (_, sb) in zip(a, b):
+            assert math.isclose(sa, sb, rel_tol=1e-12)
