@@ -42,7 +42,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geospatial_spark.functions.codec import encode_shard_postings
 from geospatial_spark.functions.tokenize import tokenize_encoded
 from geospatial_spark.plans import lifecycle as lc
 from geospatial_spark.schemas import BUILD_METRIC_SCHEMA
