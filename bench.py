@@ -117,6 +117,22 @@ def run_suite(spark, sf_dir: str, index_root: str, n_shards: int,
     dt = time.perf_counter() - t0
     timings["q_bm25_batch10"] = dt
     assert len(res) == len(batch)
+
+    # mixed-type batch: match + phrase + proximity + bool in ONE job
+    mixed = {
+        "mm1": {"type": "match", "q": "deploy the spark job"},
+        "mm2": {"type": "match", "q": "index scan merge token"},
+        "mp1": {"type": "phrase", "q": "the spark"},
+        "mp2": {"type": "phrase", "q": "deploy the"},
+        "mn1": {"type": "near", "q": "deploy spark", "slop": 3},
+        "mn2": {"type": "near", "q": "index merge", "slop": 5},
+        "mb1": {"type": "bool", "should": "deploy spark", "filter": "the"},
+        "mb2": {"type": "bool", "filter": "the spark", "must_not": "deploy"},
+    }
+    t0 = time.perf_counter()
+    res = searcher.search_many_mixed(mixed, 10)
+    timings["q_mixed_batch8"] = time.perf_counter() - t0
+    assert len(res) == len(mixed)
     return timings, n_turns
 
 
