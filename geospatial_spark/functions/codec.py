@@ -183,6 +183,20 @@ def encode_shard_streams(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
     dls = np.ascontiguousarray(dls, dtype=np.uint64)
 
+    # Encode-time contract guard: the skyline packs (tf, dl) into one
+    # int64 and the positions stream packs (doc, pos) on a 22-bit pos
+    # field — a pathological document breaching either would silently
+    # corrupt block-max bounds (and hence WAND pruning). Fail LOUDLY at
+    # build time, not at query time.
+    if int(dls.max()) >= 2**22:
+        raise ValueError(
+            f"document length {int(dls.max())} exceeds the 2^22-token "
+            "encoding contract — reject or truncate the document upstream")
+    if int(tfs.max()) >= 2**22:
+        raise ValueError(
+            f"term frequency {int(tfs.max())} exceeds the 2^22 encoding "
+            "contract")
+
     # gaps: diff everywhere; at each term start the gap is the absolute
     # doc ordinal (equivalently: blocks after the first still delta from
     # the previous element, which is the previous block's last doc — the

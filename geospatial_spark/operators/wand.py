@@ -114,10 +114,17 @@ def _has_impact_copy(r: dict) -> bool:
 def _decode_impact_chunk(db, tb, lb, df_local: int, kept_idx: np.ndarray):
     """Bulk-decode the given impact blocks of one term →
     (local_docs, tfs, dls). Impact blocks are self-contained: docs are
-    ascending LOCAL indices within each block, first value absolute."""
+    ascending LOCAL indices within each block, first value absolute.
+
+    Block lengths MUST come from the term's TOTAL block count (every
+    non-final block is full by construction), never from len(db): a
+    LocalSearcher light row may hold only the IMPACT_HEAD_BLOCKS-prefix
+    of a longer stream, and sizing the head's last block as if it were
+    the stream's final partial block corrupts the decode."""
     from geospatial_spark.functions.codec import varint_decode
 
-    lens = _block_lens(df_local, len(db))[kept_idx]
+    total_blocks = -(-df_local // BLOCK_N)
+    lens = _block_lens(df_local, total_blocks)[kept_idx]
     gaps = varint_decode(b"".join(_as_bytes(db[i]) for i in kept_idx)).astype(np.int64)
     tfs = varint_decode(b"".join(_as_bytes(tb[i]) for i in kept_idx))
     dls = varint_decode(b"".join(_as_bytes(lb[i]) for i in kept_idx))
@@ -137,7 +144,8 @@ def _decode_doc_blocks(r: dict, kept_idx: np.ndarray, base_ord: int):
 
     blast = np.asarray(r["block_last_doc"], dtype=np.int64)
     db, tb, lb = r["doc_blocks"], r["tf_blocks"], r["dl_blocks"]
-    lens = _block_lens(int(r["df"]), len(db))[kept_idx]
+    df_local = int(r["df"])
+    lens = _block_lens(df_local, -(-df_local // BLOCK_N))[kept_idx]
     gaps = varint_decode(b"".join(_as_bytes(db[i]) for i in kept_idx)).astype(np.int64)
     tfs = varint_decode(b"".join(_as_bytes(tb[i]) for i in kept_idx))
     dls = varint_decode(b"".join(_as_bytes(lb[i]) for i in kept_idx))
@@ -369,11 +377,15 @@ def wand_shard(
             if R <= 0.0:
                 break
             if theta > 0.0 and R < theta:
-                # completion cost is bounded by min(n_cand, n_blocks)
-                # doc-ordered block decodes per truncated term — never
-                # worse than finishing the decode here, and usually far
-                # less — so stop as soon as the frontier drops below θ
-                break
+                # frontier below θ: no new doc can enter the top-k, but
+                # completion still pays per-candidate doc-block lookups.
+                # Keep decoding (which shrinks R and hence the candidate
+                # set) while {d : scores[d] ≥ θ − R} is still large —
+                # impact-ordered decode is cheaper per posting than the
+                # random doc-block reads completion would do for them.
+                n_cand_now = int(np.count_nonzero(scores >= theta - R - EPS))
+                if n_cand_now <= CAND_CAP:
+                    break
             h = hot[int(np.argmax(residuals))]
             idx = h.order[h.ptr: h.ptr + h.chunk]
             h.ptr += len(idx)

@@ -100,8 +100,27 @@ class BuildLock:
                     f"index at {self.root} is being built by "
                     f"pid={holder.get('pid')} owner={holder.get('owner')!r}; "
                     "concurrent builds of one index root are refused") from None
-            p.unlink(missing_ok=True)  # break the dead holder's lock
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            # Break the dead holder's lock ATOMICALLY: rename it to a
+            # unique tombstone. Exactly one contender wins the rename;
+            # only the winner may retry O_EXCL. A bare unlink+create has
+            # a TOCTOU hole — the second unlinker can delete the first's
+            # freshly-acquired lock, letting two builds run concurrently.
+            import uuid as _uuid
+            tomb = p.with_name(
+                f"{p.name}.broken.{os.getpid()}.{_uuid.uuid4().hex[:8]}")
+            try:
+                os.rename(p, tomb)
+            except OSError:
+                raise ConcurrentBuildError(
+                    f"index at {self.root}: stale lock was broken by a "
+                    "concurrent contender; retry the build") from None
+            tomb.unlink(missing_ok=True)
+            try:
+                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise ConcurrentBuildError(
+                    f"index at {self.root}: another build acquired the "
+                    "lock while breaking a stale one") from None
         self._write(fd)
         os.close(fd)
 
