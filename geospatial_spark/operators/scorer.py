@@ -59,11 +59,19 @@ def bm25_topk(
         return postings.select("doc_id", F.lit(0.0).alias("score")).limit(0)
 
     qterms = spark.createDataFrame([(t,) for t in terms], ["term"])
-    term_df = postings.groupBy("term").agg(F.count(F.lit(1)).cast("int").alias("df"))
+
+    # df per term is countable from the MATCHED rows alone (postings are
+    # unique per (term, doc)): a window over the broadcast-filtered join
+    # keeps the whole plan proportional to the query's postings. The
+    # obvious postings.groupBy("term") would hash-aggregate the full
+    # corpus-sized posting set per query — Catalyst does not push an
+    # inner join below an Aggregate.
+    from pyspark.sql.window import Window
 
     matched = postings.join(F.broadcast(qterms), "term", "inner")
-    scored = matched.join(
-        F.broadcast(term_df.join(F.broadcast(qterms), "term", "inner")), "term")
+    scored = matched.withColumn(
+        "df",
+        F.count(F.lit(1)).over(Window.partitionBy("term")).cast("int"))
     if "dl" not in postings.columns:
         if dl is None:
             raise ValueError("postings lack a dl column and no doclens "

@@ -147,6 +147,30 @@ def test_scorer_has_no_doclens_join(spark, small_transcripts):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_scorer_df_from_filtered_postings_only(spark, small_transcripts):
+    """df must be computed from the term-FILTERED matched rows, never by
+    aggregating the full corpus-sized posting set (round-2 verdict:
+    Catalyst does not push an inner join below an Aggregate, so a
+    postings.groupBy('term') branch re-scans everything per query). The
+    plan must contain exactly ONE branch over the postings relation —
+    every aggregate sits above the broadcast term filter."""
+    from geospatial_spark.operators.postings import corpus_stats, doclens, posting_tuples
+    from geospatial_spark.operators.scorer import bm25_topk
+
+    post = posting_tuples(small_transcripts)
+    dl = doclens(small_transcripts)
+    n, avgdl = corpus_stats(dl)
+    topk = bm25_topk(spark, post, None, n, avgdl, "deploy the spark job", 10)
+    plan = explain(topk)
+    # one BroadcastHashJoin (the term filter), one postings branch: the
+    # tokenizer's Python eval appears exactly once in the physical plan
+    tree = plan.split("\n\n", 1)[0]  # the indented tree section only
+    n_scans = sum(1 for l in tree.splitlines() if "Scan parquet" in l)
+    assert n_scans == 1, f"postings branch duplicated ({n_scans} scans):\n{tree}"
+    n_bhj = sum(1 for l in tree.splitlines() if "BroadcastHashJoin" in l)
+    assert n_bhj == 1, tree
+
+
 def test_shingles_have_no_window(spark):
     """Shingling is a per-row array expression: no Window (shuffle+sort
     per doc) may appear in the plan."""
