@@ -198,10 +198,11 @@ def near_match_shard(
     Returns (local_docs, scores, min_span) of the shard's top-k.
 
     Scale shape: doc-set intersection first (rarest term drives), then
-    the classic k-sorted-lists minimum-window two-pointer runs ONLY on
-    the surviving candidates' merged position arrays — per-candidate
-    cost is linear in that doc's matched-token count; candidates after
-    an AND of all terms are few by construction.
+    a fully-vectorized k-sorted-lists minimum window over the surviving
+    candidates' merged (doc, pos, slot) arrays — m running-maximum
+    passes over the packed keys, no per-token Python, so a proximity
+    query over two hot terms (candidates ~ df of the rarest term) stays
+    numpy-bound.
     """
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
              np.empty(0, dtype=np.int64))
@@ -240,42 +241,38 @@ def near_match_shard(
         d = np.concatenate(d_all)
         p = np.concatenate(p_all)
         s = np.concatenate(s_all)
+        if p.max(initial=0) >= (1 << POS_SHIFT):
+            raise ValueError("document exceeds 2^22 tokens — proximity "
+                             "position packing would overflow")
         order = np.lexsort((p, d))
         d, p, s = d[order], p[order], s[order]
         bounds = np.concatenate(
             ([0], np.flatnonzero(d[1:] != d[:-1]) + 1, [len(d)]))
 
-        matched_l, span_l = [], []
-        need = m
-        for bi in range(len(bounds) - 1):
-            lo, hi = int(bounds[bi]), int(bounds[bi + 1])
-            pos_d = p[lo:hi]
-            slot_d = s[lo:hi]
-            counts = np.zeros(need, dtype=np.int64)
-            have = 0
-            best = np.iinfo(np.int64).max
-            left = 0
-            for right in range(len(pos_d)):
-                c = slot_d[right]
-                counts[c] += 1
-                if counts[c] == 1:
-                    have += 1
-                while have == need:
-                    span = pos_d[right] - pos_d[left]
-                    if span < best:
-                        best = int(span)
-                    cl = slot_d[left]
-                    counts[cl] -= 1
-                    if counts[cl] == 0:
-                        have -= 1
-                    left += 1
-            if best <= slop:
-                matched_l.append(int(d[lo]))
-                span_l.append(best)
-        if not matched_l:
+        # Fully vectorized k-sorted-lists minimum window (no per-token
+        # Python — a proximity query over two hot terms intersects to a
+        # large candidate set, and an interpreted loop there is the
+        # linear-in-df shape the hot-term work removed from WAND).
+        # Pack (doc << 22) | pos into one strictly-increasing key; for
+        # each token index i the smallest window ending at i spans back
+        # to the most recent occurrence of every other slot — per-slot
+        # running maxima of the masked key array. A running max that
+        # leaked from an earlier doc has key < doc's base and marks the
+        # window invalid, so no per-doc reset is needed.
+        key = (d << POS_SHIFT) | p
+        n_tok = len(key)
+        minlast = np.full(n_tok, np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(m):
+            xj = np.where(s == j, key, np.int64(-1))
+            np.minimum(minlast, np.maximum.accumulate(xj), out=minlast)
+        valid = minlast >= (d << POS_SHIFT)
+        span_i = np.where(valid, key - minlast, np.iinfo(np.int64).max)
+        best = np.minimum.reduceat(span_i, bounds[:-1])
+        hit = best <= slop
+        if not hit.any():
             return empty
-        matched = np.array(matched_l, dtype=np.int64)
-        spans = np.array(span_l, dtype=np.int64)
+        matched = d[bounds[:-1]][hit]
+        spans = best[hit]
 
     scores = _score_distinct_terms(matched, distinct, decoded, df_global,
                                    n_docs, avgdl)

@@ -153,3 +153,106 @@ def test_phrase_across_generations(spark, small_transcripts,
     s = IndexSearcher(spark, root)
     for p in _data_phrases(rows, n=3) + ["the the"]:
         _check(s, small_oracle, rows, p)
+
+
+def _ref_min_window(pos_slot_pairs, m):
+    """Reference two-pointer minimum window over one doc's merged
+    (pos, slot) list — the interpreted implementation the vectorized
+    near_match_shard kernel replaced."""
+    pairs = sorted(pos_slot_pairs)
+    counts = [0] * m
+    have = 0
+    best = None
+    left = 0
+    for right in range(len(pairs)):
+        counts[pairs[right][1]] += 1
+        if counts[pairs[right][1]] == 1:
+            have += 1
+        while have == m:
+            span = pairs[right][0] - pairs[left][0]
+            if best is None or span < best:
+                best = span
+            counts[pairs[left][1]] -= 1
+            if counts[pairs[left][1]] == 0:
+                have -= 1
+            left += 1
+    return best
+
+
+def test_near_kernel_randomized_vs_two_pointer():
+    """The vectorized running-maxima minimum-window kernel must agree
+    with the classic two-pointer on random inputs (matched docs AND
+    exact min spans), including hot-pair-like dense candidates."""
+    import numpy as np
+
+    from geospatial_spark.functions.codec import encode_shard_postings
+    from geospatial_spark.operators.phrase import near_match_shard
+
+    rng = np.random.default_rng(42)
+    for trial in range(8):
+        n_docs = int(rng.integers(5, 60))
+        m = int(rng.integers(2, 5))
+        terms = [f"t{j}" for j in range(m)]
+        # per doc: distinct positions split among a random subset of terms
+        doc_tokens = {}  # term -> list[(doc, [positions])]
+        per_term = {t: [] for t in terms}
+        for doc in range(n_docs):
+            npos = int(rng.integers(0, 14))
+            pos = np.sort(rng.choice(400, size=npos, replace=False))
+            owner = rng.integers(0, m, size=npos)
+            for j, t in enumerate(terms):
+                mine = pos[owner == j]
+                if len(mine):
+                    per_term[t].append((doc, mine))
+            doc_tokens[doc] = list(zip(pos.tolist(), owner.tolist()))
+
+        # term-major (term, doc) runs for the encoder
+        docs_l, tfs_l, dls_l, pos_l, starts, ends = [], [], [], [], [], []
+        rows_by_term = {}
+        for t in terms:
+            runs = per_term[t]
+            if not runs:
+                break
+            starts.append(len(docs_l))
+            for doc, mine in runs:
+                docs_l.append(doc)
+                tfs_l.append(len(mine))
+                dls_l.append(50)
+                pos_l.extend(mine.tolist())
+            ends.append(len(docs_l))
+        if len(starts) < m:
+            continue  # a term got no postings this trial
+        docs_a = np.array(docs_l, dtype=np.int64)
+        tfs_a = np.array(tfs_l, dtype=np.int64)
+        dls_a = np.array(dls_l, dtype=np.int64)
+        pos_a = np.array(pos_l, dtype=np.int64)
+        rtb = np.concatenate(([0], np.cumsum(tfs_a))).astype(np.int64)
+        (doc_b, tf_b, dl_b, bmax, bmin, blast,
+         sky_tf, sky_dl, sky_off, pos_b) = encode_shard_postings(
+            docs_a, tfs_a, dls_a,
+            np.array(starts, dtype=np.int64), np.array(ends, dtype=np.int64),
+            positions=pos_a, run_tok_bounds=rtb)
+        for i, t in enumerate(terms):
+            rows_by_term[t] = {
+                "term": t, "df": ends[i] - starts[i],
+                "doc_blocks": doc_b[i], "tf_blocks": tf_b[i],
+                "dl_blocks": dl_b[i], "pos_blocks": pos_b[i],
+                "block_last_doc": blast[i],
+            }
+
+        slop = int(rng.integers(1, 30))
+        got_docs, _scores, got_spans = near_match_shard(
+            terms, slop, rows_by_term, 0,
+            {t: ends[i] - starts[i] for i, t in enumerate(terms)},
+            n_docs, 50.0, k=n_docs + 1)
+
+        want = {}
+        for doc in range(n_docs):
+            slots_here = {sl for _, sl in doc_tokens[doc]}
+            if len(slots_here) < m:
+                continue
+            best = _ref_min_window(doc_tokens[doc], m)
+            if best is not None and best <= slop:
+                want[doc] = best
+        got = dict(zip(got_docs.tolist(), got_spans.tolist()))
+        assert got == want, (trial, slop, got, want)
