@@ -140,7 +140,7 @@ def bm25_bool_sql(should: str = "", filter_q: str = "", must_not: str = "",
     sh = sorted(set(tokenize_py(should)))
     fl = sorted(set(tokenize_py(filter_q)))
     mn = sorted(set(tokenize_py(must_not)))
-    assert sh or fl, "bool oracle requires a positive clause"
+    # no positive clause: pure-NOT (or match-all) over the doc universe
 
     def in_list(terms):
         return ", ".join(f"'{t}'" for t in terms)
@@ -158,7 +158,7 @@ def bm25_bool_sql(should: str = "", filter_q: str = "", must_not: str = "",
         parts.append(
             f"EXISTS (SELECT 1 FROM tok t4 WHERE t4.doc_id = d.doc_id "
             f"AND t4.term IN ({in_list(sh)}))")
-    where = " AND ".join(parts)
+    where = " AND ".join(parts) or "TRUE"
 
     if sh:
         per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "dft.df", "s.n")

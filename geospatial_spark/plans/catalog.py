@@ -644,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bool query: scored should-OR ∩ filter-AND ∖ must_not
         "bm25_bool": _bm25_bool(*BOOL_Q, 10),
         "bm25_bool_filter_only": _bm25_bool("", BOOL_Q[1], BOOL_Q[2], 10),
+        # pure-NOT: docmap-complement match_all minus must_not postings
+        "bm25_bool_not_only": _bm25_bool("", "", BOOL_Q[2], 10),
         # BM25 relational scorer (always-correct second path)
         "bm25_topk_multi": _bm25(BM25_Q_MULTI, 10),
         "bm25_topk_single": _bm25(BM25_Q_SINGLE, 10),
@@ -704,6 +706,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_near": osql.bm25_near_sql(PHRASE_Q, NEAR_SLOP, 10),
         "bm25_bool": osql.bm25_bool_sql(*BOOL_Q, 10),
         "bm25_bool_filter_only": osql.bm25_bool_sql("", BOOL_Q[1], BOOL_Q[2], 10),
+        "bm25_bool_not_only": osql.bm25_bool_sql("", "", BOOL_Q[2], 10),
         "bm25_topk_multi": osql.bm25_topk_sql(BM25_Q_MULTI, 10),
         "bm25_topk_single": osql.bm25_topk_sql(BM25_Q_SINGLE, 10),
         "bm25_topk_missing": osql.bm25_topk_sql(BM25_Q_MISSING, 10),

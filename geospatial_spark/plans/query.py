@@ -333,11 +333,13 @@ class IndexSearcher:
             return sorted({norm.get(t, t) for t in tokenize_py(text)})
 
         sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
-        # a positive clause is required: pure-NOT would be a match_all
-        # scan (shards with zero matched segment rows still hold hits),
-        # which is not an index-serviceable query shape
-        if (not sh and not fl) or self.n_docs == 0:
+        if self.n_docs == 0:
             return None
+        # pure-NOT / match-all: shards with ZERO matched segment rows
+        # still hold hits (every doc outside the must_not postings), so
+        # the kernel must run over a scaffold of ALL (gen, shard) pairs
+        # (driver metadata, bounded) instead of only the scanned groups
+        pure_not = not sh and not fl
         df_global = self._df_for(sorted(set(sh + fl + mn)))
         if any(t not in df_global for t in fl):
             return None  # a filter term absent from the corpus ⇒ no hits
@@ -349,6 +351,13 @@ class IndexSearcher:
         scan_terms = sorted(set(sh + fl + mn))
         matched = (self._segments().where(F.col("term").isin(scan_terms))
                    .drop("pos_blocks"))
+        if pure_not:
+            # complement path: left-join the (tiny) shard scaffold so
+            # every shard's group runs, matched rows or not
+            shards_df = self.spark.createDataFrame(
+                [(g, s) for (g, s) in sorted(self.shard_docs)],
+                "gen string, shard int")
+            matched = shards_df.join(matched, ["gen", "shard"], "left")
         n_docs, avgdl = self.n_docs, self.avgdl
         shard_docs, gdirs = self.shard_docs, self.gdirs
         dm_files = self.docmap_files
@@ -363,7 +372,9 @@ class IndexSearcher:
 
             gen, shard = str(key[0]), int(key[1])
             base = shard << ORD_SHARD_SHIFT
-            rows_by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
+            rows_by_term = {rec["term"]: rec
+                            for rec in pdf.to_dict("records")
+                            if isinstance(rec.get("term"), str)}
             local, scores = bool_match_shard(
                 sh, fl, mn, rows_by_term, shard_docs.get((gen, shard), 0),
                 base, df_global, n_docs, avgdl, kk)
@@ -546,18 +557,26 @@ class IndexSearcher:
                 p["should"] = [x for x in p["should"] if x in df_global]
                 p["must_not"] = [x for x in p["must_not"] if x in df_global]
                 ok = (all(x in df_global for x in p["filter"])
-                      and (bool(p["should"]) or bool(p["filter"]))
                       and not (queries[qid].get("should") and not p["should"]))
             if ok:
                 live[qid] = p
         if not live:
             return out
+        # any pure-NOT bool in the batch forces the shard scaffold: its
+        # hits live in shards with zero matched segment rows
+        any_pure_not = any(p["type"] == "bool" and not p["should"]
+                           and not p["filter"] for p in live.values())
 
         scan_terms = sorted({t for p in live.values() for t in p["terms"]
                              if t in df_global})
         matched = self._segments().where(F.col("term").isin(scan_terms))
         if not needs_pos:
             matched = matched.drop("pos_blocks")
+        if any_pure_not:
+            shards_df = self.spark.createDataFrame(
+                [(g, s) for (g, s) in sorted(self.shard_docs)],
+                "gen string, shard int")
+            matched = shards_df.join(matched, ["gen", "shard"], "left")
         n_docs, avgdl = self.n_docs, self.avgdl
         shard_docs, gdirs = self.shard_docs, self.gdirs
         dm_files = self.docmap_files
@@ -578,7 +597,8 @@ class IndexSearcher:
             base = shard << ORD_SHARD_SHIFT
             n_local = shard_docs.get((gen, shard), 0)
             rows_by_term = {rec["term"]: rec
-                            for rec in pdf.to_dict("records")}
+                            for rec in pdf.to_dict("records")
+                            if isinstance(rec.get("term"), str)}
             docmap_col = None
             outs = []
             for qid, p in live.items():

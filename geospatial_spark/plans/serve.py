@@ -359,8 +359,9 @@ class LocalSearcher:
             return sorted({norm.get(t, t) for t in tokenize_py(text)})
 
         sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
-        if (not sh and not fl) or self.n_docs == 0:
+        if self.n_docs == 0:
             return []
+        pure_not = not sh and not fl
         df_global = self._df_for(sorted(set(sh + fl + mn)))
         if any(t not in df_global for t in fl):
             return []
@@ -380,6 +381,12 @@ class LocalSearcher:
             by_shard: dict[int, dict[str, dict]] = {}
             for r in reader.read_terms(scan_terms, cols):
                 by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
+            if pure_not:
+                # complement path: shards with no must_not postings
+                # still hold hits — run the kernel on every shard
+                for (g_id, shard) in self.shard_docs:
+                    if g_id == gen_id:
+                        by_shard.setdefault(shard, {})
             for shard, rows_by_term in by_shard.items():
                 base = shard << ORD_SHARD_SHIFT
                 local, scores = bool_match_shard(

@@ -70,6 +70,9 @@ CASES = [
     ("", "the spark", "deploy"),     # filter context: score 0.0
     ("deploy", "zzz-not-in-corpus", ""),   # filter term missing → empty
     ("zzz-not-in-corpus", "the", ""),      # should given but absent → empty
+    ("", "", "the spark"),                 # pure-NOT: docmap complement
+    ("", "", "zzz-not-in-corpus"),         # NOT of an absent term = match_all
+    ("", "", ""),                          # match_all (empty bool)
 ]
 
 
@@ -83,8 +86,13 @@ def test_bool_matches_reference(searcher, small_oracle, rows,
         assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), gd
 
 
-def test_bool_requires_positive_clause(searcher):
-    assert searcher.search_bool("", "", "the", 10) == []
+def test_bool_pure_not_serves_complement(searcher, small_oracle, rows):
+    """must_not-only queries serve via the docmap complement: hits are
+    exactly the docs without any must_not term, score 0.0."""
+    got = searcher.search_bool("", "", "the", 10)
+    want = _ref_bool(small_oracle, rows, "", "", "the", 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert all(s == 0.0 for _, s in got)
 
 
 def test_search_many_mixed_matches_individual(spark, searcher, small_oracle,
@@ -99,6 +107,7 @@ def test_search_many_mixed_matches_individual(spark, searcher, small_oracle,
         "b1": {"type": "bool", "should": "deploy spark", "filter": "the",
                "must_not": "job"},
         "b2": {"type": "bool", "filter": "the spark"},
+        "b3": {"type": "bool", "must_not": "the"},
     }
     got = searcher.search_many_mixed(batch, k=10)
     want = {
@@ -109,6 +118,7 @@ def test_search_many_mixed_matches_individual(spark, searcher, small_oracle,
         "n1": searcher.search_near("deploy spark", 3, 10),
         "b1": searcher.search_bool("deploy spark", "the", "job", 10),
         "b2": searcher.search_bool("", "the spark", "", 10),
+        "b3": searcher.search_bool("", "", "the", 10),
     }
     assert set(got) == set(batch)
     for qid in batch:

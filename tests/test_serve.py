@@ -145,7 +145,8 @@ def test_serving_near_and_bool_parity(spark, small_transcripts, small_oracle,
             assert math.isclose(sa, sb, rel_tol=1e-12)
 
     cases = [("deploy spark", "the", "job"), ("", "the spark", "deploy"),
-             ("deploy", "zzz-not-in-corpus", ""), ("the", "", "spark")]
+             ("deploy", "zzz-not-in-corpus", ""), ("the", "", "spark"),
+             ("", "", "the"), ("", "", "")]  # pure-NOT / match_all
     for should, flt, mn in cases:
         a = s.search_bool(should, flt, mn, 10)
         b = ls.search_bool(should, flt, mn, 10)
