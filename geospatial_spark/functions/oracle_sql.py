@@ -89,6 +89,41 @@ LIMIT {k}
 """.strip()
 
 
+def bm25_phrase_scored_sql(phrase: str, k: int = 10,
+                           table: str = "documents",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """Phrase-as-term oracle (Lucene PhraseQuery semantics, mirroring
+    IndexSearcher.search_phrase_scored): the phrase scores as ONE
+    synthetic term with tf = occurrence-start count (overlaps included,
+    counted on the kept token array, exactly the engine's position
+    intersection) and df = number of matching docs."""
+    slots = tokenize_py(phrase)
+    if not slots:
+        return "SELECT NULL::BIGINT AS doc_id, NULL::DOUBLE AS score WHERE 1=0"
+    m = len(slots)
+    cond = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(slots))
+    per = score_sql("p.ptf", "dl.dl", "s.avgdl", "pd.df", "s.n")
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+ph AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(toks) - {m} + 2), i -> {cond})) AS ptf
+  FROM docs
+),
+pdocs AS (SELECT doc_id, ptf FROM ph WHERE ptf > 0),
+pd AS (SELECT count(*)::INT AS df FROM pdocs),
+scored AS (
+  SELECT p.doc_id, {per} AS raw
+  FROM pdocs p JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN pd
+)
+SELECT doc_id, round(raw, {ROUND_DP}) AS score
+FROM scored
+ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def bm25_near_sql(query: str, slop: int, k: int = 10,
                   table: str = "documents", id_col: str = "doc_id",
                   text_col: str = "text") -> str:

@@ -84,29 +84,15 @@ def _decode_full_posting(r: dict, base_ord: int, need_positions: bool = True):
     return docs, tfs, dls, poss
 
 
-def phrase_match_shard(
-    slots: list[str],
-    rows_by_term: dict[str, dict],
-    base_ord: int,
-    df_global: dict[str, int],
-    n_docs: int,
-    avgdl: float,
-    k: int,
-):
-    """Score one shard for an ordered phrase.
-
-    slots: the phrase's terms in order (duplicates allowed).
-    rows_by_term: this shard's segment row per DISTINCT phrase term; a
-    missing term ⇒ no document in this shard can match.
-
-    Returns (local_docs, scores, phrase_tfs) of the shard's top-k
-    matching docs (score desc, doc asc), scores exact.
-    """
-    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
-             np.empty(0, dtype=np.int64))
+def _phrase_occurrences(slots: list[str], rows_by_term: dict[str, dict],
+                        base_ord: int):
+    """Shared phrase-occurrence kernel → (matched local docs asc,
+    phrase_tf per matched doc, decoded streams per distinct term).
+    Empty arrays when any slot term is absent or no doc matches."""
+    none = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), {})
     distinct = list(dict.fromkeys(slots))
     if any(t not in rows_by_term for t in distinct):
-        return empty
+        return none
 
     # decode each distinct term once; intersect doc sets rarest-first
     decoded: dict[str, tuple] = {}
@@ -116,7 +102,7 @@ def phrase_match_shard(
         cand = docs if len(decoded) == 1 else np.intersect1d(
             cand, docs, assume_unique=True)
         if len(cand) == 0:
-            return empty
+            return none
 
     # position adjacency: token at phrase slot j must sit at p + j.
     # Pack (doc, pos − j) into one int64 key; a phrase start survives
@@ -144,12 +130,87 @@ def phrase_match_shard(
         else:
             match_keys = np.intersect1d(match_keys, keys, assume_unique=True)
         if len(match_keys) == 0:
-            return empty
+            return none
 
     start_docs = (match_keys >> POS_SHIFT).astype(np.int64)
     matched = np.unique(start_docs)
     phrase_tf = np.searchsorted(start_docs, matched, side="right") - \
         np.searchsorted(start_docs, matched, side="left")
+    return matched, phrase_tf, decoded
+
+
+def phrase_scored_match_shard(
+    slots: list[str],
+    rows_by_term: dict[str, dict],
+    base_ord: int,
+    avgdl: float,
+    k: int,
+):
+    """Phrase-as-term scoring (Lucene PhraseQuery semantics): the phrase
+    scores as ONE synthetic term with tf = phrase occurrence count and
+    df = number of matching docs. The phrase's GLOBAL df is only known
+    after all shards report, but idf(df) is a constant positive factor,
+    so ranking by the saturation term tf/(tf + norm) alone is ranking by
+    the final score — per-shard top-k truncation is safe in one pass.
+
+    Returns (local_docs, sat, phrase_tf, n_matched) where sat is the
+    idf-less saturation score of the shard's top-k matching docs and
+    n_matched the shard's TOTAL match count (the driver sums these into
+    the phrase df, then multiplies idf in).
+
+    Reference analogue: scored relation queries — the refined geometry
+    predicate is a first-class scored query, not a filter over term
+    queries (index/query/xyshape/XYShapeQueryBuilder.java:62-71).
+    """
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
+             np.empty(0, dtype=np.int64), 0)
+    matched, phrase_tf, decoded = _phrase_occurrences(slots, rows_by_term,
+                                                      base_ord)
+    if len(matched) == 0:
+        return empty
+    n_matched = len(matched)
+
+    # dl of each matched doc from any decoded term's stream
+    t0 = next(iter(decoded))
+    docs0, _, dls0, _ = decoded[t0]
+    dl = dls0[np.searchsorted(docs0, matched)].astype(np.float64)
+    tff = phrase_tf.astype(np.float64)
+    sat = tff / (tff + K1 * (1.0 - B + B * (dl / avgdl)))
+
+    if len(matched) > k:
+        kth = np.partition(sat, -k)[-k]
+        keep = sat >= kth
+        matched, sat, phrase_tf = matched[keep], sat[keep], phrase_tf[keep]
+    order = np.lexsort((matched, -sat))
+    top = order[:k]
+    return matched[top], sat[top], phrase_tf[top], n_matched
+
+
+def phrase_match_shard(
+    slots: list[str],
+    rows_by_term: dict[str, dict],
+    base_ord: int,
+    df_global: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+):
+    """Score one shard for an ordered phrase.
+
+    slots: the phrase's terms in order (duplicates allowed).
+    rows_by_term: this shard's segment row per DISTINCT phrase term; a
+    missing term ⇒ no document in this shard can match.
+
+    Returns (local_docs, scores, phrase_tfs) of the shard's top-k
+    matching docs (score desc, doc asc), scores exact.
+    """
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
+             np.empty(0, dtype=np.int64))
+    matched, phrase_tf, decoded = _phrase_occurrences(slots, rows_by_term,
+                                                      base_ord)
+    if len(matched) == 0:
+        return empty
+    distinct = list(dict.fromkeys(slots))
 
     scores = _score_distinct_terms(matched, distinct, decoded, df_global,
                                    n_docs, avgdl)

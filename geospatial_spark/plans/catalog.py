@@ -162,6 +162,36 @@ def _bm25_phrase(phrase: str, k: int = 10):
     return run
 
 
+def _bm25_phrase_scored(phrase: str, k: int = 10):
+    """Phrase-as-term scoring (Lucene PhraseQuery semantics): idf from
+    the phrase's df, tf = phrase occurrence count. The engine returns a
+    driver-side list (the per-shard reduce sums match counts into the
+    phrase df), re-keyed and rounded under the shared contract."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        # over-fetch before the rounded re-rank (ties at ROUND_DP may
+        # reorder against the oracle's doc_id tie-break)
+        hits = s.search_phrase_scored(phrase, min(k + 50, max(s.n_docs, 1)))
+        if not hits:
+            return (_docs(spark, sf_dir)
+                    .select("doc_id", F.lit(0.0).alias("score")).limit(0))
+        df = spark.createDataFrame(hits, "doc_id string, raw double")
+        return (
+            df.select(
+                F.substring_index("doc_id", ":", 1).cast("long").alias("doc_id"),
+                "raw")
+            .orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("doc_id"))
+            .select("doc_id", F.round("raw", ROUND_DP).alias("score"))
+            .limit(k)
+        )
+
+    return run
+
+
 def _bm25_near(query: str, slop: int, k: int = 10):
     """Proximity (slop) top-k via the positions stream; same re-key and
     rounding contract as the other index-path entries."""
@@ -640,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-phrase via the positions stream (Lucene .pos analogue)
         "bm25_phrase": _bm25_phrase(PHRASE_Q, 10),
         "bm25_phrase_rare": _bm25_phrase(PHRASE_Q_RARE, 10),
+        # phrase-as-term: idf(phrase df), tf = occurrence count
+        "bm25_phrase_scored": _bm25_phrase_scored(PHRASE_Q, 10),
         "bm25_near": _bm25_near(PHRASE_Q, NEAR_SLOP, 10),
         # bool query: scored should-OR ∩ filter-AND ∖ must_not
         "bm25_bool": _bm25_bool(*BOOL_Q, 10),
@@ -703,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand_hot": osql.bm25_topk_sql("the table", 10),
         "bm25_phrase": osql.bm25_phrase_sql(PHRASE_Q, 10),
         "bm25_phrase_rare": osql.bm25_phrase_sql(PHRASE_Q_RARE, 10),
+        "bm25_phrase_scored": osql.bm25_phrase_scored_sql(PHRASE_Q, 10),
         "bm25_near": osql.bm25_near_sql(PHRASE_Q, NEAR_SLOP, 10),
         "bm25_bool": osql.bm25_bool_sql(*BOOL_Q, 10),
         "bm25_bool_filter_only": osql.bm25_bool_sql("", BOOL_Q[1], BOOL_Q[2], 10),

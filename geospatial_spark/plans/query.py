@@ -262,6 +262,88 @@ class IndexSearcher:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
 
+    def search_phrase_scored(self, phrase: str, k: int = 10
+                             ) -> list[tuple[str, float]]:
+        """Phrase-as-term scoring (Lucene PhraseQuery semantics): the
+        phrase scores as ONE synthetic term — tf = phrase occurrence
+        count in the doc, df = number of matching docs corpus-wide.
+
+        One distributed pass: each shard returns its top-k by the
+        idf-less saturation term (idf(df) is a constant positive factor,
+        so that IS final-score order) plus its total match count; the
+        driver sums counts into the phrase df and multiplies idf in.
+        Returns [(doc_id, score)] (score desc, (conv, turn) asc).
+        """
+        if not self.manifest.get("positions", True):
+            raise ValueError("index built with store_positions=False "
+                             "cannot serve phrase queries — rebuild with "
+                             "positions")
+        norm = self.manifest.get("normalization") or {}
+        slots = [norm.get(t, t) for t in tokenize_py(phrase)]
+        if not slots or self.n_docs == 0:
+            return []
+        distinct = sorted(set(slots))
+        df_global = self._df_for(distinct)
+        if len(df_global) < len(distinct):
+            return []
+
+        matched = self._segments().where(F.col("term").isin(distinct))
+        avgdl = self.avgdl
+        gdirs = self.gdirs
+        dm_files = self.docmap_files
+        kk = int(k)
+
+        def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from pathlib import Path as _P
+
+            import pyarrow.parquet as pq
+
+            from geospatial_spark.operators.phrase import (
+                phrase_scored_match_shard,
+            )
+
+            gen, shard = str(key[0]), int(key[1])
+            base = shard << ORD_SHARD_SHIFT
+            rows_by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
+            local, sat, ptf, n_matched = phrase_scored_match_shard(
+                slots, rows_by_term, base, avgdl, kk)
+            if len(local) == 0:
+                return pd.DataFrame({"gen": pd.Series([], dtype=object),
+                                     "shard": pd.Series([], dtype="int32"),
+                                     "doc_id": pd.Series([], dtype=object),
+                                     "sat": pd.Series([], dtype="float64"),
+                                     "n_match": pd.Series([], dtype="int64")})
+            ids = pq.read_table(
+                _P(gdirs[gen]) / dm_files[(gen, shard)], columns=["doc_id"]
+            ).column("doc_id").take(local.tolist()).to_pylist()
+            return pd.DataFrame({"gen": [gen] * len(ids),
+                                 "shard": np.full(len(ids), shard,
+                                                  dtype=np.int32),
+                                 "doc_id": ids,
+                                 "sat": sat.astype(np.float64),
+                                 "n_match": np.full(len(ids), n_matched,
+                                                    dtype=np.int64)})
+
+        per_shard = matched.groupBy("gen", "shard").applyInPandas(
+            run_shard, schema="gen string, shard int, doc_id string, "
+                              "sat double, n_match long",
+        )
+        rows = per_shard.collect()  # ≤ n_shards × k rows
+        if not rows:
+            return []
+        phrase_df = sum({(r["gen"], r["shard"]): int(r["n_match"])
+                         for r in rows}.values())
+        from geospatial_spark.functions.bm25 import idf as _idf
+
+        idf_p = _idf(phrase_df, self.n_docs)
+        hits = []
+        for r in rows:
+            conv, _, turn = r["doc_id"].rpartition(":")
+            hits.append((-idf_p * float(r["sat"]), conv, int(turn),
+                         r["doc_id"]))
+        hits.sort()
+        return [(d, -neg) for neg, _, _, d in hits[:kk]]
+
     def search_near_df(self, query: str, slop: int, k: int = 10
                        ) -> DataFrame | None:
         """Proximity top-k (doc_id, score, min_span): docs where some

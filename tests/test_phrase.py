@@ -256,3 +256,41 @@ def test_near_kernel_randomized_vs_two_pointer():
                 want[doc] = best
         got = dict(zip(got_docs.tolist(), got_spans.tolist()))
         assert got == want, (trial, slop, got, want)
+
+
+def test_phrase_scored_matches_reference(searcher, small_oracle, rows):
+    """Phrase-as-term scoring: idf from the phrase's df, tf = phrase
+    occurrence count (overlaps included) — checked against a brute
+    pure-Python reference on phrases lifted from real docs."""
+    import math
+
+    from geospatial_spark.functions.bm25 import idf as _idf
+    from geospatial_spark.functions.bm25 import B, K1
+
+    def ref(phrase, k=10):
+        slots = tokenize_py(phrase)
+        m = len(slots)
+        hits = []
+        per_doc = {}
+        for conv, turn, text in rows:
+            toks = tokenize_py(text)
+            ptf = sum(1 for i in range(len(toks) - m + 1)
+                      if toks[i:i + m] == slots)
+            if ptf:
+                per_doc[f"{conv}:{turn}"] = ptf
+        df = len(per_doc)
+        if not df:
+            return []
+        for doc_id, ptf in per_doc.items():
+            dl = small_oracle.doclens[doc_id]
+            sat = ptf / (ptf + K1 * (1 - B + B * dl / small_oracle.avgdl))
+            hits.append((doc_id, _idf(df, small_oracle.n_docs) * sat))
+        hits.sort(key=lambda h: (-h[1], small_oracle.doc_sort_key(h[0])))
+        return hits[:k]
+
+    for phrase in _data_phrases(rows, 6) + ["the the", "zzz missing"]:
+        got = searcher.search_phrase_scored(phrase, 10)
+        want = ref(phrase, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], phrase
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), (phrase, gd)
