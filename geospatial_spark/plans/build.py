@@ -53,7 +53,8 @@ DICT_SALTS = 16  # salt fan-out for the term-keyed dictionary aggregation
 
 
 def _build_dictionary(spark: SparkSession, gdir: Path, n_shards: int,
-                      seg_files: list[str] | None = None) -> int:
+                      seg_files: list[str] | None = None,
+                      mode: str = lc.STORAGE_POSIX) -> tuple[int, list[str] | None]:
     """Global term dictionary: term → df (sum of shard-local dfs).
 
     The one term-KEYED shuffle in the engine, so it gets explicit
@@ -84,11 +85,49 @@ def _build_dictionary(spark: SparkSession, gdir: Path, n_shards: int,
         F.max("has_imp").cast("int").alias("has_imp"),
     )
     out = gdir / "dictionary"
-    dictionary.coalesce(max(1, n_shards // 16)).write.mode("overwrite").parquet(str(out))
+    ncoal = max(1, n_shards // 16)
+    if mode == lc.STORAGE_PUT:
+        # object-store landing: Spark's parquet committer stages under
+        # _temporary/ and RENAMES on commit — the one operation the put
+        # protocol bans. Each partition lands once under a unique
+        # content-tokenized name (idempotent re-PUT on retry: same
+        # content → same name), and the manifest records the names so
+        # readers never list the directory.
+        out.mkdir(parents=True, exist_ok=True)
+        out_str = str(out)
+
+        def write_part(it):
+            import hashlib as _hl
+            import os as _os
+
+            import pandas as _pd
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.sort_values("term").reset_index(drop=True)
+                h = _hl.sha256()
+                h.update("\x00".join(pdf["term"].astype(str)).encode())
+                token = h.hexdigest()[:10]
+                name = f"dict-{token}.parquet"
+                _pq.write_table(
+                    _pa.Table.from_pandas(pdf, preserve_index=False),
+                    _os.path.join(out_str, name))
+                yield _pd.DataFrame({"file": [name], "rows": [len(pdf)]})
+
+        parts = (dictionary.coalesce(ncoal)
+                 .mapInPandas(write_part, "file string, rows long")
+                 .collect())
+        by_file = {r["file"]: int(r["rows"]) for r in parts}  # retry-dedup
+        return sum(by_file.values()), sorted(by_file)
+
+    dictionary.coalesce(ncoal).write.mode("overwrite").parquet(str(out))
     # term count from parquet footers (no extra Spark job)
     import pyarrow.parquet as pq
 
-    return sum(pq.read_metadata(p).num_rows for p in out.glob("*.parquet"))
+    return sum(pq.read_metadata(p).num_rows for p in out.glob("*.parquet")), None
 
 
 def _fingerprint(doc_ids: pd.Series, texts: pd.Series,
@@ -554,9 +593,11 @@ def _build_index_locked(
         n_docs_g = sum(m["docs_tokenized"] for m in metrics)
         total_tokens_g = sum(m["total_tokens"] for m in metrics)
         # zero-row input → zero partitions → no segment files to read
-        n_terms = (_build_dictionary(spark, gdir, n_shards,
-                                     [m["segment_file"] for m in metrics])
-                   if metrics else 0)
+        n_terms, dict_files = (
+            _build_dictionary(spark, gdir, n_shards,
+                              [m["segment_file"] for m in metrics],
+                              mode=storage)
+            if metrics else (0, None))
         gen_entry = {
             "id": generation,
             "n_shards": n_shards,
@@ -565,6 +606,10 @@ def _build_index_locked(
             "n_terms": n_terms,
             "shards": sorted(metrics, key=lambda m: m["shard"]),
         }
+        if dict_files is not None:
+            # put-mode contract: readers resolve dictionary file names
+            # from the manifest, never from a directory listing
+            gen_entry["dictionary_files"] = dict_files
 
         if append and prior and prior.get("state") == lc.STATE_AVAILABLE:
             gens = [g for g in prior.get("generations", []) if g["id"] != generation]

@@ -298,8 +298,9 @@ def merge_generations(spark: SparkSession, index_root: str,
                 _write_parquet(_seg_schema().empty_table(), gdir / name, storage)
                 seg_names[sh] = name
 
-        n_terms = _build_dictionary(spark, gdir, n_shards,
-                                    list(seg_names.values()))
+        n_terms, dict_files = _build_dictionary(spark, gdir, n_shards,
+                                                list(seg_names.values()),
+                                                mode=storage)
 
         shards = []
         for r in sorted(dm_metrics, key=lambda r: r["shard"]):
@@ -321,6 +322,8 @@ def merge_generations(spark: SparkSession, index_root: str,
         gen_entry = {"id": generation, "n_shards": n_shards,
                      "n_docs": n_docs, "total_tokens": total_tokens,
                      "n_terms": n_terms, "shards": shards}
+        if dict_files is not None:
+            gen_entry["dictionary_files"] = dict_files
         finished = time.time()
         history = list(m.get("build_history", []))
         history.append({

@@ -110,8 +110,11 @@ class IndexSearcher:
     def _dict_df(self) -> DataFrame:
         parts = []
         for g in self.gens:
-            p = f"{self.gdirs[g['id']]}/dictionary"
-            parts.append(self.spark.read.parquet(p).select("term", "df"))
+            base = f"{self.gdirs[g['id']]}/dictionary"
+            names = g.get("dictionary_files")
+            # put-mode contract: manifest-recorded names, never a listing
+            paths = ([f"{base}/{n}" for n in names] if names else [base])
+            parts.append(self.spark.read.parquet(*paths).select("term", "df"))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -100,7 +100,10 @@ class LocalSearcher:
             return
         self._dict = {}
         for g in self.gens:
-            d = ds.dataset(str(self.gdirs[g["id"]] / "dictionary"), format="parquet")
+            base = self.gdirs[g["id"]] / "dictionary"
+            names = g.get("dictionary_files")
+            src = [str(base / n) for n in names] if names else str(base)
+            d = ds.dataset(src, format="parquet")
             cols = ["term", "df"]
             has_imp = "has_imp" in d.schema.names
             if has_imp:

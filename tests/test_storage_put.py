@@ -150,3 +150,47 @@ def test_store_positions_false_builds_smaller(spark, tiny_transcripts,
     with _pytest.raises(ValueError, match="store_positions"):
         build_index(spark, tiny_transcripts, str(base / "wo"), n_shards=2,
                     generation="g0002", append=True, store_positions=True)
+
+
+def test_put_mode_dictionary_is_landed_not_committed(spark, put_index,
+                                                     small_oracle):
+    """The per-generation dictionary must land through the storage
+    adapter: unique tokenized names recorded in the manifest, no Spark
+    committer artifacts (_SUCCESS/_temporary mean a rename happened),
+    and readers must resolve names from the manifest — a stray poison
+    file in the directory is invisible to them."""
+    from pathlib import Path
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geospatial_spark.plans import lifecycle as lc
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    root, m = put_index
+    gen = next(g for g in m["generations"] if g["id"] == m["generation"])
+    names = gen.get("dictionary_files")
+    assert names, "put-mode manifest must record dictionary file names"
+    ddir = lc.gen_dir(root, m["generation"]) / "dictionary"
+    on_disk = {p.name for p in ddir.iterdir()}
+    assert set(names) == on_disk  # exactly the recorded objects: no
+    assert "_SUCCESS" not in on_disk  # committer artifacts, no temps
+    assert all(n.startswith("dict-") and n.endswith(".parquet")
+               for n in names)
+
+    # poison: a glob-based reader would double every df through this
+    poison = pa.Table.from_pandas(pd.DataFrame(
+        {"term": ["the"], "df": [999999], "max_tf": [1], "has_imp": [0]}))
+    pq.write_table(poison, ddir / "dict-poisonpoison.parquet")
+    try:
+        s = IndexSearcher(spark, root)
+        ls = LocalSearcher(root)
+        want = small_oracle.search("the spark", 10)
+        for got in (s.search("the spark", 10), ls.search("the spark", 10)):
+            assert [d for d, _ in got] == [d for d, _ in want]
+            for (gd, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-9), gd
+    finally:
+        (ddir / "dict-poisonpoison.parquet").unlink()
