@@ -143,3 +143,40 @@ def test_dup_groups_transitive_closure(spark):
            for r in dup_groups(docs, "doc_id", pairs=pairs).collect()}
     assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3),
                    4: (4, 1), 5: (5, 2), 6: (5, 2)}
+
+
+def test_dup_groups_distributed_path(spark):
+    """The unbounded-graph path (driver_max_edges=0 forces it) must
+    agree with the driver union-find on a chained graph."""
+    from geospatial_spark.operators.dedup import dup_groups
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(1, 9)],
+                                 ["doc_id", "text"])
+    pairs = spark.createDataFrame([(2, 3), (1, 2), (5, 6), (3, 4), (7, 8),
+                                   (6, 7)], ["a", "b"])
+    got = {r["doc_id"]: (r["canonical_id"], r["group_size"])
+           for r in dup_groups(docs, "doc_id", pairs=pairs,
+                               driver_max_edges=0).collect()}
+    assert got == {1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+                   5: (5, 4), 6: (5, 4), 7: (5, 4), 8: (5, 4)}
+
+
+def test_star_contract_path_graph_bounded_rounds(spark):
+    """large-star/small-star must collapse a 1000-node PATH graph (the
+    worst case for min-label propagation, which needs ~diameter rounds)
+    within 10 rounds — O(log n), not O(diameter)."""
+    from pyspark.sql import functions as F
+
+    from geospatial_spark.operators.dedup import _star_contract
+
+    n = 1000
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  ["s", "d"])
+    edges = (pairs.unionByName(pairs.select(F.col("d").alias("s"),
+                                            F.col("s").alias("d"))))
+    labels = {r["node"]: r["label"]
+              for r in _star_contract(edges, max_iters=10).collect()}
+    # max_iters=10 doubles as the round bound: convergence past 10
+    # rounds raises, so reaching here proves O(log n) behavior
+    assert len(labels) == n
+    assert all(v == 0 for v in labels.values())
