@@ -159,14 +159,34 @@ def _decode_doc_blocks(r: dict, kept_idx: np.ndarray, base_ord: int):
 
 
 class _HotTerm:
-    __slots__ = ("r", "idf_t", "bounds", "order", "ptr", "seen", "chunk",
+    __slots__ = ("r", "idf_t", "groups", "ptr", "seen", "chunk",
                  "_imp", "_n_avail")
 
-    def __init__(self, r: dict, idf_t: float, bounds: np.ndarray, k: int):
+    def __init__(self, r: dict, idf_t: float, bounds: np.ndarray, k: int,
+                 avgdl: float = 0.0):
         self.r = r
         self.idf_t = idf_t
-        self.bounds = bounds
-        self.order = np.argsort(-bounds, kind="stable")
+        # discovery UNITS, processed in descending query-time bound
+        # order: v3 rows bound the head's blocks individually and the
+        # tail in geometric TIERS (each an exact union-skyline bound —
+        # O(head + log df) metadata); a tier decodes whole, so the
+        # doubling bounds decode amplification at 2×. v2 rows (no tier
+        # columns) fall back to one unit per block.
+        units: list[tuple[float, np.ndarray]] = [
+            (float(bounds[i]), np.array([i], dtype=np.int64))
+            for i in range(len(bounds))]
+        tends = r.get("imp_tier_ends")
+        if tends is not None and len(tends) > 0:
+            tb = _block_ubs_skyline(idf_t, r["imp_tier_sky_tf"],
+                                    r["imp_tier_sky_dl"],
+                                    r["imp_tier_sky_off"], avgdl)
+            start = len(bounds)
+            for t_i, end in enumerate(np.asarray(tends, dtype=np.int64)):
+                units.append((float(tb[t_i]),
+                              np.arange(start, int(end), dtype=np.int64)))
+                start = int(end)
+        units.sort(key=lambda u: -u[0])
+        self.groups = units
         self.ptr = 0
         self.seen: list[np.ndarray] = []
         # galloping decode: the first chunk just covers k postings, then
@@ -185,6 +205,20 @@ class _HotTerm:
         else:
             self._imp = head
         self._n_avail = len(self._imp[0])
+
+    def next_idx(self) -> np.ndarray:
+        """Block indices of the next discovery step: at least `chunk`
+        blocks' worth of the best-bounded undecoded units."""
+        take: list[np.ndarray] = []
+        n = 0
+        while self.ptr < len(self.groups) and n < self.chunk:
+            g = self.groups[self.ptr][1]
+            take.append(g)
+            n += len(g)
+            self.ptr += 1
+        self.chunk = min(self.chunk * 2, CHUNK_BLOCKS)
+        return (np.concatenate(take) if take
+                else np.empty(0, dtype=np.int64))
 
     def _ensure(self, max_bidx: int) -> None:
         """Lazily pull the tail stream (and doc-ordered streams) of a
@@ -226,19 +260,34 @@ class _HotTerm:
 
     @property
     def residual(self) -> float:
-        if self.ptr >= len(self.order):
+        if self.ptr >= len(self.groups):
             return 0.0
-        return float(self.bounds[self.order[self.ptr]])
+        return self.groups[self.ptr][0]
 
     @property
     def total_ub(self) -> float:
-        return float(self.bounds.max()) if len(self.bounds) else 0.0
+        return self.groups[0][0] if self.groups else 0.0
 
 
 def _kth(scores: np.ndarray, k: int, n_local_docs: int) -> float:
     if n_local_docs <= k:
         return 0.0
     return float(np.partition(scores, -k)[-k])
+
+
+def _kth_touched(scores: np.ndarray, touched: list[np.ndarray], k: int,
+                 n_local_docs: int) -> float:
+    """θ (k-th largest score) computed over the TOUCHED docs only —
+    scores are non-negative and untouched docs are exactly 0, so the
+    k-th largest over touched equals the dense answer whenever ≥ k docs
+    were touched, without an O(n_local_docs) partition per refresh (the
+    measured growth term of hot-term serving on large shards)."""
+    if n_local_docs <= k or not touched:
+        return 0.0
+    u = np.unique(np.concatenate(touched))
+    if len(u) < k:
+        return 0.0
+    return float(np.partition(scores[u], -k)[-k])
 
 
 def wand_shard(
@@ -269,8 +318,14 @@ def wand_shard(
         if _has_impact_copy(r):
             ibounds = _block_ubs_skyline(idf_t, r["imp_sky_tf"], r["imp_sky_dl"],
                                          r["imp_sky_off"], avgdl)
-            hot.append(_HotTerm(r, idf_t, ibounds, k))
+            hot.append(_HotTerm(r, idf_t, ibounds, k, avgdl))
             continue
+        if (r.get("sky_off") is None and r.get("block_max_tf") is None
+                and r.get("_fetch_heavy") is not None):
+            # hot-routed light row whose shard is below the copy
+            # threshold: pull the cold metadata + streams now
+            r.update(r["_fetch_heavy"]())
+            r["_fetch_heavy"] = None
         ubs = _block_ubs_skyline(idf_t, r.get("sky_tf"), r.get("sky_dl"),
                                  r.get("sky_off"), avgdl)
         if ubs is None:
@@ -285,6 +340,10 @@ def wand_shard(
     theta = 0.0
     blocks_skipped = 0
     blocks_read = 0
+    # every doc that ever received a contribution — the sparse support
+    # for θ refreshes and the completion candidate set (untouched docs
+    # score exactly 0)
+    touched: list[np.ndarray] = []
 
     # ---- cold phase: doc-ordered block-max WAND -----------------------
     cold.sort(key=lambda x: -x[0])
@@ -354,6 +413,7 @@ def wand_shard(
 
             local = docs - base_ord
             scores[local] += _contrib(idf_t, tfs, dls, avgdl)
+            touched.append(local)
 
             if pos < len(pending) and n_local_docs > k:
                 new_theta = float(np.partition(scores, -k)[-k])
@@ -383,24 +443,31 @@ def wand_shard(
                 # set) while {d : scores[d] ≥ θ − R} is still large —
                 # impact-ordered decode is cheaper per posting than the
                 # random doc-block reads completion would do for them.
-                n_cand_now = int(np.count_nonzero(scores >= theta - R - EPS))
+                # Only touched docs can qualify (θ − R > 0; untouched
+                # score exactly 0), so the count never scans n_local.
+                u = (np.unique(np.concatenate(touched)) if touched
+                     else np.empty(0, dtype=np.int64))
+                n_cand_now = int(np.count_nonzero(
+                    scores[u] >= theta - R - EPS))
                 if n_cand_now <= CAND_CAP:
                     break
             h = hot[int(np.argmax(residuals))]
-            idx = h.order[h.ptr: h.ptr + h.chunk]
-            h.ptr += len(idx)
-            h.chunk = min(h.chunk * 2, CHUNK_BLOCKS)
+            idx = h.next_idx()
             hot_blocks_read += len(idx)
             docs, tfs, dls = h.decode(idx)
             scores[docs] += _contrib(h.idf_t, tfs, dls, avgdl)
             h.seen.append(docs)
-            theta = max(theta, _kth(scores, k, n_local_docs))
+            touched.append(docs)
+            theta = max(theta, _kth_touched(scores, touched, k,
+                                            n_local_docs))
 
         # ---- completion: exact scores for the candidate set ----------
         residuals = [h.residual for h in hot]
         R = float(sum(residuals))
         if R > 0.0 and theta > 0.0:
-            cand = np.flatnonzero(scores >= theta - R - EPS)
+            u = (np.unique(np.concatenate(touched)) if touched
+                 else np.empty(0, dtype=np.int64))
+            cand = u[scores[u] >= theta - R - EPS]
             n_candidates = len(cand)
             for h in hot:
                 if h.residual <= 0.0:

@@ -157,7 +157,7 @@ def _config_digest(normalization: dict[str, str] | None,
     # segment format version: v2 added the positions stream — a resumed
     # v1 checkpoint would silently skip shards whose files lack
     # pos_blocks, so the version rides in the fingerprint
-    h.update(b"fmt=2")
+    h.update(b"fmt=3")  # v3: tiered impact skylines
     return h.hexdigest()
 
 
@@ -175,6 +175,44 @@ HOT_DF_COPY = 8192
 # fetches when discovery overruns the head (rare: the head holds the
 # 2048 highest-impact postings of the shard)
 IMPACT_HEAD_BLOCKS = 16
+
+
+def _tier_summaries(is_tf, is_dl, is_off, head_blocks: int):
+    """Geometric TIER summaries over the impact stream's tail blocks
+    (format v3). Tier t covers a doubling run of consecutive impact
+    blocks; its summary is the dominance-pruned skyline of the member
+    blocks' skyline points — an EXACT upper bound for every posting in
+    the tier under ANY (k1, b, avgdl), computed at query time like the
+    per-block bounds. Metadata per hot term becomes O(head + log df)
+    instead of O(df / BLOCK); discovery decodes tail tiers whole (the
+    doubling bounds amplification at 2×).
+
+    Returns (tier_end_blocks, sky_tf, sky_dl, sky_off) — empty lists
+    when the stream fits in the head."""
+    from geospatial_spark.functions.codec import _block_skyline
+
+    nblocks = len(is_off) - 1
+    tends: list[int] = []
+    ttf: list[int] = []
+    tdl: list[int] = []
+    toff: list[int] = [0]
+    start = head_blocks
+    width = head_blocks
+    is_tf = np.asarray(is_tf, dtype=np.int64)
+    is_dl = np.asarray(is_dl, dtype=np.int64)
+    while start < nblocks:
+        end = min(start + width, nblocks)
+        lo, hi = int(is_off[start]), int(is_off[end])
+        s_tf, s_dl = _block_skyline(is_tf[lo:hi], is_dl[lo:hi])
+        ttf.extend(int(x) for x in s_tf)
+        tdl.extend(int(x) for x in s_dl)
+        toff.append(len(ttf))
+        tends.append(end)
+        start = end
+        width *= 2
+    if not tends:
+        return [], [], [], [0]
+    return tends, ttf, tdl, toff
 
 
 def _seg_schema():
@@ -206,6 +244,11 @@ def _seg_schema():
             ("imp_sky_tf", pa.list_(pa.int32())),
             ("imp_sky_dl", pa.list_(pa.int32())),
             ("imp_sky_off", pa.list_(pa.int32())),
+            # v3: geometric tier summaries over the impact tail
+            ("imp_tier_ends", pa.list_(pa.int32())),
+            ("imp_tier_sky_tf", pa.list_(pa.int32())),
+            ("imp_tier_sky_dl", pa.list_(pa.int32())),
+            ("imp_tier_sky_off", pa.list_(pa.int32())),
         ]
     )
 
@@ -265,7 +308,8 @@ def encode_runs_to_segments(shard: int, terms_sorted, starts, ends,
     local_idx_all = (docs_arr.astype(np.int64)
                      & ((np.int64(1) << ORD_SHARD_SHIFT) - 1))
     imp = {k: [None] * n_terms for k in
-           ("hd", "ht", "hl", "td", "tt", "tl", "stf", "sdl", "soff")}
+           ("hd", "ht", "hl", "td", "tt", "tl", "stf", "sdl", "soff",
+            "tends", "ttf", "tdl", "toff")}
     if hot_df_copy:
         H = IMPACT_HEAD_BLOCKS
         for ti in np.flatnonzero((ends - starts) >= hot_df_copy):
@@ -285,8 +329,17 @@ def encode_runs_to_segments(shard: int, terms_sorted, starts, ends,
             imp["hd"][ti], imp["td"][ti] = idb[:H], idb[H:]
             imp["ht"][ti], imp["tt"][ti] = itb[:H], itb[H:]
             imp["hl"][ti], imp["tl"][ti] = ilb[:H], ilb[H:]
-            imp["stf"][ti], imp["sdl"][ti] = is_tf, is_dl
-            imp["soff"][ti] = is_off
+            # format v3: per-block skylines for the HEAD only; the tail
+            # is summarized into geometric TIERS (union skylines) so a
+            # hot term's bound metadata is O(head + log df), not
+            # O(df / BLOCK) — the measured serve-latency growth term
+            h_end = min(H, len(is_off) - 1)
+            imp["stf"][ti] = is_tf[:is_off[h_end]]
+            imp["sdl"][ti] = is_dl[:is_off[h_end]]
+            imp["soff"][ti] = is_off[:h_end + 1]
+            (imp["tends"][ti], imp["ttf"][ti],
+             imp["tdl"][ti], imp["toff"][ti]) = _tier_summaries(
+                is_tf, is_dl, is_off, H)
 
     # ---- zero-copy Arrow assembly -------------------------------------
     nb_per_term = fb[1:] - fb[:-1]
@@ -327,6 +380,10 @@ def encode_runs_to_segments(shard: int, terms_sorted, starts, ends,
         pa.array(imp["stf"], type=pa.list_(pa.int32())),
         pa.array(imp["sdl"], type=pa.list_(pa.int32())),
         pa.array(imp["soff"], type=pa.list_(pa.int32())),
+        pa.array(imp["tends"], type=pa.list_(pa.int32())),
+        pa.array(imp["ttf"], type=pa.list_(pa.int32())),
+        pa.array(imp["tdl"], type=pa.list_(pa.int32())),
+        pa.array(imp["toff"], type=pa.list_(pa.int32())),
     ]
     return pa.Table.from_arrays(cols, schema=_seg_schema()), n_postings, n_bytes
 

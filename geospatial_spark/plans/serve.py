@@ -87,9 +87,13 @@ class LocalSearcher:
             for g in self.gens:
                 for s in g["shards"]:
                     shard = int(s["shard"])
+                    # combine_chunks: take() on a multi-chunk column
+                    # concatenates internally on EVERY call (measured
+                    # ~5 ms per query at 550k docs); combined once, a
+                    # 10-element take is microseconds
                     self._docmap_cache[(g["id"], shard)] = pq.read_table(
                         self.gdirs[g["id"]] / self.docmap_files[(g["id"], shard)],
-                        columns=["doc_id"]).column("doc_id")
+                        columns=["doc_id"]).column("doc_id").combine_chunks()
 
     # -- dictionary (loaded once; the frozen index makes this sound) ---
 
@@ -195,14 +199,30 @@ class LocalSearcher:
                                           "pos_blocks")]
                 rows.extend(reader.read_terms(cold_q, cold_cols))
             if hot_q:
-                light = [c for c in names if c not in self.HEAVY_COLS]
+                # discovery needs ONLY df + the impact head + impact
+                # skylines. The doc-ordered per-block metadata columns
+                # (block_last_doc, sky_*) total O(Σ df) ints across a
+                # row group — decoding them for every term in the
+                # group was the measured serve-latency growth term;
+                # completion re-fetches block_last_doc with the byte
+                # streams on the rare discovery overrun.
+                light = [c for c in names
+                         if c.startswith("imp_head_")
+                         or c.startswith("imp_sky_")
+                         or c.startswith("imp_tier_") or c == "df"]
                 rows.extend(reader.read_terms(hot_q, light))
             if not rows:
                 continue
-            # targeted completion fetch: byte streams only — positions
-            # are never needed by plain search
+            # targeted completion fetch: byte streams (positions are
+            # never needed by plain search) + the doc-ordered block
+            # metadata the light hot read skipped (a routed-hot term can
+            # still be COLD in a shard below the copy threshold — that
+            # row needs the full cold metadata on fetch)
             heavy_all = [c for c in names
-                         if c in self.HEAVY_COLS and c != "pos_blocks"]
+                         if (c in self.HEAVY_COLS and c != "pos_blocks")
+                         or c in ("block_last_doc", "block_max_tf",
+                                  "block_min_dl", "sky_tf", "sky_dl",
+                                  "sky_off")]
             for r in rows:
                 if r.get("doc_blocks") is None:
                     r["_fetch_heavy"] = reader.make_fetch(
@@ -226,7 +246,7 @@ class LocalSearcher:
                 if col is None:
                     col = pq.read_table(
                         gdir / self.docmap_files[(gen_id, shard)],
-                        columns=["doc_id"]).column("doc_id")
+                        columns=["doc_id"]).column("doc_id").combine_chunks()
                     self._docmap_cache[key] = col
                 ids = col.take(local.tolist()).to_pylist()
                 return list(zip(ids, scores))
@@ -288,7 +308,7 @@ class LocalSearcher:
                 if col is None:
                     col = pq.read_table(
                         gdir / self.docmap_files[key],
-                        columns=["doc_id"]).column("doc_id")
+                        columns=["doc_id"]).column("doc_id").combine_chunks()
                     self._docmap_cache[key] = col
                 for doc_id, sc in zip(col.take(local.tolist()).to_pylist(),
                                       scores):
@@ -338,7 +358,7 @@ class LocalSearcher:
                 col = self._docmap_cache.get(key)
                 if col is None:
                     col = pq.read_table(gdir / self.docmap_files[key],
-                                        columns=["doc_id"]).column("doc_id")
+                                        columns=["doc_id"]).column("doc_id").combine_chunks()
                     self._docmap_cache[key] = col
                 for doc_id, sc in zip(col.take(local.tolist()).to_pylist(),
                                       scores):
@@ -402,7 +422,7 @@ class LocalSearcher:
                 col = self._docmap_cache.get(key)
                 if col is None:
                     col = pq.read_table(gdir / self.docmap_files[key],
-                                        columns=["doc_id"]).column("doc_id")
+                                        columns=["doc_id"]).column("doc_id").combine_chunks()
                     self._docmap_cache[key] = col
                 for doc_id, sc in zip(col.take(local.tolist()).to_pylist(),
                                       scores):

@@ -134,3 +134,59 @@ def test_encode_rejects_oversized_doc():
         encode_shard_streams(docs, tfs, dls,
                              np.array([0], dtype=np.int64),
                              np.array([2], dtype=np.int64))
+
+
+def test_v3_tier_units_light_vs_eager_parity():
+    """Format v3: head per-block skylines + geometric tail tiers. A
+    light row carrying ONLY head + tier metadata must score identically
+    to an eager row, including when discovery must enter a tail tier
+    (forced by tiny k over a uniform posting so bounds tie)."""
+    from geospatial_spark.plans.build import _tier_summaries
+
+    avgdl = 100.0
+    df = IMPACT_HEAD_BLOCKS * BLOCK * 4  # 64 blocks: head + 2 tiers
+    docs, tfs, dls = _synth_posting(df, seed=11)
+    starts = np.array([0], dtype=np.int64)
+    ends = np.array([df], dtype=np.int64)
+    (doc_b, tf_b, dl_b, bmax, bmin, blast,
+     sky_tf, sky_dl, sky_off, _pos) = encode_shard_postings(
+        docs, tfs, dls, starts, ends)
+    idb, itb, ilb, is_tf, is_dl, is_off = encode_impact_posting(
+        docs, tfs, dls, avgdl)
+    H = IMPACT_HEAD_BLOCKS
+    h_end = min(H, len(is_off) - 1)
+    tends, ttf, tdl, toff = _tier_summaries(is_tf, is_dl, is_off, H)
+    assert len(tends) == 2  # widths 16 then 32 cover the 48 tail blocks
+
+    row = {
+        "term": "hot", "df": df,
+        "doc_blocks": doc_b[0], "tf_blocks": tf_b[0], "dl_blocks": dl_b[0],
+        "block_max_tf": bmax[0], "block_min_dl": bmin[0],
+        "block_last_doc": blast[0],
+        "sky_tf": sky_tf[0], "sky_dl": sky_dl[0], "sky_off": sky_off[0],
+        "imp_head_doc_blocks": idb[:H], "imp_head_tf_blocks": itb[:H],
+        "imp_head_dl_blocks": ilb[:H],
+        "imp_tail_doc_blocks": idb[H:], "imp_tail_tf_blocks": itb[H:],
+        "imp_tail_dl_blocks": ilb[H:],
+        "imp_sky_tf": is_tf[:is_off[h_end]],
+        "imp_sky_dl": is_dl[:is_off[h_end]],
+        "imp_sky_off": is_off[:h_end + 1],
+        "imp_tier_ends": tends, "imp_tier_sky_tf": ttf,
+        "imp_tier_sky_dl": tdl, "imp_tier_sky_off": toff,
+    }
+    n_local = df * 3 + 1
+    dfg = {"hot": df}
+
+    for k in (10, 3000):  # small k (head only) and k forcing the tail
+        top_e, sc_e = wand_shard([copy.deepcopy(row)], n_local, 0, dfg,
+                                 n_local, avgdl, k)
+        light, calls = _to_light(row)
+        light["imp_sky_tf"] = row["imp_sky_tf"]
+        light["imp_sky_dl"] = row["imp_sky_dl"]
+        light["imp_sky_off"] = row["imp_sky_off"]
+        top_l, sc_l = wand_shard([light], n_local, 0, dfg, n_local,
+                                 avgdl, k)
+        np.testing.assert_array_equal(top_e, top_l)
+        np.testing.assert_allclose(sc_e, sc_l, rtol=0, atol=0)
+        if k == 3000:
+            assert calls, "k past the head must have fetched the tail"
