@@ -275,15 +275,36 @@ def _kth(scores: np.ndarray, k: int, n_local_docs: int) -> float:
     return float(np.partition(scores, -k)[-k])
 
 
+def _support(scores: np.ndarray, touched: list[np.ndarray],
+             n_local_docs: int) -> np.ndarray:
+    """Scores restricted to their support: the unique touched docs'
+    scores below the density cutover, the full array above it."""
+    if not touched:
+        return np.empty(0, dtype=np.float64)
+    if sum(len(t) for t in touched) >= (n_local_docs >> 2):
+        return scores
+    return scores[np.unique(np.concatenate(touched))]
+
+
 def _kth_touched(scores: np.ndarray, touched: list[np.ndarray], k: int,
                  n_local_docs: int) -> float:
     """θ (k-th largest score) computed over the TOUCHED docs only —
     scores are non-negative and untouched docs are exactly 0, so the
     k-th largest over touched equals the dense answer whenever ≥ k docs
     were touched, without an O(n_local_docs) partition per refresh (the
-    measured growth term of hot-term serving on large shards)."""
+    measured growth term of hot-term serving on large shards).
+
+    Density cutover: once the touched multiset approaches the shard
+    size, the O(T log T) unique dominates a dense O(n) partition (a
+    multi-hot-term query touches most of the shard) — switch to dense.
+    The touched entries must be DEDUPED in the sparse branch: a doc
+    decoded by two terms would otherwise appear twice and push the k-th
+    rank upward, overstating θ and breaking exactness."""
     if n_local_docs <= k or not touched:
         return 0.0
+    total = sum(len(t) for t in touched)
+    if total >= (n_local_docs >> 2):
+        return _kth(scores, k, n_local_docs)
     u = np.unique(np.concatenate(touched))
     if len(u) < k:
         return 0.0
@@ -444,11 +465,11 @@ def wand_shard(
                 # impact-ordered decode is cheaper per posting than the
                 # random doc-block reads completion would do for them.
                 # Only touched docs can qualify (θ − R > 0; untouched
-                # score exactly 0), so the count never scans n_local.
-                u = (np.unique(np.concatenate(touched)) if touched
-                     else np.empty(0, dtype=np.int64))
+                # score exactly 0) — sparse support below the density
+                # cutover, dense count above it.
                 n_cand_now = int(np.count_nonzero(
-                    scores[u] >= theta - R - EPS))
+                    _support(scores, touched, n_local_docs)
+                    >= theta - R - EPS))
                 if n_cand_now <= CAND_CAP:
                     break
             h = hot[int(np.argmax(residuals))]
@@ -465,9 +486,12 @@ def wand_shard(
         residuals = [h.residual for h in hot]
         R = float(sum(residuals))
         if R > 0.0 and theta > 0.0:
-            u = (np.unique(np.concatenate(touched)) if touched
-                 else np.empty(0, dtype=np.int64))
-            cand = u[scores[u] >= theta - R - EPS]
+            if sum(len(t) for t in touched) >= (n_local_docs >> 2):
+                cand = np.flatnonzero(scores >= theta - R - EPS)
+            else:
+                u = (np.unique(np.concatenate(touched)) if touched
+                     else np.empty(0, dtype=np.int64))
+                cand = u[scores[u] >= theta - R - EPS]
             n_candidates = len(cand)
             for h in hot:
                 if h.residual <= 0.0:

@@ -478,10 +478,61 @@ def _write_parquet(df: pd.DataFrame, path: Path,
              else pa.Table.from_pandas(df, preserve_index=False))
     # small row groups: terms are sorted within the file, so parquet
     # min/max stats let a query's term filter prune to the few row
-    # groups that contain its terms (I/O ∝ matched postings)
-    pq.write_table(table, tmp, row_group_size=256)
+    # groups that contain its terms. Row groups are ALSO capped by a
+    # byte budget: parquet reads are row-group-granular per column, so
+    # a fixed 256-row group containing one saturated term forces every
+    # reader of a NEIGHBOR term to decode that term's whole byte stream
+    # too (measured 10×+ serve-read amplification on merged shards).
+    # The cap keeps read I/O ∝ matched postings + O(budget).
+    if "doc_blocks" in table.column_names and table.num_rows:
+        _write_row_groups(table, tmp)
+    else:
+        pq.write_table(table, tmp, row_group_size=256)
     if tmp is not path:
         os.replace(tmp, path)
+
+
+SEG_ROW_GROUP_ROWS = 256
+SEG_ROW_GROUP_BYTES = 1 << 20  # 1 MiB stream bytes per row group
+
+
+def _row_bytes(table) -> np.ndarray:
+    """Approximate stored bytes per row: the binary list columns'
+    value lengths (the streams dominate; int metadata is noise)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    sizes = np.zeros(table.num_rows, dtype=np.int64)
+    for name, col in zip(table.column_names, table.columns):
+        if (pa.types.is_list(col.type)
+                and pa.types.is_binary(col.type.value_type)):
+            arr = col.combine_chunks()
+            offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            elem = pc.binary_length(arr.values).to_numpy(zero_copy_only=False)
+            cum = np.concatenate(([0], np.cumsum(elem, dtype=np.int64)))
+            # null rows have equal adjacent offsets → contribute 0
+            sizes += cum[offs[1:]] - cum[offs[:-1]]
+    return sizes
+
+
+def _write_row_groups(table, tmp) -> None:
+    import pyarrow.parquet as pq
+
+    sizes = _row_bytes(table)
+    cum = np.concatenate(([0], np.cumsum(sizes, dtype=np.int64)))
+    n = table.num_rows
+    writer = pq.ParquetWriter(tmp, table.schema)
+    try:
+        start = 0
+        while start < n:  # O(row groups), not O(rows)
+            end_budget = int(np.searchsorted(
+                cum, cum[start] + SEG_ROW_GROUP_BYTES, side="left"))
+            end = min(start + SEG_ROW_GROUP_ROWS,
+                      max(end_budget, start + 1), n)
+            writer.write_table(table.slice(start, end - start))
+            start = end
+    finally:
+        writer.close()
 
 
 def _make_shard_builder(gdir_str: str, normalization: dict[str, str] | None = None,

@@ -92,41 +92,44 @@ def _make_docmap_writer(gdir_str: str, storage: str):
     return write_docmap
 
 
-def _make_posting_decoder(gdirs: dict[str, str],
-                          docmap_files: dict[tuple[str, int], str]):
+def _make_posting_decoder(gen_index: dict[str, int]):
     def decode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow.parquet as pq
-
+        from geospatial_spark.functions.codec import (
+            varint_encode_with_lengths,
+        )
         from geospatial_spark.operators.phrase import _decode_full_posting
 
         gen, shard = str(key[0]), int(key[1])
         base = shard << ORD_SHARD_SHIFT
-        ids = np.array(pq.read_table(
-            Path(gdirs[gen]) / docmap_files[(gen, shard)],
-            columns=["doc_id"]).column("doc_id").to_pylist(), dtype=object)
-        # vectorized doc_id → (conv, turn) split for the whole docmap
-        sp = pd.Series(ids).str.rpartition(":")
-        conv_all = sp[0].to_numpy(dtype=object)
-        turn_all = sp[2].to_numpy(dtype="int64")
-        terms, convs, turns, ords_o, tfs_o, dls_o, poss_o = [], [], [], [], [], [], []
+        gen_i = int(gen_index[gen])
+        terms, ords_o, tfs_o, dls_o, poss_o = [], [], [], [], []
         for rec in pdf.to_dict("records"):
             docs, tfs, dls, poss = _decode_full_posting(rec, base)
             tok_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
             terms.append(np.full(len(docs), rec["term"], dtype=object))
-            convs.append(conv_all[docs])
-            turns.append(turn_all[docs])
             ords_o.append(docs + base)  # source GLOBAL ordinal
             tfs_o.append(tfs.astype(np.int64))
             dls_o.append(dls.astype(np.int64))
-            poss_o.extend(
-                poss[s: s + int(t)].astype(np.int64)
-                for s, t in zip(tok_starts, tfs))
+            # positions travel the shuffle as ONE small varint-bytes
+            # cell per posting (delta within the posting, first value
+            # absolute) — a per-posting ndarray cell costs ~200 B of
+            # Python object overhead × tens of millions of postings,
+            # the measured dominator of merge wall time
+            pgaps = poss.astype(np.int64).copy()
+            if len(pgaps):
+                pgaps[1:] -= poss[:-1]
+                pgaps[tok_starts] = poss[tok_starts]
+            buf, lens = varint_encode_with_lengths(pgaps.astype(np.uint64))
+            mv = memoryview(buf)
+            boffs = np.concatenate(([0], np.cumsum(lens)))
+            starts_b = boffs[tok_starts]
+            ends_b = boffs[np.concatenate((tok_starts[1:], [len(pgaps)]))]
+            poss_o.extend(bytes(mv[s:e])
+                          for s, e in zip(starts_b, ends_b))
         if not terms:
             return pd.DataFrame({
                 "term": pd.Series([], dtype=object),
-                "conv": pd.Series([], dtype=object),
-                "turn": pd.Series([], dtype="int64"),
-                "src_gen": pd.Series([], dtype=object),
+                "gen_i": pd.Series([], dtype="int32"),
                 "src_ord": pd.Series([], dtype="int64"),
                 "tf": pd.Series([], dtype="int64"),
                 "dl": pd.Series([], dtype="int64"),
@@ -134,9 +137,7 @@ def _make_posting_decoder(gdirs: dict[str, str],
         nrows = sum(len(t) for t in terms)
         return pd.DataFrame({
             "term": np.concatenate(terms),
-            "conv": np.concatenate(convs),
-            "turn": np.concatenate(turns),
-            "src_gen": np.full(nrows, gen, dtype=object),
+            "gen_i": np.full(nrows, gen_i, dtype=np.int32),
             "src_ord": np.concatenate(ords_o),
             "tf": np.concatenate(tfs_o),
             "dl": np.concatenate(dls_o),
@@ -146,6 +147,94 @@ def _make_posting_decoder(gdirs: dict[str, str],
     return decode
 
 
+def _encode_rows(shard: int, pdf: pd.DataFrame, gdir: Path,
+                 dm_name: str, storage: str, hot_df_copy: int,
+                 avgdl_local: float) -> pd.DataFrame:
+    """Shared tail of both merge paths: posting rows (term, dest_local,
+    tf, dl, positions-bytes) → sorted runs → encoded segment file."""
+    ords = ((np.int64(shard) << ORD_SHARD_SHIFT)
+            | pdf["dest_local"].to_numpy(dtype=np.int64))
+    uniq_terms, codes = np.unique(pdf["term"].to_numpy(dtype="U"),
+                                  return_inverse=True)
+    order = np.lexsort((ords, codes))
+    tc = codes[order]
+    docs_arr = ords[order].astype(np.uint64)
+    tfs_arr = pdf["tf"].to_numpy(dtype=np.int64)[order].astype(np.uint64)
+    dls_arr = pdf["dl"].to_numpy(dtype=np.int64)[order].astype(np.uint64)
+    pos_cells = pdf["positions"].to_numpy(dtype=object)[order]
+    rtb = np.concatenate(([0], np.cumsum(tfs_arr))).astype(np.int64)
+    # one bulk varint pass over all postings' position bytes; the
+    # per-posting delta encoding IS the run encoding (first value
+    # absolute per posting), so decode_positions_stream reconstructs
+    # the absolute positions directly
+    from geospatial_spark.functions.codec import decode_positions_stream
+
+    pos_flat = (decode_positions_stream(
+        b"".join(pos_cells), tfs_arr.astype(np.int64))
+        if len(pos_cells) else np.empty(0, dtype=np.int64))
+    tchange = np.flatnonzero(tc[1:] != tc[:-1]) + 1
+    starts = np.concatenate(([0], tchange)).astype(np.int64)
+    ends = np.concatenate((tchange, [len(tc)])).astype(np.int64)
+    terms_sorted = uniq_terms[tc[starts]]
+
+    segments, n_postings, n_bytes = encode_runs_to_segments(
+        shard, terms_sorted, starts, ends, docs_arr, tfs_arr, dls_arr,
+        pos_flat, rtb, avgdl_local, hot_df_copy)
+    fp = hashlib.sha256(b"merge" + bytes(str(n_postings), "ascii")
+                        + dm_name.encode()).hexdigest()
+    token = fp[:10] if storage == lc.STORAGE_PUT else None
+    name = lc.segment_file(shard, token)
+    _write_parquet(segments, gdir / name, storage)
+    return pd.DataFrame([{"shard": shard, "postings": int(n_postings),
+                          "bytes": int(n_bytes), "segment_file": name}])
+
+
+def _bulk_decode_segment(pdf: pd.DataFrame):
+    """Whole-segment bulk decode: ONE varint pass per stream over ALL
+    terms' concatenated blocks (the per-term loop costs ~170 µs/term of
+    numpy call overhead — the measured dominator of merge decode).
+
+    Returns (dfs, src_ords(global), tfs, dls, pos_flat, rtb) where term
+    t's postings occupy [cum_dfs[t], cum_dfs[t+1]) and pos_flat holds
+    the absolute in-document positions aligned token-for-token."""
+    from geospatial_spark.functions.codec import (
+        BLOCK,
+        decode_positions_stream,
+        varint_decode,
+    )
+
+    dfs = pdf["df"].to_numpy(np.int64)
+    n = len(dfs)
+    nblocks = -(-dfs // BLOCK)
+    total_blocks = int(nblocks.sum())
+    block_term = np.repeat(np.arange(n), nblocks)
+    first_block = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
+    block_in_term = np.arange(total_blocks) - first_block[block_term]
+    lens = np.where(block_in_term == nblocks[block_term] - 1,
+                    dfs[block_term] - (nblocks[block_term] - 1) * BLOCK,
+                    BLOCK).astype(np.int64)
+
+    def cat(col):
+        return b"".join(b for cell in pdf[col] for b in cell)
+
+    gaps = varint_decode(cat("doc_blocks")).astype(np.int64)
+    tfs = varint_decode(cat("tf_blocks")).astype(np.int64)
+    dls = varint_decode(cat("dl_blocks")).astype(np.int64)
+    starts_flat = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    blast_flat = np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x in pdf["block_last_doc"]])
+    prev_last = np.where(block_in_term > 0,
+                         blast_flat[np.arange(total_blocks) - 1], 0)
+    gaps[starts_flat] += prev_last
+    cs = np.cumsum(gaps)
+    seg_off = cs[starts_flat] - gaps[starts_flat]
+    src_ords = cs - np.repeat(seg_off, lens)  # GLOBAL source ordinals
+
+    pos_flat = decode_positions_stream(cat("pos_blocks"), tfs)
+    rtb = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+    return dfs, src_ords, tfs, dls, pos_flat, rtb
+
+
 def _make_shard_encoder(gdir_str: str, dm_names: dict[int, str],
                         storage: str, hot_df_copy: int):
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -153,42 +242,113 @@ def _make_shard_encoder(gdir_str: str, dm_names: dict[int, str],
 
         shard = int(key[0])
         gdir = Path(gdir_str)
+        dm = pq.read_table(gdir / dm_names[shard], columns=["dl"])
+        avgdl_local = (float(np.mean(dm.column("dl").to_numpy()))
+                       if dm.num_rows else 0.0)
+        return _encode_rows(shard, pdf, gdir, dm_names[shard], storage,
+                            hot_df_copy, avgdl_local)
+
+    return encode
+
+
+def _make_colocated_merger(gdir_str: str, dm_names: dict[int, str],
+                           storage: str, hot_df_copy: int,
+                           sources: dict[int, list[tuple[str, int, str]]],
+                           gen_index: dict[str, int]):
+    """Fast-path merge kernel: when the new shard count DIVIDES every
+    generation's old count, hash(conv) mod n_new == (hash mod n_old)
+    mod n_new, so destination shard s is exactly the union of source
+    shards {t : t % n_new == s} — each destination task reads its own
+    source segment files directly and NO posting ever crosses the wire
+    (the general path shuffles one row per posting; at sf0.1 that is
+    ~45M rows and dominated merge wall time ~6×). Everything inside is
+    whole-segment bulk decode + array concatenation — no per-term or
+    per-posting Python."""
+
+    def run(key, _pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        shard = int(key[0])
+        gdir = Path(gdir_str)
         dm = pq.read_table(gdir / dm_names[shard],
                            columns=["dl", "src_gen", "src_ord"])
-        doc_index = pd.MultiIndex.from_arrays(
-            [dm.column("src_gen").to_pylist(),
-             dm.column("src_ord").to_numpy()])
-        avgdl_local = (float(np.mean(dm.column("dl").to_numpy()))
-                       if len(doc_index) else 0.0)
+        dls_dm = dm.column("dl").to_numpy()
+        avgdl_local = float(dls_dm.mean()) if len(dls_dm) else 0.0
+        # per-gen local ordinal maps: src_ord (sorted) → docmap row idx
+        sg = np.array([gen_index[x] for x in
+                       dm.column("src_gen").to_pylist()], dtype=np.int64)
+        so = dm.column("src_ord").to_numpy().astype(np.int64)
+        by_gen: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for gi in np.unique(sg):
+            rows_g = np.flatnonzero(sg == gi)
+            o = np.argsort(so[rows_g], kind="stable")
+            by_gen[int(gi)] = (so[rows_g][o], rows_g[o])
 
-        local = doc_index.get_indexer(
-            pd.MultiIndex.from_arrays(
-                [pdf["src_gen"].tolist(),
-                 pdf["src_ord"].to_numpy(dtype=np.int64)]))
-        if (local < 0).any():
-            raise RuntimeError("merge: posting doc missing from new docmap")
-        ords = ((np.int64(shard) << ORD_SHARD_SHIFT)
-                | local.astype(np.int64))
-        uniq_terms, codes = np.unique(pdf["term"].to_numpy(dtype="U"),
-                                      return_inverse=True)
+        term_l, df_l, dest_l, tf_l, dl_l, pos_l = [], [], [], [], [], []
+        for gen, s_src, seg_path in sources[shard]:
+            t = pq.read_table(seg_path,
+                              columns=["term", "df", "doc_blocks",
+                                       "tf_blocks", "dl_blocks",
+                                       "pos_blocks", "block_last_doc"])
+            if t.num_rows == 0:
+                continue
+            pdfs = t.to_pandas()
+            dfs, src_ords, tfs, dls, pos_flat, _rtb = \
+                _bulk_decode_segment(pdfs)
+            gi = int(gen_index[gen])
+            if gi not in by_gen:
+                raise RuntimeError("merge: postings from a generation "
+                                   "absent from the destination docmap")
+            sorted_so, row_idx = by_gen[gi]
+            pos_in = np.searchsorted(sorted_so, src_ords)
+            if (pos_in >= len(sorted_so)).any() or \
+                    (sorted_so[np.minimum(pos_in, len(sorted_so) - 1)]
+                     != src_ords).any():
+                raise RuntimeError("merge: posting doc missing from docmap")
+            term_l.append(pdfs["term"].to_numpy(dtype="U"))
+            df_l.append(dfs)
+            dest_l.append(row_idx[pos_in])
+            tf_l.append(tfs)
+            dl_l.append(dls)
+            pos_l.append(pos_flat)
+        if not term_l:
+            return pd.DataFrame({"shard": pd.Series([], dtype="int32"),
+                                 "postings": pd.Series([], dtype="int64"),
+                                 "bytes": pd.Series([], dtype="int64"),
+                                 "segment_file": pd.Series([], dtype=object)})
+
+        dfs_all = np.concatenate(df_l)
+        uniq_terms, term_codes = np.unique(np.concatenate(term_l),
+                                           return_inverse=True)
+        codes = np.repeat(term_codes, dfs_all)
+        dest_all = np.concatenate(dest_l)
+        tf_all = np.concatenate(tf_l)
+        dl_all = np.concatenate(dl_l)
+        pos_all = np.concatenate(pos_l)
+        ords = (np.int64(shard) << ORD_SHARD_SHIFT) | dest_all
         order = np.lexsort((ords, codes))
+
+        # vectorized per-posting position gather into the new order
+        tok_starts = np.concatenate(([0], np.cumsum(tf_all)[:-1]))
+        reps = tf_all[order]
+        base_rep = np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])),
+                             reps)
+        flat_idx = (np.repeat(tok_starts[order], reps)
+                    + np.arange(int(reps.sum())) - base_rep)
+        pos_sorted = pos_all[flat_idx]
+        rtb_new = np.concatenate(([0], np.cumsum(reps))).astype(np.int64)
+
         tc = codes[order]
-        docs_arr = ords[order].astype(np.uint64)
-        tfs_arr = pdf["tf"].to_numpy(dtype=np.int64)[order].astype(np.uint64)
-        dls_arr = pdf["dl"].to_numpy(dtype=np.int64)[order].astype(np.uint64)
-        pos_cells = pdf["positions"].to_numpy(dtype=object)[order]
-        pos_flat = (np.concatenate([np.asarray(p, dtype=np.int64)
-                                    for p in pos_cells])
-                    if len(pos_cells) else np.empty(0, dtype=np.int64))
-        rtb = np.concatenate(([0], np.cumsum(tfs_arr))).astype(np.int64)
         tchange = np.flatnonzero(tc[1:] != tc[:-1]) + 1
         starts = np.concatenate(([0], tchange)).astype(np.int64)
         ends = np.concatenate((tchange, [len(tc)])).astype(np.int64)
         terms_sorted = uniq_terms[tc[starts]]
 
         segments, n_postings, n_bytes = encode_runs_to_segments(
-            shard, terms_sorted, starts, ends, docs_arr, tfs_arr, dls_arr,
-            pos_flat, rtb, avgdl_local, hot_df_copy)
+            shard, terms_sorted, starts, ends,
+            ords[order].astype(np.uint64), tf_all[order].astype(np.uint64),
+            dl_all[order].astype(np.uint64), pos_sorted, rtb_new,
+            avgdl_local, hot_df_copy)
         fp = hashlib.sha256(b"merge" + bytes(str(n_postings), "ascii")
                             + dm_names[shard].encode()).hexdigest()
         token = fp[:10] if storage == lc.STORAGE_PUT else None
@@ -197,17 +357,22 @@ def _make_shard_encoder(gdir_str: str, dm_names: dict[int, str],
         return pd.DataFrame([{"shard": shard, "postings": int(n_postings),
                               "bytes": int(n_bytes), "segment_file": name}])
 
-    return encode
+    return run
 
 
 def merge_generations(spark: SparkSession, index_root: str,
                       n_shards: int | None = None,
                       generation: str | None = None,
                       hot_df_copy: int = HOT_DF_COPY,
-                      storage: str | None = None) -> dict:
+                      storage: str | None = None,
+                      force: bool = False) -> dict:
     """Merge all live generations into one new generation and swap the
-    manifest. No-op (returns the manifest) when ≤1 generation is live.
-    Raises ConcurrentBuildError if a build/merge is already running."""
+    manifest. No-op (returns the manifest) when ≤1 generation is live,
+    unless force=True — forcing a single-generation merge RESHARDS it
+    (the serve-tier optimize step: builds run wide for throughput, then
+    compact into fewer, larger shards so saturated terms cross the
+    per-shard impact-copy threshold and serving reads touch fewer
+    files). Raises ConcurrentBuildError if a build/merge is running."""
     storage = lc.storage_mode(storage)
     with lc.BuildLock(index_root, owner="merge"):
         m = lc.read_manifest(index_root)
@@ -217,7 +382,9 @@ def merge_generations(spark: SparkSession, index_root: str,
             raise ValueError("segment merge requires a positions index "
                              "(store_positions=True builds)")
         gens = m.get("generations", [])
-        if len(gens) <= 1:
+        if len(gens) <= 1 and not force:
+            return m
+        if not gens:
             return m
         started = time.time()
         if n_shards is None:
@@ -235,9 +402,12 @@ def merge_generations(spark: SparkSession, index_root: str,
         seg_files: list[str] = []
         docmap_files: dict[tuple[str, int], str] = {}
         seg_by_gen: dict[str, list[str]] = {}
+        seg_path_by: dict[tuple[str, int], str] = {}
         for g in gens:
             segs, dms = lc.gen_shard_files(g)
             seg_by_gen[g["id"]] = [f"{gdirs[g['id']]}/{s}" for s in segs]
+            for sh_entry, seg_name in zip(g["shards"], segs):
+                seg_path_by[(g["id"], int(sh_entry["shard"]))] =                     f"{gdirs[g['id']]}/{seg_name}"
             for sh, name in dms.items():
                 docmap_files[(g["id"], sh)] = name
 
@@ -266,6 +436,39 @@ def merge_generations(spark: SparkSession, index_root: str,
         dm_names = {int(r["shard"]): r["docmap_file"] for r in dm_metrics}
 
         # ---- phase B: decode → re-bucket → re-encode -----------------
+        gen_index = {g["id"]: i for i, g in enumerate(gens)}
+        if all(int(g["n_shards"]) % n_shards == 0 for g in gens):
+            # co-located fast path: n_new divides every generation's
+            # shard count, so hash mod n_new == (hash mod n_old) mod
+            # n_new — destination shard s owns exactly the source
+            # shards {t : t % n_new == s}. Each destination task reads
+            # its sources directly; no posting row ever shuffles.
+            sources: dict[int, list[tuple[str, int, str]]] = {
+                sh: [] for sh in dm_names}
+            for g in gens:
+                for sh_entry in g["shards"]:
+                    t_src = int(sh_entry["shard"])
+                    sources.setdefault(t_src % n_shards, []).append(
+                        (g["id"], t_src, seg_path_by[(g["id"], t_src)]))
+            # explicit repartition: AQE would coalesce this 16-row
+            # shuffle into ONE partition and serialize the heavy
+            # per-destination kernels (measured 16× wall blowup)
+            dest_df = spark.createDataFrame(
+                [(sh,) for sh in sorted(dm_names)], "shard int"
+            ).repartition(len(dm_names), "shard")
+            seg_metrics = [r.asDict() for r in
+                           dest_df.groupBy("shard").applyInPandas(
+                               _make_colocated_merger(
+                                   str(gdir), dm_names, storage,
+                                   hot_df_copy, sources, gen_index),
+                               schema=_SEG_METRIC).collect()]
+            seg_names = {int(r["shard"]): r["segment_file"]
+                         for r in seg_metrics}
+            return _finish_merge(spark, index_root, m, gens, gdir,
+                                 generation, n_shards, dm_metrics,
+                                 dm_names, seg_metrics, seg_names,
+                                 storage, started)
+
         segs = None
         for g in gens:
             part = (spark.read.parquet(*seg_by_gen[g["id"]])
@@ -274,80 +477,107 @@ def merge_generations(spark: SparkSession, index_root: str,
                     .withColumn("gen", F.lit(g["id"])))
             segs = part if segs is None else segs.unionByName(
                 part, allowMissingColumns=True)
+        gen_index = {g["id"]: i for i, g in enumerate(gens)}
         rows = segs.groupBy("gen", "shard").applyInPandas(
-            _make_posting_decoder(gdirs, docmap_files),
-            schema=("term string, conv string, turn long, src_gen string, "
-                    "src_ord long, tf long, dl long, positions array<long>"))
-        rekeyed = rows.withColumn(
-            "shard_key",
-            F.pmod(F.xxhash64(F.col("conv"), F.col("turn").cast("int")),
-                   F.lit(n_shards)).cast("int"))
-        seg_metrics = [r.asDict() for r in rekeyed.groupBy("shard_key").applyInPandas(
+            _make_posting_decoder(gen_index),
+            schema=("term string, gen_i int, src_ord long, "
+                    "tf long, dl long, positions binary"))
+        # (gen_i, src_ord) → (dest shard, dest local ordinal), derived
+        # from the phase-A docmaps: postings reach their destination by
+        # an equi-join on NUMERIC keys instead of shipping conv/turn
+        # strings per posting (the measured merge-wall dominator).
+        # Broadcast while the doc count allows; at larger scale this
+        # becomes an ordinary shuffle join ∝ posting count.
+        gen_map = spark.createDataFrame(
+            [(g["id"], i) for i, g in enumerate(gens)],
+            "src_gen string, gen_i int")
+        local_mask = (1 << ORD_SHARD_SHIFT) - 1
+        mapping = (spark.read.parquet(
+            *[str(gdir / dm_names[sh]) for sh in sorted(dm_names)])
+            .join(F.broadcast(gen_map), "src_gen")
+            .select("gen_i", "src_ord",
+                    F.col("shard").alias("dest_shard"),
+                    (F.col("doc_ord").bitwiseAND(F.lit(local_mask))
+                     ).alias("dest_local")))
+        n_total_docs = sum(int(r["docs"]) for r in dm_metrics)
+        if n_total_docs <= 5_000_000:
+            mapping = F.broadcast(mapping)
+        rekeyed = rows.join(mapping, ["gen_i", "src_ord"])
+        seg_metrics = [r.asDict() for r in rekeyed.groupBy("dest_shard").applyInPandas(
             _make_shard_encoder(str(gdir), dm_names, storage, hot_df_copy),
             schema=_SEG_METRIC).collect()]
         seg_names = {int(r["shard"]): r["segment_file"] for r in seg_metrics}
+        return _finish_merge(spark, index_root, m, gens, gdir, generation,
+                             n_shards, dm_metrics, dm_names, seg_metrics,
+                             seg_names, storage, started)
 
-        # a docmap shard can exist with zero postings (all-empty texts);
-        # give it an empty segment file so readers resolve every name
-        for sh, dm_name in dm_names.items():
-            if sh not in seg_names:
-                from geospatial_spark.plans.build import _seg_schema
 
-                name = lc.segment_file(sh, dm_name.split("-")[-1].split(".")[0]
-                                       if storage == lc.STORAGE_PUT else None)
-                _write_parquet(_seg_schema().empty_table(), gdir / name, storage)
-                seg_names[sh] = name
+def _finish_merge(spark, index_root, m, gens, gdir, generation, n_shards,
+                  dm_metrics, dm_names, seg_metrics, seg_names, storage,
+                  started):
+    """Shared tail of both merge paths: empty-segment fill, dictionary,
+    manifest assembly, publish."""
+    # a docmap shard can exist with zero postings (all-empty texts);
+    # give it an empty segment file so readers resolve every name
+    for sh, dm_name in dm_names.items():
+        if sh not in seg_names:
+            from geospatial_spark.plans.build import _seg_schema
 
-        n_terms, dict_files = _build_dictionary(spark, gdir, n_shards,
-                                                list(seg_names.values()),
-                                                mode=storage)
+            name = lc.segment_file(sh, dm_name.split("-")[-1].split(".")[0]
+                                   if storage == lc.STORAGE_PUT else None)
+            _write_parquet(_seg_schema().empty_table(), gdir / name, storage)
+            seg_names[sh] = name
 
-        shards = []
-        for r in sorted(dm_metrics, key=lambda r: r["shard"]):
-            sh = int(r["shard"])
-            sm = next((s for s in seg_metrics if int(s["shard"]) == sh), None)
-            shards.append({
-                "shard": sh,
-                "docs_tokenized": int(r["docs"]),
-                "postings_written": int(sm["postings"]) if sm else 0,
-                "bytes_compressed": int(sm["bytes"]) if sm else 0,
-                "total_tokens": int(r["total_tokens"]),
-                "fingerprint": r["fingerprint"],
-                "skipped": 0,
-                "segment_file": seg_names[sh],
-                "docmap_file": r["docmap_file"],
-            })
-        n_docs = sum(s["docs_tokenized"] for s in shards)
-        total_tokens = sum(s["total_tokens"] for s in shards)
-        gen_entry = {"id": generation, "n_shards": n_shards,
-                     "n_docs": n_docs, "total_tokens": total_tokens,
-                     "n_terms": n_terms, "shards": shards}
-        if dict_files is not None:
-            gen_entry["dictionary_files"] = dict_files
-        finished = time.time()
-        history = list(m.get("build_history", []))
-        history.append({
-            "generation": generation, "append": False,
-            "merged_from": [g["id"] for g in gens],
-            "started_at_unix": started, "finished_at_unix": finished,
-            "duration_sec": finished - started,
-            "n_docs": n_docs, "shards_total": len(shards),
-            "shards_skipped": 0, "shards_rebuilt": len(shards),
-            "error": None,
+    n_terms, dict_files = _build_dictionary(spark, gdir, n_shards,
+                                            list(seg_names.values()),
+                                            mode=storage)
+
+    shards = []
+    for r in sorted(dm_metrics, key=lambda r: r["shard"]):
+        sh = int(r["shard"])
+        sm = next((s for s in seg_metrics if int(s["shard"]) == sh), None)
+        shards.append({
+            "shard": sh,
+            "docs_tokenized": int(r["docs"]),
+            "postings_written": int(sm["postings"]) if sm else 0,
+            "bytes_compressed": int(sm["bytes"]) if sm else 0,
+            "total_tokens": int(r["total_tokens"]),
+            "fingerprint": r["fingerprint"],
+            "skipped": 0,
+            "segment_file": seg_names[sh],
+            "docmap_file": r["docmap_file"],
         })
-        manifest = {
-            **m,
-            "built_at_unix": finished,
-            "build_history": history[-50:],
-            "generation": generation,
-            "generations": [gen_entry],
-            "n_docs": n_docs,
-            "total_tokens": total_tokens,
-            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
-            "storage": storage,
-            "n_shards": n_shards,
-            "n_terms": n_terms,
-            "shards": shards,
-        }
-        lc.publish_manifest(index_root, manifest, storage)
-        return manifest
+    n_docs = sum(s["docs_tokenized"] for s in shards)
+    total_tokens = sum(s["total_tokens"] for s in shards)
+    gen_entry = {"id": generation, "n_shards": n_shards,
+                 "n_docs": n_docs, "total_tokens": total_tokens,
+                 "n_terms": n_terms, "shards": shards}
+    if dict_files is not None:
+        gen_entry["dictionary_files"] = dict_files
+    finished = time.time()
+    history = list(m.get("build_history", []))
+    history.append({
+        "generation": generation, "append": False,
+        "merged_from": [g["id"] for g in gens],
+        "started_at_unix": started, "finished_at_unix": finished,
+        "duration_sec": finished - started,
+        "n_docs": n_docs, "shards_total": len(shards),
+        "shards_skipped": 0, "shards_rebuilt": len(shards),
+        "error": None,
+    })
+    manifest = {
+        **m,
+        "built_at_unix": finished,
+        "build_history": history[-50:],
+        "generation": generation,
+        "generations": [gen_entry],
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "storage": storage,
+        "n_shards": n_shards,
+        "n_terms": n_terms,
+        "shards": shards,
+    }
+    lc.publish_manifest(index_root, manifest, storage)
+    return manifest

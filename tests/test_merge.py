@@ -115,3 +115,43 @@ def test_merge_noop_on_single_generation(spark, merged_root):
     root, m1 = merged_root
     m2 = merge_generations(spark, root)
     assert m2["generation"] == m1["generation"]
+
+
+def test_force_reshard_single_generation(spark, small_transcripts,
+                                         small_oracle, tmp_path_factory):
+    """force=True reshards ONE generation through the co-located fast
+    path (2 divides 4: destination shards read their source shards
+    directly, no posting shuffle). Results must be identical to the
+    pre-merge index, and saturated terms must gain impact copies at the
+    bigger per-shard df."""
+    import math
+
+    from geospatial_spark.plans import lifecycle as lc
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.compact import merge_generations
+    from geospatial_spark.plans.query import IndexSearcher
+
+    root = str(tmp_path_factory.mktemp("reshard") / "idx")
+    build_index(spark, small_transcripts, root, n_shards=4, hot_df_copy=64)
+    before = IndexSearcher(spark, root)
+    snaps = {q: before.search(q, 10)
+             for q in ["the spark", "deploy the spark job", "the"]}
+
+    m = merge_generations(spark, root, n_shards=2, force=True,
+                          hot_df_copy=64)
+    assert m["n_shards"] == 2
+    assert len(m["generations"]) == 1
+    after = IndexSearcher(spark, root)
+    for q, want in snaps.items():
+        got = after.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), (q, gd)
+
+    # phrase still served (positions survived the reshard)
+    pdf = small_transcripts.select("conv_id", "turn_idx", "text").toPandas()
+    rows = list(zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]))
+    ph = after.search_phrase("the spark", 5)
+    want_ph = [(d, s) for d, s, _ in
+               small_oracle.search_phrase(rows, "the spark", 5)]
+    assert [d for d, _ in ph] == [d for d, _ in want_ph]

@@ -54,7 +54,9 @@ def test_local_latency_after_warm(serve_index):
     for _ in range(5):
         s.search("deploy index merge", 10)
     per_query = (time.perf_counter() - t0) / 5
-    assert per_query < 0.5, per_query  # serving path ≪ Spark job latency
+    # latency BUDGET (round-3 verdict #9): the serving tier must stay
+    # interactive — warm per-query under 100 ms on the small fixture
+    assert per_query < 0.1, per_query
 
 
 def test_mixed_format_generations(spark, small_transcripts_pd, tmp_path):
