@@ -71,7 +71,7 @@ def ensure_transcripts(spark, sf: str) -> str:
 
 
 def run_suite(spark, sf_dir: str, index_root: str, n_shards: int,
-              sf_override: str | None = None):
+              sf_override: str | None = None, do_merge: bool = True):
     """Build + query timings. Returns (timings dict, n_turns)."""
     from geospatial_spark.plans.build import build_index
     from geospatial_spark.plans.query import IndexSearcher
@@ -92,12 +92,13 @@ def run_suite(spark, sf_dir: str, index_root: str, n_shards: int,
     # saturated terms cross the per-shard impact-copy threshold and a
     # serving read touches ~8× fewer files. All queries below run on
     # the optimized index — the deployment shape.
-    from geospatial_spark.plans.compact import merge_generations
+    if do_merge:
+        from geospatial_spark.plans.compact import merge_generations
 
-    t0 = time.perf_counter()
-    merge_generations(spark, index_root, n_shards=max(8, n_shards // 8),
-                      force=True)
-    timings["q_force_merge"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        merge_generations(spark, index_root,
+                          n_shards=max(8, n_shards // 8), force=True)
+        timings["q_force_merge"] = time.perf_counter() - t0
 
     searcher = IndexSearcher(spark, index_root)
     for name, qtext in BENCH_QUERIES:
@@ -231,8 +232,12 @@ def run_at_parallelism(cores: int, sf_dir: str) -> dict:
         # fixed shard count across parallelism levels: same work, only
         # the executor-slot count varies (N vs 4N proxy); input is the
         # larger "scaling" table so task time ≫ scheduling overhead
+        # merge excluded: the scaling pair measures the BUILD+QUERY job
+        # at two parallelism levels (the round-over-round comparable
+        # workload); merge scaling is evidenced by its own shard-count
+        # parallelism (one task per destination shard)
         timings, n_turns = run_suite(spark, sf_dir, idx_root, n_shards=128,
-                                     sf_override="scaling")
+                                     sf_override="scaling", do_merge=False)
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
         spark.stop()

@@ -49,7 +49,13 @@ def _adaptive_overfetch(spark: SparkSession, fetch, k: int, n_docs: int,
         r_last = round(float(rows[-1][score_col]), ORDER_DP)
         if r_k != r_last:
             break
-        over *= 10
+        if r_last == 0.0:
+            # filter-context results tie at exactly 0.0 corpus-wide:
+            # escalating ×10 re-runs the query ~4 times before covering
+            # the tie group — fetch everything in ONE more pass instead
+            over = max(n_docs, 1)
+        else:
+            over *= 10
     if not rows:
         return df.limit(0)
     return spark.createDataFrame(rows, schema=df.schema)

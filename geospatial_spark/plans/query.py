@@ -45,6 +45,17 @@ def merge_tie_break():
     return [conv.asc(), turn.asc()]
 
 
+
+# impact-copy columns: shipped only to the WAND (plain-search) kernel —
+# phrase/near/bool kernels read doc-ordered streams exclusively, and a
+# hot term's impact bytes are the big ones
+_IMP_COLS = ("imp_head_doc_blocks", "imp_head_tf_blocks",
+             "imp_head_dl_blocks", "imp_tail_doc_blocks",
+             "imp_tail_tf_blocks", "imp_tail_dl_blocks",
+             "imp_sky_tf", "imp_sky_dl", "imp_sky_off",
+             "imp_tier_ends", "imp_tier_sky_tf", "imp_tier_sky_dl",
+             "imp_tier_sky_off")
+
 class IndexSearcher:
     """Immutable view over the published generation set (the frozen-index
     read path: freeze + immutability is what makes caching sound in the
@@ -224,7 +235,8 @@ class IndexSearcher:
         if len(df_global) < len(distinct):
             return None  # a phrase term absent from the corpus ⇒ no doc matches
 
-        matched = self._segments().where(F.col("term").isin(distinct))
+        matched = (self._segments().where(F.col("term").isin(distinct))
+                   .drop(*_IMP_COLS))  # phrase never touches impact copies
         n_docs, avgdl = self.n_docs, self.avgdl
         shard_docs, gdirs = self.shard_docs, self.gdirs
         dm_files = self.docmap_files
@@ -290,7 +302,8 @@ class IndexSearcher:
         if len(df_global) < len(distinct):
             return []
 
-        matched = self._segments().where(F.col("term").isin(distinct))
+        matched = (self._segments().where(F.col("term").isin(distinct))
+                   .drop(*_IMP_COLS))
         avgdl = self.avgdl
         gdirs = self.gdirs
         dm_files = self.docmap_files
@@ -365,7 +378,8 @@ class IndexSearcher:
         if len(df_global) < len(terms):
             return None  # AND semantics: a missing term ⇒ no match
 
-        matched = self._segments().where(F.col("term").isin(terms))
+        matched = (self._segments().where(F.col("term").isin(terms))
+                   .drop(*_IMP_COLS))  # proximity never touches impact copies
         n_docs, avgdl = self.n_docs, self.avgdl
         shard_docs, gdirs = self.shard_docs, self.gdirs
         dm_files = self.docmap_files
@@ -435,7 +449,7 @@ class IndexSearcher:
 
         scan_terms = sorted(set(sh + fl + mn))
         matched = (self._segments().where(F.col("term").isin(scan_terms))
-                   .drop("pos_blocks"))
+                   .drop("pos_blocks", *_IMP_COLS))  # bool: doc ids only
         if pure_not:
             # complement path: left-join the (tiny) shard scaffold so
             # every shard's group runs, matched rows or not

@@ -317,6 +317,66 @@ class LocalSearcher:
         candidates.sort()
         return [(d, -neg) for neg, _, _, d in candidates[:k]]
 
+    def search_phrase_scored(self, phrase: str, k: int = 10
+                             ) -> list[tuple[str, float]]:
+        """Phrase-as-term scoring on the serving path — same contract
+        as IndexSearcher.search_phrase_scored: idf from the phrase's
+        df (sum of per-shard match counts), tf = occurrence count.
+        Per-shard top-k by the idf-less saturation term is already in
+        final-score order (idf is a constant positive factor)."""
+        import pyarrow.parquet as pq
+
+        from geospatial_spark.functions.bm25 import idf as _idf
+        from geospatial_spark.operators.phrase import (
+            phrase_scored_match_shard,
+        )
+
+        if not self.manifest.get("positions", True):
+            raise ValueError("index built with store_positions=False "
+                             "cannot serve phrase queries")
+        norm = self.manifest.get("normalization") or {}
+        slots = [norm.get(t, t) for t in tokenize_py(phrase)]
+        if not slots or self.n_docs == 0:
+            return []
+        distinct = sorted(set(slots))
+        if len(self._df_for(distinct)) < len(distinct):
+            return []
+
+        phrase_df = 0
+        hits: list[tuple[float, str, int, str]] = []  # (sat, conv, turn, id)
+        for g in self.gens:
+            gen_id = g["id"]
+            gdir = self.gdirs[gen_id]
+            reader = self._reader(gen_id)
+            cols = [c for c in reader.schema_names
+                    if not c.startswith("imp_")]
+            rows = reader.read_terms(distinct, cols)
+            by_shard: dict[int, dict[str, dict]] = {}
+            for r in rows:
+                by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
+            for shard, rows_by_term in by_shard.items():
+                base = shard << ORD_SHARD_SHIFT
+                local, sat, _ptf, n_matched = phrase_scored_match_shard(
+                    slots, rows_by_term, base, self.avgdl, k)
+                phrase_df += n_matched
+                if len(local) == 0:
+                    continue
+                key = (gen_id, shard)
+                col = self._docmap_cache.get(key)
+                if col is None:
+                    col = pq.read_table(
+                        gdir / self.docmap_files[key],
+                        columns=["doc_id"]).column("doc_id").combine_chunks()
+                    self._docmap_cache[key] = col
+                for doc_id, s in zip(col.take(local.tolist()).to_pylist(),
+                                     sat):
+                    conv, _, turn = doc_id.rpartition(":")
+                    hits.append((-float(s), conv, int(turn), doc_id))
+        if not hits:
+            return []
+        idf_p = _idf(phrase_df, self.n_docs)
+        hits.sort()
+        return [(d, -neg * idf_p) for neg, _, _, d in hits[:k]]
 
     def search_near(self, query: str, slop: int, k: int = 10
                     ) -> list[tuple[str, float]]:

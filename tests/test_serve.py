@@ -139,6 +139,13 @@ def test_serving_near_and_bool_parity(spark, small_transcripts, small_oracle,
     s = IndexSearcher(spark, root)
     ls = LocalSearcher(root)
 
+    for ph in ["the spark", "deploy the", "zzz spark"]:
+        a = s.search_phrase_scored(ph, 10)
+        b = ls.search_phrase_scored(ph, 10)
+        assert [d for d, _ in a] == [d for d, _ in b], ph
+        for (_, sa), (_, sb) in zip(a, b):
+            assert math.isclose(sa, sb, rel_tol=1e-12)
+
     for q, slop in [("deploy spark", 3), ("the spark", 1),
                     ("zzz spark", 5)]:
         a, b = s.search_near(q, slop, 10), ls.search_near(q, slop, 10)
