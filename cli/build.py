@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--merge", action="store_true",
                     help="segment-merge all live generations into one "
                          "(force-merge; never re-reads source text)")
+    ap.add_argument("--reshard", action="store_true",
+                    help="with --merge: reshard even a single "
+                         "generation (serve-tier optimize; co-located "
+                         "fast path when --shards divides the old "
+                         "count)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -41,7 +46,8 @@ def main() -> None:
     if args.merge:
         from geospatial_spark.plans.compact import merge_generations
 
-        m = merge_generations(spark, args.index, n_shards=args.shards)
+        m = merge_generations(spark, args.index, n_shards=args.shards,
+                              force=args.reshard)
     else:
         if not args.input:
             ap.error("--input is required unless --merge is given")

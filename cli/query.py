@@ -30,6 +30,10 @@ def main() -> None:
                     help="serve without Spark (pyarrow row-group reads)")
     ap.add_argument("--phrase", action="store_true",
                     help="treat --query as an exact phrase")
+    ap.add_argument("--phrase-scored", dest="phrase_scored",
+                    action="store_true",
+                    help="exact phrase scored AS A TERM (idf from the "
+                         "phrase's df, tf = occurrence count)")
     ap.add_argument("--slop", type=int, default=None,
                     help="proximity: all query terms within a window "
                          "of this width")
@@ -39,14 +43,17 @@ def main() -> None:
                     help="bool must_not clause (unscored NOT)")
     args = ap.parse_args()
 
-    mode = ("phrase" if args.phrase else
+    mode = ("phrase_scored" if args.phrase_scored else
+            "phrase" if args.phrase else
             "near" if args.slop is not None else
             "bool" if (args.filter or args.must_not) else "match")
     if args.local:
         from geospatial_spark.plans.serve import LocalSearcher
 
         ls = LocalSearcher(args.index)
-        if mode == "phrase":
+        if mode == "phrase_scored":
+            hits = ls.search_phrase_scored(args.query, args.k)
+        elif mode == "phrase":
             hits = ls.search_phrase(args.query, args.k)
         elif mode == "near":
             hits = ls.search_near(args.query, args.slop, args.k)
@@ -61,7 +68,9 @@ def main() -> None:
 
         spark = get_spark("cli-query", cores=args.cores)
         s = IndexSearcher(spark, args.index)
-        if mode == "phrase":
+        if mode == "phrase_scored":
+            hits = s.search_phrase_scored(args.query, args.k)
+        elif mode == "phrase":
             hits = s.search_phrase(args.query, args.k)
         elif mode == "near":
             hits = s.search_near(args.query, args.slop, args.k)
