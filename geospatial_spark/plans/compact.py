@@ -97,36 +97,10 @@ def _make_posting_decoder(gen_index: dict[str, int]):
         from geospatial_spark.functions.codec import (
             varint_encode_with_lengths,
         )
-        from geospatial_spark.operators.phrase import _decode_full_posting
 
         gen, shard = str(key[0]), int(key[1])
-        base = shard << ORD_SHARD_SHIFT
         gen_i = int(gen_index[gen])
-        terms, ords_o, tfs_o, dls_o, poss_o = [], [], [], [], []
-        for rec in pdf.to_dict("records"):
-            docs, tfs, dls, poss = _decode_full_posting(rec, base)
-            tok_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-            terms.append(np.full(len(docs), rec["term"], dtype=object))
-            ords_o.append(docs + base)  # source GLOBAL ordinal
-            tfs_o.append(tfs.astype(np.int64))
-            dls_o.append(dls.astype(np.int64))
-            # positions travel the shuffle as ONE small varint-bytes
-            # cell per posting (delta within the posting, first value
-            # absolute) — a per-posting ndarray cell costs ~200 B of
-            # Python object overhead × tens of millions of postings,
-            # the measured dominator of merge wall time
-            pgaps = poss.astype(np.int64).copy()
-            if len(pgaps):
-                pgaps[1:] -= poss[:-1]
-                pgaps[tok_starts] = poss[tok_starts]
-            buf, lens = varint_encode_with_lengths(pgaps.astype(np.uint64))
-            mv = memoryview(buf)
-            boffs = np.concatenate(([0], np.cumsum(lens)))
-            starts_b = boffs[tok_starts]
-            ends_b = boffs[np.concatenate((tok_starts[1:], [len(pgaps)]))]
-            poss_o.extend(bytes(mv[s:e])
-                          for s, e in zip(starts_b, ends_b))
-        if not terms:
+        if len(pdf) == 0:
             return pd.DataFrame({
                 "term": pd.Series([], dtype=object),
                 "gen_i": pd.Series([], dtype="int32"),
@@ -134,13 +108,30 @@ def _make_posting_decoder(gen_index: dict[str, int]):
                 "tf": pd.Series([], dtype="int64"),
                 "dl": pd.Series([], dtype="int64"),
                 "positions": pd.Series([], dtype=object)})
-        nrows = sum(len(t) for t in terms)
+        dfs, src_ords, tfs, dls, pos_flat, rtb = _bulk_decode_segment(pdf)
+        # positions travel the shuffle as ONE small varint-bytes cell
+        # per posting (delta within the posting, first value absolute —
+        # the run encoding, so the encoder bulk-decodes them back with
+        # decode_positions_stream). A per-posting ndarray cell costs
+        # ~200 B of Python object overhead × tens of millions of
+        # postings — the measured dominator of merge wall time.
+        tok_starts = rtb[:-1]
+        pgaps = pos_flat.astype(np.int64).copy()
+        if len(pgaps):
+            pgaps[1:] -= pos_flat[:-1]
+            pgaps[tok_starts] = pos_flat[tok_starts]
+        buf, lens = varint_encode_with_lengths(pgaps.astype(np.uint64))
+        boffs = np.concatenate(([0], np.cumsum(lens)))
+        mv = memoryview(buf)
+        starts_b = boffs[tok_starts]
+        ends_b = boffs[rtb[1:]]
+        poss_o = [bytes(mv[a:b]) for a, b in zip(starts_b, ends_b)]
         return pd.DataFrame({
-            "term": np.concatenate(terms),
-            "gen_i": np.full(nrows, gen_i, dtype=np.int32),
-            "src_ord": np.concatenate(ords_o),
-            "tf": np.concatenate(tfs_o),
-            "dl": np.concatenate(dls_o),
+            "term": np.repeat(pdf["term"].to_numpy(dtype=object), dfs),
+            "gen_i": np.full(len(src_ords), gen_i, dtype=np.int32),
+            "src_ord": src_ords,
+            "tf": tfs,
+            "dl": dls,
             "positions": pd.Series(poss_o, dtype=object),
         })
 
