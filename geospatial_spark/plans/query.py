@@ -591,6 +591,8 @@ class IndexSearcher:
         queries: qid → spec:
           {"type": "match",  "q": text}
           {"type": "phrase", "q": text}
+          {"type": "phrase_scored", "q": text}   (phrase scored as ONE
+                             term: idf from phrase df, tf = occurrences)
           {"type": "near",   "q": text, "slop": int}
           {"type": "bool",   "should": text, "filter": text,
                              "must_not": text}   (clauses optional)
@@ -606,7 +608,8 @@ class IndexSearcher:
         out: dict[str, list[tuple[str, float]]] = {q: [] for q in queries}
         if self.n_docs == 0:
             return out
-        needs_pos = any(s.get("type") in ("phrase", "near")
+        needs_pos = any(s.get("type") in ("phrase", "phrase_scored",
+                                          "near")
                         for s in queries.values())
         if needs_pos and not self.manifest.get("positions", True):
             raise ValueError("batch contains phrase/near queries but the "
@@ -620,7 +623,7 @@ class IndexSearcher:
             if typ == "match":
                 ts = toks_set(spec.get("q", ""))
                 p = {"type": typ, "terms": ts}
-            elif typ == "phrase":
+            elif typ in ("phrase", "phrase_scored"):
                 slots = toks_seq(spec.get("q", ""))
                 p = {"type": typ, "slots": slots,
                      "terms": sorted(set(slots))}
@@ -649,7 +652,7 @@ class IndexSearcher:
             if t == "match":
                 p["terms"] = [x for x in p["terms"] if x in df_global]
                 ok = bool(p["terms"])
-            elif t in ("phrase", "near"):
+            elif t in ("phrase", "phrase_scored", "near"):
                 ok = bool(p["terms"]) and all(x in df_global
                                               for x in p["terms"])
             else:
@@ -690,6 +693,7 @@ class IndexSearcher:
             from geospatial_spark.operators.phrase import (
                 near_match_shard,
                 phrase_match_shard,
+                phrase_scored_match_shard,
             )
 
             gen, shard = str(key[0]), int(key[1])
@@ -713,6 +717,14 @@ class IndexSearcher:
                     local, scores, _ = phrase_match_shard(
                         p["slots"], rows_by_term, base, df_global,
                         n_docs, avgdl, kk)
+                elif t == "phrase_scored":
+                    # score column = the idf-less saturation term; the
+                    # driver multiplies idf(phrase df) in after summing
+                    # per-shard match counts (ranking is idf-invariant)
+                    local, scores, _ptf, n_matched = \
+                        phrase_scored_match_shard(
+                            p["slots"], rows_by_term, base, avgdl, kk)
+                    nm = int(n_matched)
                 elif t == "near":
                     local, scores, _ = near_match_shard(
                         p["terms"], p["slop"], rows_by_term, base,
@@ -730,23 +742,53 @@ class IndexSearcher:
                         columns=["doc_id"]).column("doc_id")
                 ids = docmap_col.take(local.tolist()).to_pylist()
                 outs.append(pd.DataFrame({
-                    "qid": qid, "doc_id": ids,
-                    "score": scores.astype(np.float64)}))
+                    "qid": qid, "gen": gen,
+                    "shard": np.full(len(ids), shard, dtype=np.int32),
+                    "doc_id": ids,
+                    "score": scores.astype(np.float64),
+                    "n_match": np.full(
+                        len(ids),
+                        nm if t == "phrase_scored" else 0,
+                        dtype=np.int64)}))
             if outs:
                 return pd.concat(outs, ignore_index=True)
             return pd.DataFrame({"qid": pd.Series([], dtype=object),
+                                 "gen": pd.Series([], dtype=object),
+                                 "shard": pd.Series([], dtype="int32"),
                                  "doc_id": pd.Series([], dtype=object),
-                                 "score": pd.Series([], dtype="float64")})
+                                 "score": pd.Series([], dtype="float64"),
+                                 "n_match": pd.Series([], dtype="int64")})
 
         from pyspark.sql.window import Window
 
         per_shard = matched.groupBy("gen", "shard").applyInPandas(
-            run_shard, schema="qid string, doc_id string, score double")
+            run_shard,
+            schema="qid string, gen string, shard int, doc_id string, "
+                   "score double, n_match long")
+        ps_qids = [q for q, p in live.items() if p["type"] == "phrase_scored"]
+        if ps_qids:
+            # the per-shard rows are needed twice (top-k window + the
+            # phrase-df reduce over ALL shards, pre-truncation): they
+            # are at most k × shards × qids rows, so materialize once
+            per_shard = per_shard.localCheckpoint(eager=True)
         w = Window.partitionBy("qid").orderBy(F.desc("score"), *merge_tie_break())
         top = (per_shard.withColumn("rank", F.row_number().over(w))
                .where(F.col("rank") <= kk))
+        dfp: dict[str, float] = {}
+        if ps_qids:
+            from geospatial_spark.functions.bm25 import idf as _idf
+
+            stats = (per_shard.where(F.col("qid").isin(ps_qids))
+                     .groupBy("qid", "gen", "shard")
+                     .agg(F.first("n_match").alias("nm"))
+                     .groupBy("qid").agg(F.sum("nm").alias("df"))
+                     .collect())
+            dfp = {r["qid"]: _idf(int(r["df"]), self.n_docs)
+                   for r in stats}
         for r in sorted(top.collect(), key=lambda r: (r["qid"], r["rank"])):
-            out[r["qid"]].append((r["doc_id"], float(r["score"])))
+            sc = float(r["score"]) * dfp.get(r["qid"], 1.0) \
+                if r["qid"] in dfp else float(r["score"])
+            out[r["qid"]].append((r["doc_id"], sc))
         return out
 
     def fetch_doc_text(self, doc_id: str, transcripts: DataFrame) -> str | None:

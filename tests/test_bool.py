@@ -108,6 +108,8 @@ def test_search_many_mixed_matches_individual(spark, searcher, small_oracle,
                "must_not": "job"},
         "b2": {"type": "bool", "filter": "the spark"},
         "b3": {"type": "bool", "must_not": "the"},
+        "ps1": {"type": "phrase_scored", "q": "deploy the"},
+        "ps2": {"type": "phrase_scored", "q": "zzz missing"},
     }
     got = searcher.search_many_mixed(batch, k=10)
     want = {
@@ -119,6 +121,8 @@ def test_search_many_mixed_matches_individual(spark, searcher, small_oracle,
         "b1": searcher.search_bool("deploy spark", "the", "job", 10),
         "b2": searcher.search_bool("", "the spark", "", 10),
         "b3": searcher.search_bool("", "", "the", 10),
+        "ps1": searcher.search_phrase_scored("deploy the", 10),
+        "ps2": [],
     }
     assert set(got) == set(batch)
     for qid in batch:
