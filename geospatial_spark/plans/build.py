@@ -112,9 +112,17 @@ def _build_dictionary(spark: SparkSession, gdir: Path, n_shards: int,
                 h.update("\x00".join(pdf["term"].astype(str)).encode())
                 token = h.hexdigest()[:10]
                 name = f"dict-{token}.parquet"
+                # stage under a task-unique temp name, then an atomic
+                # os.replace to the content-tokenized name: a speculative
+                # or retried task writing the same name concurrently can
+                # no longer interleave writes into a torn parquet file.
+                # (Local staging only — the object-store adapter still
+                # sees a single PUT of the final name.)
+                tmp = _os.path.join(
+                    out_str, f".{name}.tmp-{_os.getpid()}-{id(pdf)}")
                 _pq.write_table(
-                    _pa.Table.from_pandas(pdf, preserve_index=False),
-                    _os.path.join(out_str, name))
+                    _pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+                _os.replace(tmp, _os.path.join(out_str, name))
                 yield _pd.DataFrame({"file": [name], "rows": [len(pdf)]})
 
         parts = (dictionary.coalesce(ncoal)
@@ -604,8 +612,14 @@ def build_index(
     hot_df_copy: int = HOT_DF_COPY,
     storage: str | None = None,
     store_positions: bool = True,
+    extra_manifest: dict | None = None,
 ) -> dict:
     """Build (or resume) the index; returns the published manifest.
+
+    extra_manifest: caller-supplied fields (e.g. `source_snapshot`
+    provenance from incremental_build) merged into the manifest BEFORE
+    the single publish under BuildLock — avoids a second out-of-lock
+    publish that could clobber a concurrent writer's manifest.
 
     append=True adds this build as a DELTA generation: prior
     generations keep serving their docs, global BM25 stats (N, avgdl,
@@ -623,7 +637,7 @@ def build_index(
         return _build_index_locked(spark, transcripts, index_root, n_shards,
                                    generation, append, normalization,
                                    hot_df_copy, lc.storage_mode(storage),
-                                   store_positions)
+                                   store_positions, extra_manifest)
 
 
 def _build_index_locked(
@@ -637,6 +651,7 @@ def _build_index_locked(
     hot_df_copy: int,
     storage: str,
     store_positions: bool = True,
+    extra_manifest: dict | None = None,
 ) -> dict:
     import time as _time
 
@@ -772,6 +787,8 @@ def _build_index_locked(
             "n_terms": n_terms,
             "shards": gen_entry["shards"],
         }
+        if extra_manifest:
+            manifest.update(extra_manifest)
         lc.publish_manifest(index_root, manifest, storage)
         return manifest
     except Exception as exc:  # mark CREATE_FAILED, keep prior manifest serving

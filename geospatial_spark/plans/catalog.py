@@ -179,13 +179,18 @@ def _bm25_phrase_scored(phrase: str, k: int = 10):
 
         root = _wand_index_root(spark, sf_dir)
         s = IndexSearcher(spark, root)
-        # over-fetch before the rounded re-rank (ties at ROUND_DP may
-        # reorder against the oracle's doc_id tie-break)
-        hits = s.search_phrase_scored(phrase, min(k + 50, max(s.n_docs, 1)))
-        if not hits:
+        # adaptive over-fetch before the rounded re-rank, same as every
+        # other index-path entry: a rounded-score tie group wider than a
+        # fixed 50 at the rank-k boundary must not diverge from the
+        # oracle's doc_id tie-break
+        df = _adaptive_overfetch(
+            spark,
+            lambda m: spark.createDataFrame(
+                s.search_phrase_scored(phrase, m), "doc_id string, raw double"),
+            k, max(s.n_docs, 1), score_col="raw")
+        if not df.take(1):
             return (_docs(spark, sf_dir)
                     .select("doc_id", F.lit(0.0).alias("score")).limit(0))
-        df = spark.createDataFrame(hits, "doc_id string, raw double")
         return (
             df.select(
                 F.substring_index("doc_id", ":", 1).cast("long").alias("doc_id"),
@@ -712,8 +717,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": _ann_topk,
         "embed_cosine_dups": _cosine_dups,
         "embed_lsh_verified_dups": _embed_lsh_verified,
-        "ann_topk_lsh": _ann_lsh,  # rows-only: approximate op
-        "ann_topk_ivf": _ann_ivf,  # rows-only: approximate op
         # relational / reference-op analogues
         "enrich_region_stats": _enrich_region,
         "multi_value_join": _multi_value_join,
@@ -731,6 +734,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _tpch_q6,
         # multimodal plumbing (binary payload → Arrow feature kernel)
         "multimodal_features": _multimodal,
+        # rows-only approximate ops LAST: if the driver caps the gate at 50
+        # entries, every DuckDB-oracle-backed query above must stay inside it;
+        # these two are recall-gated in pytest (test_ann_scale) instead.
+        "ann_topk_lsh": _ann_lsh,
+        "ann_topk_ivf": _ann_ivf,
     }
 
 

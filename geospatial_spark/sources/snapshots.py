@@ -214,33 +214,44 @@ def incremental_build(spark: SparkSession, log: JsonSnapshotLog,
     if prior.get("snapshot_id") == cur["snapshot_id"]:
         return m  # unchanged: zero work
 
+    prior_files = list(prior.get("files_consumed", []))
+
+    def _pin(consumed: list[str]) -> dict:
+        return {"snapshot_id": cur["snapshot_id"],
+                "version": cur["version"],
+                "files_consumed": consumed}
+
     delta = log.added_files(prior.get("snapshot_id"))
     if delta is None or not prior:
-        # unknown ancestor (or first build): full rebuild, pinned files
+        # unknown ancestor (or first build): full rebuild, pinned files.
+        # The pin rides build_index's single publish (under BuildLock) —
+        # no second out-of-lock publish to clobber a concurrent writer.
         files = log.added_files(None)
         df = log.read(spark, files)
-        manifest = build_index(spark, df, index_root, n_shards=n_shards,
-                               generation=f"snap-{cur['version']:06d}",
-                               append=False, **build_kwargs)
-        consumed = files
-    elif not delta:
+        return build_index(spark, df, index_root, n_shards=n_shards,
+                           generation=f"snap-{cur['version']:06d}",
+                           append=False, extra_manifest={
+                               "source_snapshot": _pin(files)},
+                           **build_kwargs)
+    if not delta:
         # snapshot changed but no new data files (metadata-only change):
-        # re-pin without building
-        manifest = dict(m)
-        consumed = []
-    else:
-        df = log.read(spark, delta)
-        manifest = build_index(spark, df, index_root, n_shards=n_shards,
-                               generation=f"snap-{cur['version']:06d}",
-                               append=True, **build_kwargs)
-        consumed = delta
-
-    manifest = dict(manifest)
-    manifest["source_snapshot"] = {
-        "snapshot_id": cur["snapshot_id"],
-        "version": cur["version"],
-        "files_consumed": consumed,
-    }
-    lc.publish_manifest(index_root, manifest,
-                        manifest.get("storage", lc.STORAGE_POSIX))
-    return manifest
+        # re-pin without building. Re-read-modify-publish under the same
+        # BuildLock a build would take, so a concurrent build/merge
+        # landing in between can't be clobbered by this stale copy; the
+        # prior files_consumed is preserved — it still names exactly the
+        # files the index content came from.
+        with lc.BuildLock(index_root, owner="repin"):
+            manifest = dict(lc.read_manifest(index_root) or m)
+            manifest["source_snapshot"] = _pin(prior_files)
+            lc.publish_manifest(index_root, manifest,
+                                manifest.get("storage", lc.STORAGE_POSIX))
+        return manifest
+    # delta append: files_consumed names what THIS build read (the new
+    # generation's provenance); earlier generations' inputs live in the
+    # build_history / prior manifests
+    df = log.read(spark, delta)
+    return build_index(spark, df, index_root, n_shards=n_shards,
+                       generation=f"snap-{cur['version']:06d}",
+                       append=True, extra_manifest={
+                           "source_snapshot": _pin(delta)},
+                       **build_kwargs)

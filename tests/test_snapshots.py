@@ -118,3 +118,35 @@ def test_iceberg_metadata_snapshot_pinning(tmp_path):
     assert snap["version"] == 7
     assert snap["manifest_list"] == "metadata/snap-2.avro"
     assert src.added_files("1111") is None  # declared: no Avro here
+
+
+def test_metadata_only_repin_preserves_provenance(spark, log_table, tmp_path):
+    """A snapshot change with an empty file delta re-pins the manifest
+    WITHOUT rebuilding — and keeps the prior files_consumed (the files
+    the index content actually came from), instead of clobbering the
+    provenance with the empty delta. The re-pin publish happens under
+    BuildLock (advisor round-3: lost-update window)."""
+    from geospatial_spark.plans import lifecycle as lc
+    from geospatial_spark.sources.snapshots import incremental_build
+
+    log, _second = log_table
+    root = str(tmp_path / "idx")
+    m1 = incremental_build(spark, log, root, n_shards=2)
+    consumed1 = m1["source_snapshot"]["files_consumed"]
+    assert consumed1  # the full build named its inputs
+
+    # metadata-only change: new snapshot id, identical live file set
+    cur = log.current_snapshot()
+    snap = {"version": cur["version"] + 1,
+            "snapshot_id": "meta-only-777",
+            "parent_id": cur["snapshot_id"],
+            "files": cur["files"],
+            "added_files": []}
+    lc.atomic_write_json(log.meta / f"v{snap['version']}.json", snap)
+    lc.atomic_write_json(log.meta / "version-hint.text.json",
+                         {"version": snap["version"]})
+
+    m2 = incremental_build(spark, log, root, n_shards=2)
+    assert m2["source_snapshot"]["snapshot_id"] == "meta-only-777"
+    assert len(m2["generations"]) == 1           # no build happened
+    assert m2["source_snapshot"]["files_consumed"] == consumed1
