@@ -41,6 +41,10 @@ def main() -> None:
                     help="bool filter clause (unscored AND)")
     ap.add_argument("--must-not", dest="must_not", default="",
                     help="bool must_not clause (unscored NOT)")
+    ap.add_argument("--quantized", action="store_true",
+                    help="score match queries with log-quantized doc "
+                         "lengths (the Lucene norm-compression "
+                         "contract; functions/bm25.quantize_dl)")
     args = ap.parse_args()
 
     mode = ("phrase_scored" if args.phrase_scored else
@@ -61,7 +65,8 @@ def main() -> None:
             hits = ls.search_bool(args.query, args.filter, args.must_not,
                                   args.k)
         else:
-            hits = ls.search(args.query, args.k)
+            hits = ls.search(args.query, args.k,
+                             quantized=args.quantized)
     else:
         from geospatial_spark.plans.query import IndexSearcher
         from geospatial_spark.session import get_spark
@@ -77,7 +82,7 @@ def main() -> None:
         elif mode == "bool":
             hits = s.search_bool(args.query, args.filter, args.must_not, args.k)
         else:
-            hits = s.search(args.query, args.k)
+            hits = s.search(args.query, args.k, quantized=args.quantized)
     print(json.dumps({
         "query": args.query, "k": args.k,
         "hits": [{"doc_id": d, "score": sc, "rank": i + 1}

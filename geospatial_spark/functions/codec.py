@@ -70,6 +70,11 @@ def varint_decode(buf: bytes) -> np.ndarray:
     if len(b) == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (b & 0x80) == 0
+    if is_last.all():
+        # all single-byte values (tf, dl, dense doc gaps are mostly
+        # < 128): skip the run-boundary bookkeeping entirely — this is
+        # the decode hot path of bulk serving reads
+        return b.astype(np.uint64)
     ends = np.flatnonzero(is_last)
     starts = np.empty(len(ends), dtype=np.int64)
     starts[0] = 0

@@ -9,7 +9,7 @@ the driver value-hashes results; ordering ties are broken by doc_id.
 
 from __future__ import annotations
 
-from geospatial_spark.functions.bm25 import score_sql
+from geospatial_spark.functions.bm25 import quantize_dl_sql, score_sql
 from geospatial_spark.functions.tokenize import duckdb_tokens_sql, tokenize_py
 
 ROUND_DP = 4          # emitted score precision (both engines)
@@ -36,8 +36,15 @@ def _qterms_values(query: str) -> str:
 
 
 def bm25_topk_sql(query: str, k: int = 10, table: str = "documents",
-                  id_col: str = "doc_id", text_col: str = "text") -> str:
-    per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "dft.df", "s.n")
+                  id_col: str = "doc_id", text_col: str = "text",
+                  quantized: bool = False) -> str:
+    """quantized=True scores with log-quantized doc lengths — the same
+    quantizer the engine's opt-in quantized mode applies
+    (functions/bm25.quantize_dl / quantize_dl_sql), pinned here so both
+    sides agree to the bit. avgdl stays exact (corpus stat, not a
+    per-doc norm)."""
+    dl_expr = quantize_dl_sql("dl.dl") if quantized else "dl.dl"
+    per_term = score_sql("tf.tf", dl_expr, "s.avgdl", "dft.df", "s.n")
     return f"""
 WITH {_tok_ctes(table, id_col, text_col)},
 qt AS ({_qterms_values(query)}),

@@ -69,22 +69,38 @@ def _as_bytes(x) -> bytes:
     return x.as_py() if hasattr(x, "as_py") else bytes(x)
 
 
+def _qdl(dls, quantize: bool):
+    """dl array → scoring dl array. Quantized mode runs the SAME kernel
+    with log-quantized doc lengths (functions/bm25.quantize_dl); the
+    quantizer is monotone non-decreasing, so block min-dl and skyline
+    (tf, dl) pareto sets quantize in place and every bound stays an
+    exact upper bound for quantized scoring."""
+    if not quantize:
+        return dls
+    from geospatial_spark.functions.bm25 import quantize_dl_np
+
+    return quantize_dl_np(dls)
+
+
 def _block_ubs(idf_t: float, bmax_tf: np.ndarray, bmin_dl: np.ndarray,
-               avgdl: float) -> np.ndarray:
+               avgdl: float, quantize: bool = False) -> np.ndarray:
     tf = bmax_tf.astype(np.float64)
-    norm = K1 * (1.0 - B + B * (bmin_dl.astype(np.float64) / avgdl))
+    dl = _qdl(bmin_dl, quantize).astype(np.float64)
+    norm = K1 * (1.0 - B + B * (dl / avgdl))
     return idf_t * (tf / (tf + norm))
 
 
 def _block_ubs_skyline(idf_t: float, sky_tf, sky_dl, sky_off,
-                       avgdl: float) -> np.ndarray | None:
+                       avgdl: float,
+                       quantize: bool = False) -> np.ndarray | None:
     """EXACT per-block max score from stored (tf, dl) skyline pairs —
     BM25's block max is attained at a skyline point. Returns None if the
     segment row predates the skyline format."""
     if sky_off is None or len(sky_off) < 2:
         return None
     tf = np.asarray(sky_tf, dtype=np.float64)
-    dl = np.asarray(sky_dl, dtype=np.float64)
+    dl = _qdl(np.asarray(sky_dl, dtype=np.int64),
+              quantize).astype(np.float64)
     if len(tf) == 0:
         return None
     s = idf_t * (tf / (tf + K1 * (1.0 - B + B * (dl / avgdl))))
@@ -93,9 +109,10 @@ def _block_ubs_skyline(idf_t: float, sky_tf, sky_dl, sky_off,
 
 
 def _contrib(idf_t: float, tfs: np.ndarray, dls: np.ndarray,
-             avgdl: float) -> np.ndarray:
+             avgdl: float, quantize: bool = False) -> np.ndarray:
     tff = tfs.astype(np.float64)
-    return idf_t * (tff / (tff + K1 * (1.0 - B + B * (dls.astype(np.float64) / avgdl))))
+    dlf = _qdl(dls, quantize).astype(np.float64)
+    return idf_t * (tff / (tff + K1 * (1.0 - B + B * (dlf / avgdl))))
 
 
 def _block_lens(df_local: int, nblocks: int) -> np.ndarray:
@@ -135,6 +152,30 @@ def _decode_impact_chunk(db, tb, lb, df_local: int, kept_idx: np.ndarray):
     return docs, tfs, dls
 
 
+def _full_impact_streams(r: dict):
+    """A term's COMPLETE impact streams (head + tail), fetching the
+    heavy tail once for serving light rows — the bulk-scoring path's
+    input. Returns (doc_cells, tf_cells, dl_cells, total_blocks)."""
+    def lst(key):
+        v = r.get(key)
+        return list(v) if v is not None else []
+
+    total_blocks = -(-int(r["df"]) // BLOCK_N)
+    db = lst("imp_head_doc_blocks") + lst("imp_tail_doc_blocks")
+    if len(db) < total_blocks:
+        fetch = r.get("_fetch_heavy")
+        if fetch is None:
+            raise KeyError(
+                f"impact stream of {r.get('term')!r} incomplete "
+                f"({len(db)}/{total_blocks} blocks) and no _fetch_heavy")
+        r.update(fetch())
+        r["_fetch_heavy"] = None
+        db = lst("imp_head_doc_blocks") + lst("imp_tail_doc_blocks")
+    tb = lst("imp_head_tf_blocks") + lst("imp_tail_tf_blocks")
+    lb = lst("imp_head_dl_blocks") + lst("imp_tail_dl_blocks")
+    return db, tb, lb, total_blocks
+
+
 def _decode_doc_blocks(r: dict, kept_idx: np.ndarray, base_ord: int):
     """Bulk-decode the given DOC-ordered blocks of one term →
     (local_docs, tfs, dls), using block_last_doc metadata to make each
@@ -163,7 +204,7 @@ class _HotTerm:
                  "_imp", "_n_avail")
 
     def __init__(self, r: dict, idf_t: float, bounds: np.ndarray, k: int,
-                 avgdl: float = 0.0):
+                 avgdl: float = 0.0, quantize: bool = False):
         self.r = r
         self.idf_t = idf_t
         # discovery UNITS, processed in descending query-time bound
@@ -179,7 +220,8 @@ class _HotTerm:
         if tends is not None and len(tends) > 0:
             tb = _block_ubs_skyline(idf_t, r["imp_tier_sky_tf"],
                                     r["imp_tier_sky_dl"],
-                                    r["imp_tier_sky_off"], avgdl)
+                                    r["imp_tier_sky_off"], avgdl,
+                                    quantize)
             start = len(bounds)
             for t_i, end in enumerate(np.asarray(tends, dtype=np.int64)):
                 units.append((float(tb[t_i]),
@@ -269,6 +311,53 @@ class _HotTerm:
         return self.groups[0][0] if self.groups else 0.0
 
 
+def _single_hot_topk(h: "_HotTerm", k: int, avgdl: float,
+                     quantize: bool, stats: dict | None):
+    """Single-hot-term fast path: with one query term the per-posting
+    contributions ARE the final scores, so the kernel needs no
+    O(n_local_docs) dense accumulator, no full-array partition for θ,
+    and no flatnonzero sweep at the end — the three remaining
+    linear-in-corpus costs of the generic path (measured as the
+    hot-term latency growth term, BENCH/HOT_TERM.md). θ is the k-th
+    largest DECODED contribution; discovery stops when the best
+    undecoded unit's bound falls below it (θ − EPS: unit bounds are
+    computed by the same float ops as contributions, so a tie at the
+    boundary keeps decoding and the doc-asc tie-break stays exact).
+    Work is O(decoded · log decoded); decoded is bounded by the tiered
+    impact metadata, near-constant in df."""
+    vals: list[np.ndarray] = []
+    dlst: list[np.ndarray] = []
+    theta = 0.0
+    read = 0
+    while h.residual > 0.0:
+        if theta > 0.0 and h.residual < theta - EPS:
+            break
+        idx = h.next_idx()
+        read += len(idx)
+        docs, tfs, dls = h.decode(idx)
+        vals.append(_contrib(h.idf_t, tfs, dls, avgdl, quantize))
+        dlst.append(docs)
+        allv = np.concatenate(vals)
+        if len(allv) > k:
+            theta = float(np.partition(allv, -k)[-k])
+    if stats is not None:
+        stats.update(blocks_read=0, blocks_skipped=0, hot_terms=1,
+                     hot_blocks_read=read, completion_blocks=0,
+                     candidates=0)
+    if not vals:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    allv = np.concatenate(vals)
+    alld = np.concatenate(dlst)
+    pos = allv > 0.0
+    allv, alld = allv[pos], alld[pos]
+    if len(allv) > k:
+        kth = np.partition(allv, -k)[-k]
+        keep = allv >= kth
+        allv, alld = allv[keep], alld[keep]
+    order = np.lexsort((alld, -allv))[:k]
+    return alld[order], allv[order]
+
+
 def _kth(scores: np.ndarray, k: int, n_local_docs: int) -> float:
     if n_local_docs <= k:
         return 0.0
@@ -320,11 +409,17 @@ def wand_shard(
     avgdl: float,
     k: int,
     stats: dict | None = None,
+    quantize: bool = False,
 ):
     """Score one shard. seg_rows: matched segment rows (dicts) for the
     query's terms in THIS shard; doc lengths are decoded from the
     segments' dl_blocks (impact storage — no docmap needed). Returns
     (local_doc_idx, score) arrays of the shard's top-k (exact scores).
+
+    quantize=True scores with log-quantized doc lengths (the opt-in
+    Lucene-norm-compression analogue, functions/bm25.quantize_dl); the
+    kernel stays exact for THAT scoring function — bounds quantize in
+    place because the quantizer is monotone (see _qdl).
     """
     from geospatial_spark.functions.codec import varint_decode
 
@@ -333,13 +428,11 @@ def wand_shard(
 
     # split terms by physical strategy; per-term query-time stats
     cold = []
-    hot: list[_HotTerm] = []
+    hot_raw: list[tuple[dict, float]] = []
     for r in seg_rows:
         idf_t = idf(int(df_global[r["term"]]), n_docs)
         if _has_impact_copy(r):
-            ibounds = _block_ubs_skyline(idf_t, r["imp_sky_tf"], r["imp_sky_dl"],
-                                         r["imp_sky_off"], avgdl)
-            hot.append(_HotTerm(r, idf_t, ibounds, k, avgdl))
+            hot_raw.append((r, idf_t))
             continue
         if (r.get("sky_off") is None and r.get("block_max_tf") is None
                 and r.get("_fetch_heavy") is not None):
@@ -348,12 +441,38 @@ def wand_shard(
             r.update(r["_fetch_heavy"]())
             r["_fetch_heavy"] = None
         ubs = _block_ubs_skyline(idf_t, r.get("sky_tf"), r.get("sky_dl"),
-                                 r.get("sky_off"), avgdl)
+                                 r.get("sky_off"), avgdl, quantize)
         if ubs is None:
             bmax_tf = np.asarray(r["block_max_tf"], dtype=np.int64)
             bmin_dl = np.asarray(r["block_min_dl"], dtype=np.int64)
-            ubs = _block_ubs(idf_t, bmax_tf, bmin_dl, avgdl)
+            ubs = _block_ubs(idf_t, bmax_tf, bmin_dl, avgdl, quantize)
         cold.append((float(ubs.max()), idf_t, r, ubs))
+
+    # Saturated MULTI-hot queries ("the spark"): the sum-of-terms θ only
+    # beats the combined residual after BOTH terms are deeply decoded,
+    # and tf-saturated scores form wide tie plateaus — incremental
+    # discovery ends up decoding nearly everything anyway, paying a
+    # θ-refresh partition + bound re-mask per chunk (measured ~25 ms per
+    # shard at 50k postings vs ~1 ms for one bulk pass). When the hot
+    # terms jointly cover ≥¼ of the shard, skip discovery: bulk-score
+    # each hot term's whole impact stream (memoized, below), accumulate
+    # dense scores, and let the cold loop prune against the resulting
+    # exact θ (hot residuals are zero, so no completion phase either).
+    # Exactness is trivial — every hot posting is scored. Single-hot
+    # and sparse-hot queries keep the early-terminating discovery path.
+    bulk = (len(hot_raw) >= 2
+            and sum(int(r["df"]) for r, _ in hot_raw)
+            >= (n_local_docs >> 2))
+    hot: list[_HotTerm] = []
+    if not bulk:
+        for r, idf_t in hot_raw:
+            ibounds = _block_ubs_skyline(idf_t, r["imp_sky_tf"],
+                                         r["imp_sky_dl"],
+                                         r["imp_sky_off"], avgdl, quantize)
+            hot.append(_HotTerm(r, idf_t, ibounds, k, avgdl, quantize))
+
+    if not cold and len(hot) == 1:
+        return _single_hot_topk(hot[0], k, avgdl, quantize, stats)
 
     hot_total_ub = float(sum(h.total_ub for h in hot))
 
@@ -361,6 +480,34 @@ def wand_shard(
     theta = 0.0
     blocks_skipped = 0
     blocks_read = 0
+    bulk_hot_blocks = 0
+
+    if bulk:
+        memo_key = "_imp_contrib_q" if quantize else "_imp_contrib"
+        for r, idf_t in hot_raw:
+            memo = r.get(memo_key)
+            if memo is None:
+                db, tb, lb, total_blocks = _full_impact_streams(r)
+                idx = np.arange(total_blocks, dtype=np.int64)
+                docs, tfs, dls = _decode_impact_chunk(
+                    db, tb, lb, int(r["df"]), idx)
+                bulk_hot_blocks += total_blocks
+                # memoize (docs, contribution) on the row: idf_t and
+                # avgdl are INDEX constants (an appended generation
+                # publishes a new manifest and serving re-reads rows),
+                # so a warm daemon scores a saturated term with one
+                # fancy-index add — no varint decode (~0.5 ms/stream)
+                # and no per-query BM25 arithmetic. ~16 B/posting on
+                # hot terms only, evicted with the row by the serving
+                # LRU (plans/serve); Spark-path rows are per-task
+                # dicts, the attach is free there.
+                memo = (docs, _contrib(idf_t, tfs, dls, avgdl, quantize))
+                r[memo_key] = memo
+            docs, contrib = memo
+            scores[docs] += contrib
+        # θ seeds the cold loop's block skipping; with no cold terms it
+        # is never read — skip the O(n) partition
+        theta = _kth(scores, k, n_local_docs) if cold else 0.0
     # every doc that ever received a contribution — the sparse support
     # for θ refreshes and the completion candidate set (untouched docs
     # score exactly 0)
@@ -433,7 +580,7 @@ def wand_shard(
             docs = cs - np.repeat(seg_off, kept_lens)
 
             local = docs - base_ord
-            scores[local] += _contrib(idf_t, tfs, dls, avgdl)
+            scores[local] += _contrib(idf_t, tfs, dls, avgdl, quantize)
             touched.append(local)
 
             if pos < len(pending) and n_local_docs > k:
@@ -476,7 +623,7 @@ def wand_shard(
             idx = h.next_idx()
             hot_blocks_read += len(idx)
             docs, tfs, dls = h.decode(idx)
-            scores[docs] += _contrib(h.idf_t, tfs, dls, avgdl)
+            scores[docs] += _contrib(h.idf_t, tfs, dls, avgdl, quantize)
             h.seen.append(docs)
             touched.append(docs)
             theta = max(theta, _kth_touched(scores, touched, k,
@@ -520,11 +667,13 @@ def wand_shard(
                 pos_d_c = np.minimum(pos_d, len(docs) - 1)
                 found = docs[pos_d_c] == need
                 scores[need[found]] += _contrib(
-                    h.idf_t, tfs[pos_d_c[found]], dls[pos_d_c[found]], avgdl)
+                    h.idf_t, tfs[pos_d_c[found]], dls[pos_d_c[found]],
+                    avgdl, quantize)
 
     if stats is not None:
         stats.update(blocks_read=blocks_read, blocks_skipped=blocks_skipped,
-                     hot_terms=len(hot), hot_blocks_read=hot_blocks_read,
+                     hot_terms=len(hot),
+                     hot_blocks_read=hot_blocks_read + bulk_hot_blocks,
                      completion_blocks=completion_blocks,
                      candidates=n_candidates)
 

@@ -109,10 +109,12 @@ def _wand_index_root(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-def _bm25_wand(query: str, k: int = 10):
+def _bm25_wand(query: str, k: int = 10, quantized: bool = False):
     """Flagship path under the driver gate: compressed segments +
     block-max WAND, results re-keyed to the documents table's bigint
-    doc_id with the same rounding/ordering contract as the oracle SQL."""
+    doc_id with the same rounding/ordering contract as the oracle SQL.
+    quantized=True gates the opt-in quantized-norm scoring mode
+    (functions/bm25.quantize_dl) against a quantized oracle."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from geospatial_spark.plans.query import IndexSearcher
@@ -122,12 +124,13 @@ def _bm25_wand(query: str, k: int = 10):
         # adaptive over-fetch so the bigint-id re-rank below can resolve
         # rounded ties the engine's string-keyed tie-break ordered
         # differently, even when a tie group exceeds the first fetch
-        probe = s.search_df(query, 1)
+        probe = s.search_df(query, 1, quantized=quantized)
         if probe is None:
             return (_docs(spark, sf_dir)
                     .select("doc_id", F.lit(0.0).alias("score")).limit(0))
-        df = _adaptive_overfetch(spark, lambda m: s.search_df(query, m),
-                                 k, s.n_docs)
+        df = _adaptive_overfetch(
+            spark, lambda m: s.search_df(query, m, quantized=quantized),
+            k, s.n_docs)
         return (
             df.select(
                 F.substring_index("doc_id", ":", 1).cast("long").alias("doc_id"),
@@ -689,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_filter_only": _bm25_bool("", BOOL_Q[1], BOOL_Q[2], 10),
         # pure-NOT: docmap-complement match_all minus must_not postings
         "bm25_bool_not_only": _bm25_bool("", "", BOOL_Q[2], 10),
+        # opt-in quantized-norm mode (log-quantized dl, bm25.quantize_dl)
+        "bm25_wand_quantized": _bm25_wand(BM25_Q_MULTI, 10, quantized=True),
         # BM25 relational scorer (always-correct second path)
         "bm25_topk_multi": _bm25(BM25_Q_MULTI, 10),
         "bm25_topk_single": _bm25(BM25_Q_SINGLE, 10),
@@ -754,6 +759,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_bool": osql.bm25_bool_sql(*BOOL_Q, 10),
         "bm25_bool_filter_only": osql.bm25_bool_sql("", BOOL_Q[1], BOOL_Q[2], 10),
         "bm25_bool_not_only": osql.bm25_bool_sql("", "", BOOL_Q[2], 10),
+        "bm25_wand_quantized": osql.bm25_topk_sql(BM25_Q_MULTI, 10,
+                                                  quantized=True),
         "bm25_topk_multi": osql.bm25_topk_sql(BM25_Q_MULTI, 10),
         "bm25_topk_single": osql.bm25_topk_sql(BM25_Q_SINGLE, 10),
         "bm25_topk_missing": osql.bm25_topk_sql(BM25_Q_MISSING, 10),

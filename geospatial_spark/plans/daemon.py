@@ -1,0 +1,220 @@
+"""Long-lived serving daemon: `LocalSearcher` behind a small HTTP/JSON
+endpoint with hot swap on manifest change.
+
+Reference analogue: the plugin serves lookups from an always-on node —
+a hot in-process cache (ip2geo/dao/Ip2GeoCachedDao.java:119-138) whose
+contents are invalidated by a cluster-state change listener
+(Ip2GeoCachedDao.java:194-243) rather than by restarting the node. Here
+the "node" is this process, the cache is a warmed LocalSearcher, and
+the change listener is a cheap manifest re-read (bounded by
+`check_interval`): when a new manifest lands (delta build, force-merge,
+re-pin), the daemon constructs a FRESH searcher over the new generation
+set, warms it, and swaps the reference atomically — in-flight queries
+finish on the old searcher, the next request sees the new index, and a
+broken/mid-publish manifest keeps the current searcher serving.
+
+Transport is stdlib http.server on localhost: the point is the serving
+*process* model (always-on, no Spark job, p50 in the milliseconds), not
+a production web stack. Endpoints:
+
+    GET  /health        → manifest summary (state, n_docs, built_at)
+    POST /search        → {"type": ..., "q": ..., "k": ...} → hits
+    POST /search_batch  → [req, ...] → [hits, ...]
+
+All six query types are served: match, phrase, phrase_scored, near,
+bool (including pure-NOT via empty should/filter).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from geospatial_spark.plans import lifecycle as lc
+from geospatial_spark.plans.serve import LocalSearcher
+
+WARM_QUERY = "the"  # loads dictionary + readers before a swap publishes
+
+
+def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
+    """One request → one LocalSearcher call. Same request shape as
+    IndexSearcher.search_many_mixed entries."""
+    qtype = req.get("type", "match")
+    k = int(req.get("k", 10))
+    if qtype == "match":
+        return searcher.search(req["q"], k)
+    if qtype == "phrase":
+        return searcher.search_phrase(req["q"], k)
+    if qtype == "phrase_scored":
+        return searcher.search_phrase_scored(req["q"], k)
+    if qtype == "near":
+        return searcher.search_near(req["q"], int(req.get("slop", 2)), k)
+    if qtype == "bool":
+        return searcher.search_bool(req.get("should", ""),
+                                    req.get("filter", ""),
+                                    req.get("must_not", ""), k)
+    raise ValueError(f"unknown query type: {qtype!r}")
+
+
+class IndexService:
+    """Holds the live searcher; re-reads the manifest at most every
+    `check_interval` seconds and swaps in a freshly-warmed searcher when
+    `built_at_unix` moved (every publish — delta build, merge, re-pin —
+    bumps it). Queries are serialized by a lock: LocalSearcher's lazy
+    caches (dictionary, readers, docmaps) are built on first touch and
+    are not safe under concurrent *construction*; the swap path warms
+    the new searcher BEFORE publishing the reference so the lock is
+    never held across cold I/O."""
+
+    def __init__(self, index_root: str, check_interval: float = 0.25,
+                 preload_docmaps: bool = True,
+                 request_cache_size: int = 256):
+        self.root = index_root
+        self.check_interval = check_interval
+        self.preload = preload_docmaps
+        self.query_lock = threading.Lock()
+        self._swap_lock = threading.Lock()
+        self._searcher = self._fresh()
+        self._built_at = self._searcher.manifest.get("built_at_unix")
+        self._last_check = time.monotonic()
+        self.swaps = 0
+        # request result cache (the shard-request-cache analogue —
+        # OpenSearch caches whole query results per shard keyed by
+        # request + index state; Ip2GeoCachedDao.java:119-138 is the
+        # same idea for lookups). Keyed by the canonical request JSON +
+        # the manifest's built_at, so a hot swap invalidates every
+        # entry implicitly. Bounded LRU; 0 disables.
+        from collections import OrderedDict
+
+        self.request_cache_size = request_cache_size
+        self._req_cache: "OrderedDict[str, list]" = OrderedDict()
+        self.cache_hits = 0
+        self.cache_misses = 0
+
+    def _fresh(self) -> LocalSearcher:
+        s = LocalSearcher(self.root, preload_docmaps=self.preload)
+        s.search(WARM_QUERY, 1)  # populate lazy caches off the hot path
+        return s
+
+    def searcher(self) -> LocalSearcher:
+        now = time.monotonic()
+        if now - self._last_check >= self.check_interval:
+            with self._swap_lock:
+                if now - self._last_check >= self.check_interval:
+                    self._last_check = now
+                    self._maybe_swap()
+        return self._searcher
+
+    def _maybe_swap(self) -> None:
+        try:
+            m = lc.read_manifest(self.root)
+        except Exception:
+            return  # unreadable mid-publish: keep serving
+        if not m or m.get("state") != lc.STATE_AVAILABLE:
+            return  # building / failed: keep serving the current index
+        if m.get("built_at_unix") == self._built_at:
+            return
+        try:
+            fresh = self._fresh()
+        except Exception:
+            return  # partially landed: retry at the next interval
+        self._searcher = fresh  # atomic ref swap
+        self._built_at = fresh.manifest.get("built_at_unix")
+        self.swaps += 1
+
+    def handle(self, req: dict) -> list[list]:
+        s = self.searcher()
+        key = None
+        if self.request_cache_size > 0:
+            key = json.dumps(req, sort_keys=True) + "@" + str(
+                s.manifest.get("built_at_unix"))
+            hit = self._req_cache.get(key)
+            if hit is not None:
+                self._req_cache.move_to_end(key)
+                self.cache_hits += 1
+                return hit
+            self.cache_misses += 1
+        with self.query_lock:
+            out = [[d, float(sc)] for d, sc in dispatch(s, req)]
+        if key is not None:
+            self._req_cache[key] = out
+            while len(self._req_cache) > self.request_cache_size:
+                self._req_cache.popitem(last=False)
+        return out
+
+    def health(self) -> dict:
+        s = self._searcher
+        return {
+            "state": s.manifest.get("state"),
+            "n_docs": s.n_docs,
+            "built_at_unix": s.manifest.get("built_at_unix"),
+            "generations": [g["id"] for g in s.gens],
+            "swaps": self.swaps,
+            "request_cache": {"hits": self.cache_hits,
+                              "misses": self.cache_misses,
+                              "size": len(self._req_cache)},
+        }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: IndexService  # set by make_server
+    protocol_version = "HTTP/1.1"  # keep-alive for clients that reuse
+    # Nagle + delayed-ACK adds ~25 ms to every small request/response
+    # pair — for a millisecond-budget serving tier it IS the latency
+    disable_nagle_algorithm = True
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _reply(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/health":
+            self._reply(200, self.service.health())
+        else:
+            self._reply(404, {"error": f"no such path: {self.path}"})
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        try:
+            req = json.loads(self.rfile.read(n) or b"{}")
+        except json.JSONDecodeError as e:
+            return self._reply(400, {"error": f"bad json: {e}"})
+        try:
+            if self.path == "/search":
+                self._reply(200, {"hits": self.service.handle(req)})
+            elif self.path == "/search_batch":
+                self._reply(200, {"results": [self.service.handle(r)
+                                              for r in req]})
+            else:
+                self._reply(404, {"error": f"no such path: {self.path}"})
+        except (KeyError, ValueError) as e:
+            self._reply(400, {"error": str(e)})
+
+
+def make_server(index_root: str, host: str = "127.0.0.1", port: int = 0,
+                check_interval: float = 0.25) -> ThreadingHTTPServer:
+    """Bound server (port=0 → ephemeral, read server.server_address).
+    Caller runs serve_forever(), typically in a thread."""
+    service = IndexService(index_root, check_interval=check_interval)
+    handler = type("Handler", (_Handler,), {"service": service})
+    srv = ThreadingHTTPServer((host, port), handler)
+    srv.service = service  # for tests / introspection
+    return srv
+
+
+def start_daemon(index_root: str, host: str = "127.0.0.1", port: int = 0,
+                 check_interval: float = 0.25):
+    """Start serving in a daemon thread; returns (server, port)."""
+    srv = make_server(index_root, host, port, check_interval)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]

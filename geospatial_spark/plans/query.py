@@ -162,9 +162,13 @@ class IndexSearcher:
 
     # -- search -------------------------------------------------------
 
-    def search_df(self, query: str, k: int = 10) -> DataFrame | None:
+    def search_df(self, query: str, k: int = 10,
+                  quantized: bool = False) -> DataFrame | None:
         """Top-k as a DataFrame (doc_id, score); None for the empty fast
-        path."""
+        path. quantized=True scores with log-quantized doc lengths (the
+        opt-in Lucene norm-compression analogue,
+        functions/bm25.quantize_dl) — same kernel, same exactness
+        contract for that scoring function."""
         norm = self.manifest.get("normalization") or {}
         terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
         if not terms or self.n_docs == 0:
@@ -191,7 +195,7 @@ class IndexSearcher:
             base = shard << ORD_SHARD_SHIFT
             local, scores = wand_shard(
                 pdf.to_dict("records"), shard_docs.get((gen, shard), 0), base,
-                df_global, n_docs, avgdl, kk,
+                df_global, n_docs, avgdl, kk, quantize=quantized,
             )
             if len(local) == 0:
                 return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
@@ -206,10 +210,11 @@ class IndexSearcher:
         )
         return per_shard.orderBy(F.desc("score"), *merge_tie_break()).limit(kk)
 
-    def search(self, query: str, k: int = 10) -> list[tuple[str, float]]:
+    def search(self, query: str, k: int = 10,
+               quantized: bool = False) -> list[tuple[str, float]]:
         """Top-k (doc_id, score), exact BM25, rank/score-identical to the
         oracle; tie-break (conv_id, turn_idx) asc."""
-        df = self.search_df(query, k)
+        df = self.search_df(query, k, quantized=quantized)
         if df is None:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]

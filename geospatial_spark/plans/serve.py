@@ -81,6 +81,13 @@ class LocalSearcher:
         self._seg_ds = None  # lazy pyarrow dataset over all generations
         self._readers: dict[str, _SegmentReader] = {}
         self._docmap_cache: dict[tuple[str, int], object] = {}  # frozen index → safe
+        # term-row LRU: (gen, term, read-class) → segment rows; see
+        # search() — the always-on serving process's hot cache
+        from collections import OrderedDict
+
+        self._term_cache: "OrderedDict[tuple, list]" = OrderedDict()
+        self.term_cache_max = 2048
+        self._kernel_pool = None  # lazy ThreadPoolExecutor (see _pool)
         if preload_docmaps:
             import pyarrow.parquet as pq
 
@@ -148,6 +155,17 @@ class LocalSearcher:
             self._seg_ds = parts
         return self._seg_ds
 
+    def _pool(self):
+        """Persistent kernel thread pool (lazy; shared with nothing —
+        reads have their own pool inside _SegmentReader)."""
+        if self._kernel_pool is None:
+            import os as _os
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._kernel_pool = ThreadPoolExecutor(
+                max_workers=min(8, _os.cpu_count() or 4))
+        return self._kernel_pool
+
     def _reader(self, gen_id: str) -> "_SegmentReader":
         r = self._readers.get(gen_id)
         if r is None:
@@ -164,7 +182,8 @@ class LocalSearcher:
                   "imp_tail_doc_blocks", "imp_tail_tf_blocks",
                   "imp_tail_dl_blocks")
 
-    def search(self, query: str, k: int = 10) -> list[tuple[str, float]]:
+    def search(self, query: str, k: int = 10,
+               quantized: bool = False) -> list[tuple[str, float]]:
         import pyarrow.parquet as pq
 
         norm = self.manifest.get("normalization") or {}
@@ -190,27 +209,51 @@ class LocalSearcher:
             # head); the rest get their doc streams in the same read
             hot_q = [t for t in qterms if t in imp_set]
             cold_q = [t for t in qterms if t not in imp_set]
+            # discovery for hot terms needs ONLY df + the impact head +
+            # impact skylines. The doc-ordered per-block metadata
+            # columns (block_last_doc, sky_*) total O(Σ df) ints across
+            # a row group — decoding them for every term in the group
+            # was the measured serve-latency growth term; completion
+            # re-fetches block_last_doc with the byte streams on the
+            # rare discovery overrun.
+            light = [c for c in names
+                     if c.startswith("imp_head_")
+                     or c.startswith("imp_sky_")
+                     or c.startswith("imp_tier_") or c == "df"]
+            cold_cols = [c for c in names
+                         if c not in ("imp_tail_doc_blocks",
+                                      "imp_tail_tf_blocks",
+                                      "imp_tail_dl_blocks",
+                                      "pos_blocks")]
+            # term-row LRU (the serving-node hot cache, the
+            # Ip2GeoCachedDao.java:119-138 analogue): repeated terms skip
+            # the parquet row-group read entirely — per-query read
+            # latency (~1 ms/row-group) IS the warm-path budget. Safe on
+            # a frozen generation: kernel mutations are additive (a
+            # fetched heavy stream stays attached, saving the next
+            # query's fetch). Entry-count bounded, oldest evicted.
             rows: list[dict] = []
-            if cold_q:
-                cold_cols = [c for c in names
-                             if c not in ("imp_tail_doc_blocks",
-                                          "imp_tail_tf_blocks",
-                                          "imp_tail_dl_blocks",
-                                          "pos_blocks")]
-                rows.extend(reader.read_terms(cold_q, cold_cols))
-            if hot_q:
-                # discovery needs ONLY df + the impact head + impact
-                # skylines. The doc-ordered per-block metadata columns
-                # (block_last_doc, sky_*) total O(Σ df) ints across a
-                # row group — decoding them for every term in the
-                # group was the measured serve-latency growth term;
-                # completion re-fetches block_last_doc with the byte
-                # streams on the rare discovery overrun.
-                light = [c for c in names
-                         if c.startswith("imp_head_")
-                         or c.startswith("imp_sky_")
-                         or c.startswith("imp_tier_") or c == "df"]
-                rows.extend(reader.read_terms(hot_q, light))
+            for bucket, cols, klass in ((cold_q, cold_cols, "c"),
+                                        (hot_q, light, "h")):
+                miss = []
+                for t in bucket:
+                    got = self._term_cache.get((gen_id, t, klass))
+                    if got is None:
+                        miss.append(t)
+                    else:
+                        self._term_cache.move_to_end((gen_id, t, klass))
+                        rows.extend(got)
+                if miss:
+                    fetched = reader.read_terms(miss, cols)
+                    by_term: dict[str, list[dict]] = {t: [] for t in miss}
+                    for r in fetched:
+                        _pythonize_streams(r)
+                        by_term[r["term"]].append(r)
+                    for t, trows in by_term.items():
+                        self._term_cache[(gen_id, t, klass)] = trows
+                        rows.extend(trows)
+                    while len(self._term_cache) > self.term_cache_max:
+                        self._term_cache.popitem(last=False)
             if not rows:
                 continue
             # targeted completion fetch: byte streams (positions are
@@ -238,6 +281,7 @@ class LocalSearcher:
                 local, scores = wand_shard(
                     seg_rows, self.shard_docs[(gen_id, shard)], base,
                     df_global, self.n_docs, self.avgdl, k,
+                    quantize=quantized,
                 )
                 if len(local) == 0:
                     return []
@@ -251,9 +295,11 @@ class LocalSearcher:
                 ids = col.take(local.tolist()).to_pylist()
                 return list(zip(ids, scores))
 
-            # single-threaded scoring loop: the kernel is GIL-bound
-            # numpy glue, a thread pool only adds contention (reads are
-            # the threaded part — pyarrow releases the GIL)
+            # single-threaded scoring loop: measured A/B at sf0.1 — a
+            # shard thread pool slows LIGHT queries 2-5× (GIL contention
+            # on the python glue between the numpy kernels) and buys
+            # heavy queries ~nothing; reads are already threaded inside
+            # _SegmentReader where pyarrow releases the GIL
             results = [run(it) for it in by_shard.items()]
             for part in results:
                 for doc_id, sc in part:
@@ -583,9 +629,32 @@ class _SegmentReader:
 
         def fetch():
             rows = self._read_file(path, [term], list(columns))
-            return rows[0]
+            # fetched tails land in the (possibly cached) row — convert
+            # impact streams once, same as the cache-fill path
+            return _pythonize_streams(rows[0])
 
         return fetch
+
+
+_IMPACT_STREAM_COLS = ("imp_head_doc_blocks", "imp_head_tf_blocks",
+                       "imp_head_dl_blocks", "imp_tail_doc_blocks",
+                       "imp_tail_tf_blocks", "imp_tail_dl_blocks")
+
+
+def _pythonize_streams(r: dict) -> dict:
+    """Convert a row's IMPACT stream cells from pyarrow scalars to
+    plain bytes lists, once, at term-cache fill. The saturated-multi-hot
+    bulk path decodes impact streams WHOLE, where per-block
+    BinaryScalar→bytes conversion was the measured cost (~150k scalar
+    calls per query at sf0.1); converting here amortizes it across the
+    cache hits. Doc-ordered streams stay zero-copy — block-max pruning
+    usually decodes a small fraction of them."""
+    for c in _IMPACT_STREAM_COLS:
+        v = r.get(c)
+        if v is not None and not isinstance(v, list):
+            r[c] = [x.as_py() if hasattr(x, "as_py") else bytes(x)
+                    for x in v]
+    return r
 
 
 def _rows_zero_copy(t) -> list[dict]:

@@ -24,15 +24,14 @@ Two backends behind one protocol:
   files; readers pin a snapshot and never list the data directory.
   Supports exact `added_files(since)` deltas.
 
-* `IcebergMetadataSource` — reads a real Apache Iceberg table's
-  metadata JSON (`metadata/version-hint.text` +
-  `v{N}.metadata.json`) with pure Python: current snapshot id,
-  snapshot lineage, and each snapshot's manifest-list path. File-level
-  deltas require decoding Avro manifest lists (no Avro reader in this
-  environment), so this backend offers snapshot-id pinning and
-  unchanged-detection; delta reads fall back to a full rebuild when
-  the log cannot express the change. The JSON log above is the
-  fully-supported incremental path.
+* `IcebergMetadataSource` — reads a real Apache Iceberg table with
+  pure Python: metadata JSON (`metadata/version-hint.text` +
+  `v{N}.metadata.json`) for the current snapshot id and lineage, and
+  the Avro manifest-list → manifest chain (decoded by
+  `sources/avroio`, a from-the-spec container codec) for exact
+  file-level deltas. Append-only changes yield exactly the added data
+  files; anything else (row-level deletes, removed files, expired
+  ancestors) degrades to a full rebuild — never a wrong delta.
 
 `incremental_build` ties either backend to the index lifecycle:
 unchanged snapshot → NO Spark job at all; changed snapshot → read only
@@ -137,10 +136,14 @@ class JsonSnapshotLog:
 
 
 class IcebergMetadataSource:
-    """Pure-Python reader of an Apache Iceberg table's metadata JSON.
-    Gives snapshot ids and lineage for pinning / unchanged-detection;
-    file-level deltas need the Avro manifest lists (unavailable here),
-    so `added_files` always returns None (full rebuild on change)."""
+    """Pure-Python reader of an Apache Iceberg table: metadata JSON for
+    snapshot ids/lineage, plus the Avro manifest-list → manifest chain
+    (decoded by `sources/avroio`, no external Avro library) for EXACT
+    file-level deltas. `added_files(since)` returns the data files added
+    between two snapshots when the change is append-only; anything this
+    reader can't honor as an append (delete manifests, merge-on-read
+    delete files, removed data files, expired ancestor snapshots)
+    returns None and the caller full-rebuilds — never a wrong delta."""
 
     def __init__(self, table_root: str):
         self.root = Path(table_root)
@@ -175,20 +178,80 @@ class IcebergMetadataSource:
             "manifest_list": snap.get("manifest-list") if snap else None,
         }
 
+    def _resolve(self, path: str) -> Path:
+        """Manifest/data paths are absolute URIs (file://…) in real
+        tables, or table-relative in minimal ones."""
+        if path.startswith("file://"):
+            return Path(path[len("file://"):])
+        p = Path(path)
+        return p if p.is_absolute() else self.root / path
+
+    def _snapshot_entry(self, md: dict, sid) -> dict | None:
+        return next((s for s in md.get("snapshots", [])
+                     if str(s.get("snapshot-id")) == str(sid)), None)
+
+    def _live_files(self, snap_entry: dict | None) -> set[str] | None:
+        """Live data-file paths at a snapshot via its manifest list;
+        None when the snapshot uses row-level deletes (content != 0
+        manifests or delete data_files) — those are not appends."""
+        from geospatial_spark.sources import avroio
+
+        if not snap_entry or not snap_entry.get("manifest-list"):
+            return None
+        try:
+            manifests = avroio.read_container_file(
+                self._resolve(snap_entry["manifest-list"]))
+        except (OSError, ValueError, EOFError, KeyError):
+            return None
+        live: set[str] = set()
+        for mf in manifests:
+            if int(mf.get("content") or 0) != 0:
+                return None  # delete manifest: merge-on-read table
+            try:
+                entries = avroio.read_container_file(
+                    self._resolve(mf["manifest_path"]))
+            except (OSError, ValueError, EOFError, KeyError):
+                return None
+            for e in entries:
+                if int(e.get("status") or 0) == 2:  # deleted here
+                    continue
+                dfile = e.get("data_file") or {}
+                if int(dfile.get("content") or 0) != 0:
+                    return None  # equality/position delete file
+                fp = dfile.get("file_path")
+                if fp:
+                    live.add(fp)
+        return live
+
     def added_files(self, since_snapshot_id: str | None):
-        return None  # Avro manifests not decodable in this environment
+        md = self._metadata()
+        cur = self.current_snapshot()
+        if not md or cur is None:
+            return [] if cur is None else None
+        cur_set = self._live_files(
+            self._snapshot_entry(md, cur["snapshot_id"]))
+        if cur_set is None:
+            return None
+        if since_snapshot_id is None:
+            return sorted(cur_set)
+        base_set = self._live_files(
+            self._snapshot_entry(md, since_snapshot_id))
+        if base_set is None:
+            return None  # expired/unknown ancestor: full rebuild
+        if base_set - cur_set:
+            return None  # data files removed: not an append
+        return sorted(cur_set - base_set)
 
     def read(self, spark: SparkSession, files):
-        raise NotImplementedError(
-            "IcebergMetadataSource cannot enumerate data files without "
-            "an Avro reader — use it for snapshot pinning and unchanged "
-            "detection; full reads go through spark.read on the table")
+        """Pinned read of exactly the named data files."""
+        return spark.read.parquet(*[str(self._resolve(f)) for f in files])
 
 
 # -- incremental build driver ------------------------------------------
 
 
-def incremental_build(spark: SparkSession, log: JsonSnapshotLog,
+def incremental_build(spark: SparkSession,
+                      log: "JsonSnapshotLog | IcebergMetadataSource",
                       index_root: str, n_shards: int | None = None,
                       **build_kwargs) -> dict:
     """Bring the index up to the table's CURRENT snapshot.

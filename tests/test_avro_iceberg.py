@@ -1,0 +1,260 @@
+"""Avro container codec (sources/avroio) + Iceberg manifest-chain
+deltas: round-trips, a spec-handcrafted byte fixture (so encoder and
+decoder can't share a misunderstanding), and an end-to-end Iceberg
+table append driving incremental_build to exactly one delta generation
+(closes round-3 L8 partial; DatasourceUpdateService.java:282-292
+delta-detection analogue)."""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+import pytest
+
+from geospatial_spark.sources import avroio
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ]}
+
+MANIFEST_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "key_metadata", "type": ["null", "bytes"]},
+            ]}},
+    ]}
+
+
+def _entry(path: str, status: int = 1, content: int = 0) -> dict:
+    return {"status": status, "snapshot_id": 1,
+            "data_file": {"content": content, "file_path": path,
+                          "file_format": "PARQUET", "record_count": 3,
+                          "file_size_in_bytes": 100, "key_metadata": None}}
+
+
+# -- codec round-trips -------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_roundtrip_manifest_shapes(codec):
+    recs = [_entry("f1.parquet"), _entry("f2.parquet", status=0),
+            _entry("f3.parquet", status=2)]
+    blob = avroio.write_container(MANIFEST_SCHEMA, recs, codec=codec)
+    assert avroio.read_container(blob) == recs
+
+
+def test_roundtrip_all_types():
+    schema = {"type": "record", "name": "every", "fields": [
+        {"name": "n", "type": "null"},
+        {"name": "b", "type": "boolean"},
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "f", "type": "float"},
+        {"name": "d", "type": "double"},
+        {"name": "by", "type": "bytes"},
+        {"name": "s", "type": "string"},
+        {"name": "fx", "type": {"type": "fixed", "name": "f16",
+                                "size": 4}},
+        {"name": "e", "type": {"type": "enum", "name": "col",
+                               "symbols": ["RED", "BLUE"]}},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "u", "type": ["null", "long", "string"]},
+        {"name": "nested", "type": {
+            "type": "record", "name": "inner", "fields": [
+                {"name": "x", "type": "long"}]}},
+        {"name": "ref", "type": "inner"},  # named-type reference
+    ]}
+    rec = {"n": None, "b": True, "i": -7, "l": 2**40, "f": 0.5,
+           "d": -1.25, "by": b"\x00\xff", "s": "héllo",
+           "fx": b"abcd", "e": "BLUE", "arr": [1, -2, 3],
+           "m": {"k1": "v1", "k2": "v2"}, "u": "branch",
+           "nested": {"x": 9}, "ref": {"x": -9}}
+    out = avroio.read_container(
+        avroio.write_container(schema, [rec, rec]))
+    assert out == [rec, rec]
+
+
+def test_handcrafted_bytes_decode():
+    """Container bytes built field-by-field from the Avro spec, NOT via
+    our writer: magic, meta map, sync, one deflate block holding two
+    records of {id: long, name: string} — including a NEGATIVE array
+    block count in a second schema check below."""
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"}]}
+
+    def zz(n):  # zigzag varint for small n
+        n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+        out = b""
+        while True:
+            b, n = n & 0x7F, n >> 7
+            out += bytes([b | 0x80]) if n else bytes([b])
+            if not n:
+                return out
+
+    body = zz(3) + zz(2) + b"ab" + zz(-4) + zz(1) + b"c"  # (3,"ab"),(-4,"c")
+    comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+    payload = comp.compress(body) + comp.flush()
+    sync = bytes(range(16))
+    sj = json.dumps(schema).encode()
+    blob = (b"Obj\x01"
+            + zz(2)
+            + zz(len(b"avro.schema")) + b"avro.schema" + zz(len(sj)) + sj
+            + zz(len(b"avro.codec")) + b"avro.codec" + zz(7) + b"deflate"
+            + zz(0)
+            + sync
+            + zz(2) + zz(len(payload)) + payload
+            + sync)
+    assert avroio.read_container(blob) == [
+        {"id": 3, "name": "ab"}, {"id": -4, "name": "c"}]
+
+
+def test_negative_array_block_count_decodes():
+    """Writers may emit abs(count) + byte-size blocks (spec optional
+    form); build one by hand and decode."""
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "long"}}]}
+
+    def zz(n):
+        n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+        out = b""
+        while True:
+            b, n = n & 0x7F, n >> 7
+            out += bytes([b | 0x80]) if n else bytes([b])
+            if not n:
+                return out
+
+    items = zz(5) + zz(6)
+    body = zz(-2) + zz(len(items)) + items + zz(0)
+    sj = json.dumps(schema).encode()
+    sync = b"\x01" * 16
+    blob = (b"Obj\x01"
+            + zz(1) + zz(len(b"avro.schema")) + b"avro.schema"
+            + zz(len(sj)) + sj + zz(0) + sync
+            + zz(1) + zz(len(body)) + body + sync)
+    assert avroio.read_container(blob) == [{"xs": [5, 6]}]
+
+
+def test_reader_rejects_garbage():
+    with pytest.raises(ValueError):
+        avroio.read_container(b"PAR1not-avro")
+    with pytest.raises(ValueError):
+        avroio.write_container(MANIFEST_LIST_SCHEMA, [], codec="snappy")
+
+
+# -- Iceberg table fixture → incremental_build -------------------------
+
+
+def _write_iceberg_table(tmp_path, spark, df_by_snapshot):
+    """Minimal real-layout Iceberg table: parquet data files, Avro
+    manifest + manifest-list per snapshot, metadata JSON + version
+    hint. Returns the table root."""
+    root = tmp_path / "icetbl"
+    (root / "data").mkdir(parents=True, exist_ok=True)
+    (root / "metadata").mkdir(exist_ok=True)
+    snapshots, all_entries = [], []
+    for v, (sid, df) in enumerate(df_by_snapshot, start=1):
+        dpath = root / "data" / f"file-{sid}.parquet"
+        pdf = df.toPandas()
+        for c in pdf.columns:  # Spark cannot read TIMESTAMP(NANOS)
+            if str(pdf[c].dtype).startswith("datetime64[ns"):
+                pdf[c] = pdf[c].astype("datetime64[us]")
+        pdf.to_parquet(dpath, index=False)
+        all_entries.append(_entry(f"data/{dpath.name}"))
+        mpath = root / "metadata" / f"manifest-{sid}.avro"
+        avroio.write_container_file(mpath, MANIFEST_SCHEMA,
+                                    list(all_entries))
+        mlpath = root / "metadata" / f"snap-{sid}.avro"
+        avroio.write_container_file(mlpath, MANIFEST_LIST_SCHEMA, [{
+            "manifest_path": f"metadata/{mpath.name}",
+            "manifest_length": mpath.stat().st_size,
+            "partition_spec_id": 0, "content": 0,
+            "added_snapshot_id": sid}])
+        snapshots.append({"snapshot-id": sid,
+                          "parent-snapshot-id": sid - 1 if v > 1 else None,
+                          "manifest-list": f"metadata/{mlpath.name}"})
+        md = {"format-version": 2, "last-sequence-number": v,
+              "current-snapshot-id": sid, "snapshots": list(snapshots)}
+        (root / "metadata" / f"v{v}.metadata.json").write_text(
+            json.dumps(md))
+        (root / "metadata" / "version-hint.text").write_text(str(v))
+    return root
+
+
+def test_iceberg_delta_appends_one_generation(spark, small_transcripts_pd,
+                                              tmp_path):
+    from geospatial_spark.sources.snapshots import (IcebergMetadataSource,
+                                                    incremental_build)
+
+    half = len(small_transcripts_pd) // 2
+    first = spark.createDataFrame(small_transcripts_pd.iloc[:half])
+    second = spark.createDataFrame(small_transcripts_pd.iloc[half:])
+
+    # snapshot 1 only, build, then append snapshot 2
+    tbl = _write_iceberg_table(tmp_path, spark, [(101, first)])
+    src = IcebergMetadataSource(str(tbl))
+    assert src.added_files(None) == ["data/file-101.parquet"]
+
+    root = str(tmp_path / "idx")
+    m1 = incremental_build(spark, src, root, n_shards=2)
+    assert m1["source_snapshot"]["snapshot_id"] == "101"
+    assert len(m1["generations"]) == 1
+
+    _write_iceberg_table(tmp_path, spark, [(101, first), (102, second)])
+    assert src.added_files("101") == ["data/file-102.parquet"]
+
+    m2 = incremental_build(spark, src, root, n_shards=2)
+    assert m2["source_snapshot"]["snapshot_id"] == "102"
+    assert len(m2["generations"]) == 2  # EXACTLY one appended delta
+    assert m2["source_snapshot"]["files_consumed"] == \
+        ["data/file-102.parquet"]
+    # unchanged: zero work
+    m3 = incremental_build(spark, src, root, n_shards=2)
+    assert m3["built_at_unix"] == m2["built_at_unix"]
+
+
+def test_iceberg_delete_degrades_to_none(spark, small_transcripts_pd,
+                                         tmp_path):
+    """Row-level deletes (content != 0) and removed data files are NOT
+    appends: added_files must return None (full rebuild), never a wrong
+    delta."""
+    from geospatial_spark.sources.snapshots import IcebergMetadataSource
+
+    first = spark.createDataFrame(small_transcripts_pd.iloc[:20])
+    tbl = _write_iceberg_table(tmp_path, spark, [(201, first)])
+
+    # overwrite snapshot 2: manifest whose only entry DELETES file-201
+    man = tbl / "metadata" / "manifest-del.avro"
+    avroio.write_container_file(man, MANIFEST_SCHEMA, [
+        _entry("data/file-201.parquet", status=2),
+        _entry("data/file-202.parquet", status=1)])
+    ml = tbl / "metadata" / "snap-del.avro"
+    avroio.write_container_file(ml, MANIFEST_LIST_SCHEMA, [{
+        "manifest_path": "metadata/manifest-del.avro",
+        "manifest_length": man.stat().st_size,
+        "partition_spec_id": 0, "content": 0, "added_snapshot_id": 202}])
+    md = json.loads((tbl / "metadata" / "v1.metadata.json").read_text())
+    md["snapshots"].append({"snapshot-id": 202, "parent-snapshot-id": 201,
+                            "manifest-list": "metadata/snap-del.avro"})
+    md["current-snapshot-id"] = 202
+    (tbl / "metadata" / "v2.metadata.json").write_text(json.dumps(md))
+    (tbl / "metadata" / "version-hint.text").write_text("2")
+
+    src = IcebergMetadataSource(str(tbl))
+    assert src.added_files("201") is None  # file removed → full rebuild

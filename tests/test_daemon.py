@@ -1,0 +1,140 @@
+"""Serving daemon: all six query types over HTTP ≡ LocalSearcher, warm
+latency budget, and hot swap on manifest change without restart (the
+change-listener contract, Ip2GeoCachedDao.java:194-243 analogue)."""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def daemon_index(spark, small_transcripts, tmp_path_factory):
+    from geospatial_spark.plans.build import build_index
+
+    root = str(tmp_path_factory.mktemp("daemon") / "idx")
+    build_index(spark, small_transcripts, root, n_shards=4)
+    return root
+
+
+@pytest.fixture()
+def daemon(daemon_index):
+    from geospatial_spark.plans.daemon import start_daemon
+
+    srv, port = start_daemon(daemon_index, check_interval=0.05)
+    yield srv, port
+    srv.shutdown()
+    srv.server_close()
+
+
+def _post(port: int, path: str, obj) -> dict:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _get(port: int, path: str) -> dict:
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=30) as r:
+        return json.loads(r.read())
+
+
+SIX = [
+    {"type": "match", "q": "deploy the spark job"},
+    {"type": "phrase", "q": "the spark"},
+    {"type": "phrase_scored", "q": "the spark"},
+    {"type": "near", "q": "deploy spark", "slop": 3},
+    {"type": "bool", "should": "deploy spark", "filter": "the"},
+    {"type": "bool", "must_not": "deploy"},  # pure-NOT (match-all base)
+]
+
+
+def test_all_six_types_match_local(daemon, daemon_index):
+    from geospatial_spark.plans.daemon import dispatch
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    _srv, port = daemon
+    local = LocalSearcher(daemon_index)
+    for req in SIX:
+        got = _post(port, "/search", {**req, "k": 10})["hits"]
+        want = dispatch(local, {**req, "k": 10})
+        assert [d for d, _ in got] == [d for d, _ in want], req
+        for (_, a), (_, b) in zip(got, want):
+            assert math.isclose(a, b, rel_tol=1e-12)
+
+
+def test_batch_and_health(daemon):
+    _srv, port = daemon
+    res = _post(port, "/search_batch", [{**r, "k": 5} for r in SIX])
+    assert len(res["results"]) == len(SIX)
+    h = _get(port, "/health")
+    assert h["state"] == "AVAILABLE" and h["n_docs"] > 0
+
+
+def test_bad_requests(daemon):
+    _srv, port = daemon
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(port, "/search", {"type": "nope", "q": "x"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(port, "/search", {"type": "match"})  # missing q
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(port, "/nothing")
+    assert e.value.code == 404
+
+
+def test_warm_latency_over_socket(daemon):
+    """Warm p50 over the socket stays interactive on the small fixture
+    (the sf0.1 p50 evidence is bench.py's q_daemon_p50_ms)."""
+    _srv, port = daemon
+    _post(port, "/search", {"type": "match", "q": "the spark", "k": 10})
+    times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        _post(port, "/search", {"type": "match", "q": "deploy index merge",
+                                "k": 10})
+        times.append(time.perf_counter() - t0)
+    p50 = sorted(times)[len(times) // 2]
+    assert p50 < 0.020, f"p50 {p50 * 1000:.1f} ms"
+
+
+def test_hot_swap_on_manifest_change(spark, small_transcripts_pd,
+                                     tmp_path):
+    """A delta build landing under the daemon is picked up WITHOUT a
+    restart; a query mid-swap never errors; n_docs reflects the new
+    generation set."""
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.daemon import start_daemon
+
+    half = len(small_transcripts_pd) // 2
+    first = spark.createDataFrame(small_transcripts_pd.iloc[:half])
+    second = spark.createDataFrame(small_transcripts_pd.iloc[half:])
+    root = str(tmp_path / "idx")
+    build_index(spark, first, root, n_shards=2)
+
+    srv, port = start_daemon(root, check_interval=0.05)
+    try:
+        h0 = _get(port, "/health")
+        build_index(spark, second, root, n_shards=2, generation="g0002",
+                    append=True)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            h = _get(port, "/health")
+            if h["n_docs"] > h0["n_docs"]:
+                break
+            # queries keep answering while the swap is pending
+            _post(port, "/search", {"type": "match", "q": "the", "k": 3})
+            time.sleep(0.05)
+        assert h["n_docs"] > h0["n_docs"]
+        assert set(h["generations"]) >= {"g0001", "g0002"}
+        assert h["swaps"] >= 1
+    finally:
+        srv.shutdown()
+        srv.server_close()
