@@ -476,21 +476,43 @@ def scaling_pair(table: str) -> dict:
     }
 
 
+# modules the scaling run actually executes (build + the query suite
+# run_suite drives with do_merge=False + the synthetic generator + this
+# harness). Edits anywhere else — catalog/oracle/curation/daemon/
+# streaming/merge/docs — cannot change the scaling result and must not
+# invalidate the cached measurement.
+_SCALING_KEY_PATHS = (
+    "bench.py",
+    "fixtures/datagen.py",
+    "geospatial_spark/session.py",
+    "geospatial_spark/schemas.py",
+    "geospatial_spark/sources/transcripts.py",
+    "geospatial_spark/plans/build.py",
+    "geospatial_spark/plans/query.py",
+    "geospatial_spark/plans/serve.py",
+    "geospatial_spark/plans/lifecycle.py",
+    "geospatial_spark/operators/wand.py",
+    "geospatial_spark/operators/phrase.py",
+    "geospatial_spark/operators/boolquery.py",
+    "geospatial_spark/operators/scorer.py",
+    "geospatial_spark/operators/postings.py",
+)
+
+
 def scaling_code_key() -> str:
-    """Content hash of everything that determines the scaling result:
-    engine source + this harness + the deterministic input generator.
-    Keyed on CONTENT (not commit id) so a docs-only commit — including
-    the commit that lands the cache file itself — keeps the cache
-    valid, while any engine edit invalidates it."""
+    """Content hash of what determines the scaling result (the modules
+    above + every functions/ helper they share). Keyed on CONTENT (not
+    commit id) so the commit that lands the cache file itself — and any
+    edit outside the measured path — keeps the cache valid."""
     import hashlib
 
     h = hashlib.sha256()
-    files = sorted((REPO / "geospatial_spark").rglob("*.py"))
-    files += sorted((REPO / "fixtures").glob("*.py"))
-    files.append(REPO / "bench.py")
+    files = [REPO / p for p in _SCALING_KEY_PATHS]
+    files += sorted((REPO / "geospatial_spark" / "functions").glob("*.py"))
     for p in files:
-        h.update(p.name.encode())
-        h.update(p.read_bytes())
+        if p.exists():
+            h.update(p.name.encode())
+            h.update(p.read_bytes())
     return h.hexdigest()[:12]
 
 

@@ -825,3 +825,54 @@ SELECT {id_col} AS doc_id,
   upper(substr(to_hex(encode(coalesce({text_col}, ''))), 1, 8)) AS head_hex
 FROM {table}
 """.strip()
+
+
+# ---------- curation (operators/curation.py mirrors) ----------
+
+def sample_mixture_sql(weights: dict[str, float], seed: str = "mix",
+                       table: str = "documents", id_col: str = "doc_id",
+                       source_col: str = "source") -> str:
+    """Deterministic stratified sample: keep iff
+    hash01(seed, id) < weight(source). Same md5-prefix hash as the
+    engine (('0x' || substr(md5, 1, 8))::UBIGINT / 2^32)."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN {float(f)!r}" for s, f in sorted(weights.items()))
+    w = f"(CASE {source_col} {cases} ELSE 0.0 END)"
+    u = (f"(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), "
+         f"1, 8))::UBIGINT::DOUBLE / 4294967296.0)")
+    return f"""
+SELECT {id_col} AS doc_id, {source_col} AS source
+FROM {table}
+WHERE {u} < {w}
+""".strip()
+
+
+def contamination_screen_sql(probe_mod: int = 31,
+                             table: str = "documents",
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    """Benchmark-contamination screen: per NON-probe doc, distinct
+    shingles total vs distinct shingles shared with the probe set
+    (docs with id % probe_mod == 0); contaminated ⇔ 2·shared ≥ total
+    > 0 (integer arithmetic, engine-identical)."""
+    return f"""
+WITH {_shingles_cte(table, id_col, text_col)},
+flat AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+probe AS (SELECT DISTINCT s FROM flat WHERE doc_id % {probe_mod} = 0),
+corpus AS (SELECT doc_id, s FROM flat WHERE doc_id % {probe_mod} != 0),
+totals AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM corpus GROUP BY 1),
+shared AS (
+  SELECT c.doc_id, count(*)::BIGINT AS n_shared
+  FROM corpus c JOIN probe p USING (s) GROUP BY 1
+)
+SELECT d.{id_col} AS doc_id,
+       coalesce(t.n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(sh2.n_shared, 0)::BIGINT AS n_shared,
+       (coalesce(t.n_shingles, 0) > 0
+        AND coalesce(sh2.n_shared, 0) * 2 >= coalesce(t.n_shingles, 0))
+         AS contaminated
+FROM {table} d
+LEFT JOIN totals t ON t.doc_id = d.{id_col}
+LEFT JOIN shared sh2 ON sh2.doc_id = d.{id_col}
+WHERE d.{id_col} % {probe_mod} != 0
+""".strip()

@@ -675,6 +675,24 @@ def _multimodal(spark, sf_dir):
     return extract_features(with_payload(_docs(spark, sf_dir), "doc_id"))
 
 
+# mixture weights for the sample_mixture gate entry: a few sources kept
+# at different rates, the rest dropped — the shape of a training-data
+# mixing recipe
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _sample_mixture(spark, sf_dir):
+    from geospatial_spark.operators.curation import sample_mixture
+
+    return sample_mixture(_docs(spark, sf_dir), MIX_WEIGHTS)
+
+
+def _contamination(spark, sf_dir):
+    from geospatial_spark.operators.curation import contamination_screen
+
+    return contamination_screen(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # BM25 / index family — flagship compressed-index WAND path
@@ -739,6 +757,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _tpch_q6,
         # multimodal plumbing (binary payload → Arrow feature kernel)
         "multimodal_features": _multimodal,
+        # corpus curation: deterministic mixture sampling + benchmark
+        # contamination screen
+        "sample_mixture": _sample_mixture,
+        "contamination_screen": _contamination,
         # rows-only approximate ops LAST: if the driver caps the gate at 50
         # entries, every DuckDB-oracle-backed query above must stay inside it;
         # these two are recall-gated in pytest (test_ann_scale) instead.
@@ -802,4 +824,6 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3ish": osql.tpch_q3ish_sql(),
         "tpch_q6": osql.tpch_q6_sql(),
         "multimodal_features": osql.multimodal_features_sql(),
+        "sample_mixture": osql.sample_mixture_sql(MIX_WEIGHTS),
+        "contamination_screen": osql.contamination_screen_sql(),
     }

@@ -44,7 +44,8 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
     qtype = req.get("type", "match")
     k = int(req.get("k", 10))
     if qtype == "match":
-        return searcher.search(req["q"], k)
+        return searcher.search(req["q"], k,
+                               quantized=bool(req.get("quantized", False)))
     if qtype == "phrase":
         return searcher.search_phrase(req["q"], k)
     if qtype == "phrase_scored":

@@ -1,0 +1,78 @@
+"""Curation operators: deterministic mixture sampling (reproducible,
+partitioning-independent, weight-faithful) and the benchmark
+contamination screen (planted overlap detected, clean docs pass,
+sub-shingle docs unflagged). DuckDB parity runs under test_driver_gate;
+these pin the operator semantics directly."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = []
+    for i in range(400):
+        src = f"s{i % 4}"
+        rows.append((i, f"alpha beta gamma delta tok{i} epsilon zeta",
+                     src))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+
+
+def test_sample_mixture_deterministic_and_weighted(docs_df):
+    from geospatial_spark.operators.curation import sample_mixture
+
+    w = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    a = sorted(tuple(r) for r in sample_mixture(docs_df, w).collect())
+    b = sorted(tuple(r) for r in
+               sample_mixture(docs_df.repartition(7), w).collect())
+    assert a == b  # pure row function: partitioning-independent
+    by_src = {}
+    for _, src in a:
+        by_src[src] = by_src.get(src, 0) + 1
+    assert by_src.get("s0") == 100          # weight 1.0 keeps all
+    assert "s2" not in by_src               # weight 0.0 drops all
+    assert "s3" not in by_src               # unlisted source dropped
+    assert 30 <= by_src.get("s1", 0) <= 70  # ~half of 100
+
+
+def test_sample_mixture_seed_changes_sample(docs_df):
+    from geospatial_spark.operators.curation import sample_mixture
+
+    w = {"s1": 0.5}
+    a = {r[0] for r in sample_mixture(docs_df, w, seed="mix").collect()}
+    b = {r[0] for r in sample_mixture(docs_df, w, seed="other").collect()}
+    assert a != b  # same weights, different seed → different sample
+
+
+def test_contamination_screen_plants(spark):
+    from geospatial_spark.operators.curation import contamination_screen
+
+    # probe docs: ids 0, 31 (id % 31 == 0). Doc 40 copies doc 31's
+    # text (fully contaminated); doc 41 is clean; doc 42 is too short
+    # to shingle; doc 43 shares half its shingles with doc 0.
+    probe_a = "red green blue cyan magenta yellow"
+    probe_b = "one two three four five six seven"
+    rows = [
+        (0, probe_a, "s0"),
+        (31, probe_b, "s0"),
+        (40, probe_b, "s0"),
+        (41, "totally fresh unrelated words here now", "s0"),
+        (42, "too short", "s0"),
+        (43, "red green blue cyan junk1 junk2 junk3 junk4", "s0"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    out = {r["doc_id"]: r.asDict()
+           for r in contamination_screen(df).collect()}
+    assert set(out) == {40, 41, 42, 43}  # probe docs excluded
+    assert out[40]["contaminated"] and \
+        out[40]["n_shared"] == out[40]["n_shingles"] > 0
+    assert not out[41]["contaminated"] and out[41]["n_shared"] == 0
+    assert out[42]["n_shingles"] == 0 and not out[42]["contaminated"]
+    # doc 43: shingles = 6 total; shared with doc 0: "red green blue",
+    # "green blue cyan" → 2 of 6 → below the ≥½ bar
+    assert out[43]["n_shared"] == 2 and out[43]["n_shingles"] == 6
+    assert not out[43]["contaminated"]
