@@ -876,3 +876,56 @@ LEFT JOIN totals t ON t.doc_id = d.{id_col}
 LEFT JOIN shared sh2 ON sh2.doc_id = d.{id_col}
 WHERE d.{id_col} % {probe_mod} != 0
 """.strip()
+
+
+def chunk_documents_sql(window: int = 64, stride: int = 48,
+                        table: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """Overlapping token-window chunks; chunk_idx = start // stride
+    (starts are exact multiples, so integer division is the index on
+    both engines)."""
+    return f"""
+WITH {_docs_cte(table, id_col, text_col)}
+SELECT doc_id,
+       (s // {stride})::INT AS chunk_idx,
+       array_to_string(toks[s + 1 : least(s + {window}, len(toks))], ' ')
+         AS chunk_text,
+       (least(s + {window}, len(toks)) - s)::INT AS chunk_tokens
+FROM docs, unnest(range(0, len(toks), {stride})) AS u(s)
+""".strip()
+
+
+def embed_int8_sql(table: str = "embeddings",
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> str:
+    """Symmetric per-vector int8 quantization mirror: identical scale,
+    identical ⌊x/scale + 0.5⌋ rounding, identical clip, digest of the
+    comma-joined codes."""
+    return f"""
+WITH v AS (
+  SELECT {id_col} AS vec_id,
+         list_transform({vec_col}, x -> x::DOUBLE) AS ve
+  FROM {table}
+),
+s AS (
+  SELECT vec_id, ve,
+         list_max(list_transform(ve, x -> abs(x))) / 127.0 AS sc
+  FROM v
+),
+q AS (
+  SELECT vec_id, sc,
+         CASE WHEN sc > 0
+           THEN list_transform(ve, x ->
+                  greatest(-127, least(127,
+                    CAST(floor(x / sc + 0.5) AS INT))))
+           ELSE list_transform(ve, x -> 0) END AS qv
+  FROM s
+)
+SELECT vec_id,
+       round(sc, 6) AS scale,
+       md5(array_to_string(qv, ',')) AS q_digest,
+       list_sum(qv)::BIGINT AS q_sum,
+       list_min(qv)::INT AS q_min,
+       list_max(qv)::INT AS q_max
+FROM q
+""".strip()

@@ -68,6 +68,50 @@ def sample_mixture(df: DataFrame, weights: dict[str, float],
             .select("doc_id", "source"))
 
 
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", window: int = CHUNK_WINDOW,
+                    stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    pre-training chunking step. Returns one row per chunk:
+    (doc_id, chunk_idx, chunk_text, chunk_tokens), where chunk i covers
+    tokens [i·stride, min(i·stride+window, n)). Empty docs yield no
+    chunks.
+
+    Pure per-row array expression + explode: no shuffle, no UDF, no
+    window function — a 100-TB corpus chunks in one codegen scan. The
+    tokens array is let-bound through a 1-element array (the same
+    Catalyst idiom as dedup.shingle_rows) so the tokenizer is evaluated
+    once per row, not once per chunk."""
+    from geospatial_spark.functions.tokenize import spark_tokens_col
+
+    def chunks_of(t):
+        n = F.size(t)
+        starts = F.when(
+            n > F.lit(0),
+            F.sequence(F.lit(0), n - 1, F.lit(stride)),
+        ).otherwise(F.expr("array()").cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / F.lit(stride)).cast("int").alias("chunk_idx"),
+                F.array_join(
+                    F.slice(t, s + 1, F.least(F.lit(window), n - s)),
+                    " ").alias("chunk_text"),
+                F.least(F.lit(window), n - s).cast("int")
+                .alias("chunk_tokens")))
+
+    ch = F.flatten(F.transform(F.array(spark_tokens_col(text_col)),
+                               chunks_of))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(ch).alias("c"))
+            .select("doc_id", "c.chunk_idx", "c.chunk_text",
+                    "c.chunk_tokens"))
+
+
 def contamination_screen(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text",
                          probe_mod: int = PROBE_MOD) -> DataFrame:

@@ -37,6 +37,51 @@ def with_norm(df: DataFrame, id_col: str = "vec_id",
                      F.round(_norm(F.col(vec_col)), ROUND_DP).alias("l2_norm"))
 
 
+def embed_int8(df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the memory-scale path
+    for embedding columns (8× smaller than float32, 4× smaller than the
+    float64 math): scale = max|x| / 127, q_i = clip(⌊x_i/scale + 0.5⌋,
+    ±127); a zero vector quantizes to zeros with scale 0.
+
+    Returns per-vector scalars the correctness gate can hash exactly:
+    (vec_id, scale, q_digest = md5 of the comma-joined codes, q_sum,
+    q_min, q_max). The rounding form ⌊x/scale + 0.5⌋ is pinned (not
+    banker's round) so Spark and DuckDB agree bit-for-bit.
+
+    The (vector, scale) pair is let-bound through a 1-element array
+    (the shingle-rows Catalyst idiom) so max|x| is computed once per
+    row, not re-inlined per element by the interpreted lambda."""
+    ve = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(ve, lambda x: F.abs(x)))
+    bound = F.array(F.struct(ve.alias("v"),
+                             (amax / F.lit(127.0)).alias("sc")))
+
+    def q_of(b):
+        sc = b["sc"]
+        return F.when(sc > 0, F.transform(
+            b["v"],
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127),
+                        F.floor(x / sc + F.lit(0.5)).cast("int"))))
+        ).otherwise(F.transform(b["v"], lambda x: F.lit(0)))
+
+    qv = F.element_at(F.transform(bound, q_of), 1)
+    sc = F.element_at(F.transform(bound, lambda b: b["sc"]), 1)
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(sc, 6).alias("scale"),
+        F.md5(F.array_join(
+            F.transform(qv, lambda x: x.cast("string")), ","))
+        .alias("q_digest"),
+        F.aggregate(qv, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("q_sum"),
+        F.array_min(qv).cast("int").alias("q_min"),
+        F.array_max(qv).cast("int").alias("q_max"),
+    )
+
+
 def brute_force_topk(df: DataFrame, query_ids: list[int], k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """For each query vector (selected by id), exact cosine top-k over

@@ -693,6 +693,18 @@ def _contamination(spark, sf_dir):
     return contamination_screen(_docs(spark, sf_dir))
 
 
+def _chunk_docs(spark, sf_dir):
+    from geospatial_spark.operators.curation import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+def _embed_int8(spark, sf_dir):
+    from geospatial_spark.operators.similarity import embed_int8
+
+    return embed_int8(_emb(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # BM25 / index family — flagship compressed-index WAND path
@@ -761,6 +773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contamination screen
         "sample_mixture": _sample_mixture,
         "contamination_screen": _contamination,
+        "chunk_documents": _chunk_docs,
+        "embed_int8": _embed_int8,
         # rows-only approximate ops LAST: if the driver caps the gate at 50
         # entries, every DuckDB-oracle-backed query above must stay inside it;
         # these two are recall-gated in pytest (test_ann_scale) instead.
@@ -826,4 +840,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": osql.multimodal_features_sql(),
         "sample_mixture": osql.sample_mixture_sql(MIX_WEIGHTS),
         "contamination_screen": osql.contamination_screen_sql(),
+        "chunk_documents": osql.chunk_documents_sql(),
+        "embed_int8": osql.embed_int8_sql(),
     }

@@ -76,3 +76,54 @@ def test_contamination_screen_plants(spark):
     # "green blue cyan" → 2 of 6 → below the ≥½ bar
     assert out[43]["n_shared"] == 2 and out[43]["n_shingles"] == 6
     assert not out[43]["contaminated"]
+
+
+def test_chunk_documents_boundaries(spark):
+    from geospatial_spark.operators.curation import chunk_documents
+
+    toks_70 = " ".join(f"t{i}" for i in range(70))
+    rows = [(1, "short doc here", "s"), (2, toks_70, "s"), (3, "", "s")]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    out = {}
+    for r in chunk_documents(df, window=64, stride=48).collect():
+        out.setdefault(r["doc_id"], []).append(r.asDict())
+    assert 3 not in out                       # empty doc: no chunks
+    assert len(out[1]) == 1                   # short doc: one chunk
+    assert out[1][0]["chunk_tokens"] == 3
+    assert out[1][0]["chunk_text"] == "short doc here"
+    c2 = sorted(out[2], key=lambda c: c["chunk_idx"])
+    assert [c["chunk_idx"] for c in c2] == [0, 1]
+    assert c2[0]["chunk_tokens"] == 64        # full window
+    assert c2[1]["chunk_tokens"] == 70 - 48   # tail
+    assert c2[0]["chunk_text"].split()[0] == "t0"
+    assert c2[1]["chunk_text"].split()[0] == "t48"  # overlap by 16
+    assert c2[0]["chunk_text"].split()[-1] == "t63"
+
+
+def test_embed_int8_reconstruction_bound(spark):
+    import numpy as np
+
+    from geospatial_spark.operators.similarity import embed_int8
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=16).astype("float32").tolist())
+            for i in range(20)]
+    rows.append((99, [0.0] * 16))  # zero vector
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = {r["vec_id"]: r.asDict() for r in embed_int8(df).collect()}
+    assert out[99]["scale"] == 0.0 and out[99]["q_sum"] == 0
+    vecs = dict(rows)
+    for vid, r in out.items():
+        if vid == 99:
+            continue
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        # the max-|x| element quantizes to ±127 exactly
+        assert max(abs(r["q_min"]), abs(r["q_max"])) == 127
+        # reconstruction error ≤ scale/2 per element is implied by the
+        # rounding form; spot-check via q_sum: |sum(x) - scale*q_sum|
+        # ≤ dim * scale/2
+        x = np.array(vecs[vid], dtype=np.float64)
+        assert abs(x.sum() - r["scale"] * r["q_sum"]) <= \
+            16 * (r["scale"] / 2 + 1e-6) + 1e-6

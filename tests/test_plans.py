@@ -216,3 +216,34 @@ def test_plain_search_scan_prunes_positions(spark, tiny_transcripts,
     phrase = explain(s.search_phrase_df("the spark", 5))
     assert any("pos_blocks" in ln for ln in phrase.splitlines()
                if "ReadSchema" in ln), phrase
+
+
+def test_sample_mixture_is_pure_filter_no_shuffle(spark):
+    """Mixture sampling must be a projection + filter (whole-stage
+    codegen, no Exchange, no sampling pass): the keep/drop decision is
+    a per-row hash, so the plan has zero shuffles and zero extra scans."""
+    from geospatial_spark.operators.curation import sample_mixture
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = explain(sample_mixture(docs, {"src0": 0.5, "src1": 0.1}))
+    tree = plan.split("\n\n", 1)[0]
+    assert "Exchange" not in tree, tree
+    assert sum(1 for l in tree.splitlines() if "Scan parquet" in l) == 1
+    # formatted mode marks codegen stages with a leading '*'
+    assert "* Filter" in tree, tree
+
+
+def test_contamination_probe_side_broadcasts(spark):
+    """The probe (benchmark) shingle set must reach the corpus side as
+    a broadcast — the corpus shingles never shuffle for the overlap
+    join (the probe is small by construction; the corpus is not)."""
+    from geospatial_spark.operators.curation import contamination_screen
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = explain(contamination_screen(docs))
+    tree = plan.split("\n\n", 1)[0]
+    assert "BroadcastHashJoin" in tree, tree
+    # the overlap join itself must not be a SortMergeJoin over shingles
+    smj = [l for l in tree.splitlines() if "SortMergeJoin" in l]
+    bhj = [l for l in tree.splitlines() if "BroadcastHashJoin" in l]
+    assert len(bhj) >= 1 and len(smj) <= 2, tree
