@@ -59,6 +59,10 @@ from geospatial_spark.functions.codec import BLOCK as BLOCK_N
 CHUNK_BLOCKS = 64
 # discovery stops early only once this few docs can still reach θ
 CAND_CAP = 1024
+# multi-hot bulk cutover: ≥2 hot terms jointly covering ≥ n >> SHIFT of
+# the shard take the bulk-scoring path (tests pin bulk ≡ discovery by
+# overriding this)
+BULK_HOT_DENSITY_SHIFT = 2
 # float slack applied on the keep-it side of every θ comparison
 EPS = 1e-12
 
@@ -462,7 +466,7 @@ def wand_shard(
     # and sparse-hot queries keep the early-terminating discovery path.
     bulk = (len(hot_raw) >= 2
             and sum(int(r["df"]) for r, _ in hot_raw)
-            >= (n_local_docs >> 2))
+            >= (n_local_docs >> BULK_HOT_DENSITY_SHIFT))
     hot: list[_HotTerm] = []
     if not bulk:
         for r, idf_t in hot_raw:

@@ -138,3 +138,37 @@ def test_hot_swap_on_manifest_change(spark, small_transcripts_pd,
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_cli_serve_smoke(daemon_index):
+    """cli/serve.py end-to-end: spawn the process, parse the serving
+    line, query over HTTP, terminate."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    proc = subprocess.Popen(
+        [sys.executable, "cli/serve.py", "--index", daemon_index,
+         "--port", "0"],
+        stdout=subprocess.PIPE, text=True, cwd="/root/repo")
+    try:
+        line = proc.stdout.readline()
+        addr = json.loads(line)["addr"]
+        port = int(addr[1])
+        deadline = _time.time() + 30
+        h = None
+        while _time.time() < deadline:
+            try:
+                h = _get(port, "/health")
+                break
+            except OSError:
+                _time.sleep(0.2)
+        assert h and h["n_docs"] > 0
+        hits = _post(port, "/search",
+                     {"type": "match", "q": "the spark", "k": 5})["hits"]
+        assert len(hits) > 0
+    finally:
+        proc.send_signal(signal.SIGINT)
+        proc.wait(timeout=30)

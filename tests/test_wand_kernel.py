@@ -190,3 +190,63 @@ def test_v3_tier_units_light_vs_eager_parity():
         np.testing.assert_allclose(sc_e, sc_l, rtol=0, atol=0)
         if k == 3000:
             assert calls, "k past the head must have fetched the tail"
+
+
+def test_bulk_multi_hot_equals_discovery():
+    """The saturated-multi-hot BULK path must be rank- and
+    score-identical to the incremental discovery path on the same rows
+    (several synthetic seeds, two hot terms, overlapping docs) — the
+    cutover is a performance choice, never a semantics one."""
+    import copy
+
+    import geospatial_spark.operators.wand as W
+
+    avgdl = 100.0
+    for seed in (1, 2, 3, 11):
+        rows = []
+        dfg = {}
+        n_local = DF_LONG * 3
+        for i, term in enumerate(("hotA", "hotB")):
+            docs, tfs, dls = _synth_posting(DF_LONG, seed=seed + i * 100)
+            starts = np.array([0], dtype=np.int64)
+            ends = np.array([DF_LONG], dtype=np.int64)
+            (doc_b, tf_b, dl_b, bmax, bmin, blast,
+             sky_tf, sky_dl, sky_off, _pos) = encode_shard_postings(
+                docs, tfs, dls, starts, ends)
+            idb, itb, ilb, is_tf, is_dl, is_off = encode_impact_posting(
+                docs, tfs, dls, avgdl)
+            H = IMPACT_HEAD_BLOCKS
+            rows.append({
+                "term": term, "df": DF_LONG,
+                "doc_blocks": doc_b[0], "tf_blocks": tf_b[0],
+                "dl_blocks": dl_b[0], "block_max_tf": bmax[0],
+                "block_min_dl": bmin[0], "block_last_doc": blast[0],
+                "sky_tf": sky_tf[0], "sky_dl": sky_dl[0],
+                "sky_off": sky_off[0],
+                "imp_head_doc_blocks": idb[:H],
+                "imp_head_tf_blocks": itb[:H],
+                "imp_head_dl_blocks": ilb[:H],
+                "imp_tail_doc_blocks": idb[H:],
+                "imp_tail_tf_blocks": itb[H:],
+                "imp_tail_dl_blocks": ilb[H:],
+                "imp_sky_tf": is_tf, "imp_sky_dl": is_dl,
+                "imp_sky_off": is_off,
+            })
+            dfg[term] = DF_LONG * 4  # global df > local
+        # doc ids are drawn from [0, 3·DF_LONG); Σdf = 2·DF_LONG, so
+        # shift 10 (threshold n>>10 ≈ 6) forces BULK and shift 0
+        # (threshold n ≈ 3·DF_LONG > Σdf) forces DISCOVERY
+        orig = W.BULK_HOT_DENSITY_SHIFT
+        try:
+            W.BULK_HOT_DENSITY_SHIFT = 10  # forced bulk
+            top_b, sc_b = wand_shard(
+                [copy.deepcopy(r) for r in rows], n_local, 0,
+                dfg, DF_LONG * 8, avgdl, 10)
+            W.BULK_HOT_DENSITY_SHIFT = 0   # forced discovery
+            top_d, sc_d = wand_shard(
+                [copy.deepcopy(r) for r in rows], n_local, 0,
+                dfg, DF_LONG * 8, avgdl, 10)
+        finally:
+            W.BULK_HOT_DENSITY_SHIFT = orig
+        assert top_b.tolist() == top_d.tolist(), seed
+        np.testing.assert_allclose(sc_b, sc_d, rtol=1e-12)
