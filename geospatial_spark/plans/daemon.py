@@ -97,6 +97,8 @@ class IndexService:
     def _fresh(self) -> LocalSearcher:
         s = LocalSearcher(self.root, preload_docmaps=self.preload)
         s.search(WARM_QUERY, 1)  # populate lazy caches off the hot path
+        s.warm_hot_terms()  # saturated terms' light rows pre-read, so a
+        # first query never pays their parquet read (swap-time warm-up)
         return s
 
     def searcher(self) -> LocalSearcher:

@@ -155,6 +155,57 @@ class LocalSearcher:
             self._seg_ds = parts
         return self._seg_ds
 
+    def _cached_rows(self, gen_id: str, reader: "_SegmentReader",
+                     terms: list[str], cols: list[str],
+                     klass: str) -> list[dict]:
+        """Term rows through the LRU (misses read + pythonize once)."""
+        rows: list[dict] = []
+        miss = []
+        for t in terms:
+            got = self._term_cache.get((gen_id, t, klass))
+            if got is None:
+                miss.append(t)
+            else:
+                self._term_cache.move_to_end((gen_id, t, klass))
+                rows.extend(got)
+        if miss:
+            fetched = reader.read_terms(miss, cols)
+            by_term: dict[str, list[dict]] = {t: [] for t in miss}
+            for r in fetched:
+                _pythonize_streams(r)
+                by_term[r["term"]].append(r)
+            for t, trows in by_term.items():
+                self._term_cache[(gen_id, t, klass)] = trows
+                rows.extend(trows)
+            while len(self._term_cache) > self.term_cache_max:
+                self._term_cache.popitem(last=False)
+        return rows
+
+    def _light_cols(self, names) -> list[str]:
+        return [c for c in names
+                if c.startswith("imp_head_") or c.startswith("imp_sky_")
+                or c.startswith("imp_tier_") or c == "df"]
+
+    def warm_hot_terms(self) -> int:
+        """Preload every impact-copied term's LIGHT rows into the term
+        cache — the serving warm-up a long-lived daemon runs at swap
+        time, so the FIRST query touching a saturated term skips the
+        parquet read (the measured uncached-latency dominator). The hot
+        set is small by construction (only terms above the per-shard
+        impact-copy threshold); returns the number of terms warmed."""
+        self._load_dict()
+        warmed = 0
+        for g in self.gens:
+            gen_id = g["id"]
+            imp = sorted(self._imp_for(gen_id))
+            if not imp:
+                continue
+            reader = self._reader(gen_id)
+            self._cached_rows(gen_id, reader, imp,
+                              self._light_cols(reader.schema_names), "h")
+            warmed += len(imp)
+        return warmed
+
     def _pool(self):
         """Persistent kernel thread pool (lazy; shared with nothing —
         reads have their own pool inside _SegmentReader)."""
@@ -216,10 +267,7 @@ class LocalSearcher:
             # was the measured serve-latency growth term; completion
             # re-fetches block_last_doc with the byte streams on the
             # rare discovery overrun.
-            light = [c for c in names
-                     if c.startswith("imp_head_")
-                     or c.startswith("imp_sky_")
-                     or c.startswith("imp_tier_") or c == "df"]
+            light = self._light_cols(names)
             cold_cols = [c for c in names
                          if c not in ("imp_tail_doc_blocks",
                                       "imp_tail_tf_blocks",
@@ -235,25 +283,8 @@ class LocalSearcher:
             rows: list[dict] = []
             for bucket, cols, klass in ((cold_q, cold_cols, "c"),
                                         (hot_q, light, "h")):
-                miss = []
-                for t in bucket:
-                    got = self._term_cache.get((gen_id, t, klass))
-                    if got is None:
-                        miss.append(t)
-                    else:
-                        self._term_cache.move_to_end((gen_id, t, klass))
-                        rows.extend(got)
-                if miss:
-                    fetched = reader.read_terms(miss, cols)
-                    by_term: dict[str, list[dict]] = {t: [] for t in miss}
-                    for r in fetched:
-                        _pythonize_streams(r)
-                        by_term[r["term"]].append(r)
-                    for t, trows in by_term.items():
-                        self._term_cache[(gen_id, t, klass)] = trows
-                        rows.extend(trows)
-                    while len(self._term_cache) > self.term_cache_max:
-                        self._term_cache.popitem(last=False)
+                rows.extend(self._cached_rows(gen_id, reader, bucket,
+                                              cols, klass))
             if not rows:
                 continue
             # targeted completion fetch: byte streams (positions are
