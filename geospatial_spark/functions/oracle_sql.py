@@ -929,3 +929,17 @@ SELECT vec_id,
        list_max(qv)::INT AS q_max
 FROM q
 """.strip()
+
+
+def events_retention_sql(table: str = "events") -> str:
+    """Cohort retention: users by first-active day × day offset."""
+    return f"""
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM {table}),
+firstd AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1),
+act AS (SELECT DISTINCT user_id, d FROM ev)
+SELECT CAST(cohort AS VARCHAR) AS cohort_day,
+       (d - cohort)::INT AS day_offset,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM act JOIN firstd USING (user_id)
+GROUP BY 1, 2
+""".strip()

@@ -277,10 +277,15 @@ def _make_colocated_merger(gdir_str: str, dm_names: dict[int, str],
 
         term_l, df_l, dest_l, tf_l, dl_l, pos_l = [], [], [], [], [], []
         for gen, s_src, seg_path in sources[shard]:
+            # pre_buffer coalesces the column-chunk range reads into few
+            # large I/Os — the merge reads whole segments, and on a cold
+            # page cache (or an object store) scattered small reads are
+            # the wall-clock term
             t = pq.read_table(seg_path,
                               columns=["term", "df", "doc_blocks",
                                        "tf_blocks", "dl_blocks",
-                                       "pos_blocks", "block_last_doc"])
+                                       "pos_blocks", "block_last_doc"],
+                              pre_buffer=True)
             if t.num_rows == 0:
                 continue
             pdfs = t.to_pandas()
