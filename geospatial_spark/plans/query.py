@@ -503,7 +503,8 @@ class IndexSearcher:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
 
-    def search_many(self, queries: dict[str, str], k: int = 10
+    def search_many(self, queries: dict[str, str], k: int = 10,
+                    quantized: bool = False
                     ) -> dict[str, list[tuple[str, float]]]:
         """Batched top-k: ALL queries in one Spark job. The segment scan
         filters on the union of query terms; each (gen, shard) kernel
@@ -532,6 +533,7 @@ class IndexSearcher:
         shard_docs, gdirs = self.shard_docs, self.gdirs
         dm_files = self.docmap_files
         kk = int(k)
+        qz = bool(quantized)
         q_spec = {qid: [t for t in ts if t in df_global]
                   for qid, ts in qterms.items()}
 
@@ -555,7 +557,7 @@ class IndexSearcher:
                 if not rows:
                     continue
                 local, scores = wand_shard(rows, n_local, base, df_global,
-                                           n_docs, avgdl, kk)
+                                           n_docs, avgdl, kk, quantize=qz)
                 if len(local) == 0:
                     continue
                 if docmap_col is None:
@@ -594,7 +596,7 @@ class IndexSearcher:
         query to its kernel, one window truncation.
 
         queries: qid → spec:
-          {"type": "match",  "q": text}
+          {"type": "match",  "q": text[, "quantized": bool]}
           {"type": "phrase", "q": text}
           {"type": "phrase_scored", "q": text}   (phrase scored as ONE
                              term: idf from phrase df, tf = occurrences)
@@ -627,7 +629,8 @@ class IndexSearcher:
             typ = spec.get("type", "match")
             if typ == "match":
                 ts = toks_set(spec.get("q", ""))
-                p = {"type": typ, "terms": ts}
+                p = {"type": typ, "terms": ts,
+                     "quantized": bool(spec.get("quantized", False))}
             elif typ in ("phrase", "phrase_scored"):
                 slots = toks_seq(spec.get("q", ""))
                 p = {"type": typ, "slots": slots,
@@ -716,8 +719,9 @@ class IndexSearcher:
                             if x in rows_by_term]
                     if not rows:
                         continue
-                    local, scores = wand_shard(rows, n_local, base,
-                                               df_global, n_docs, avgdl, kk)
+                    local, scores = wand_shard(
+                        rows, n_local, base, df_global, n_docs, avgdl,
+                        kk, quantize=p.get("quantized", False))
                 elif t == "phrase":
                     local, scores, _ = phrase_match_shard(
                         p["slots"], rows_by_term, base, df_global,

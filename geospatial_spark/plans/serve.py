@@ -369,7 +369,7 @@ class LocalSearcher:
             reader = self._reader(gen_id)
             cols = [c for c in reader.schema_names
                     if not c.startswith("imp_")]  # phrase never uses impact copies
-            rows = reader.read_terms(distinct, cols)
+            rows = self._cached_rows(gen_id, reader, distinct, cols, "p")
             by_shard: dict[int, dict[str, dict]] = {}
             for r in rows:
                 by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
@@ -427,7 +427,7 @@ class LocalSearcher:
             reader = self._reader(gen_id)
             cols = [c for c in reader.schema_names
                     if not c.startswith("imp_")]
-            rows = reader.read_terms(distinct, cols)
+            rows = self._cached_rows(gen_id, reader, distinct, cols, "p")
             by_shard: dict[int, dict[str, dict]] = {}
             for r in rows:
                 by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
@@ -482,7 +482,7 @@ class LocalSearcher:
             cols = [c for c in reader.schema_names
                     if not c.startswith("imp_")]
             by_shard: dict[int, dict[str, dict]] = {}
-            for r in reader.read_terms(terms, cols):
+            for r in self._cached_rows(gen_id, reader, terms, cols, "p"):
                 by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
             for shard, rows_by_term in by_shard.items():
                 base = shard << ORD_SHARD_SHIFT
@@ -539,7 +539,8 @@ class LocalSearcher:
             cols = [c for c in reader.schema_names
                     if not c.startswith("imp_") and c != "pos_blocks"]
             by_shard: dict[int, dict[str, dict]] = {}
-            for r in reader.read_terms(scan_terms, cols):
+            for r in self._cached_rows(gen_id, reader, scan_terms, cols,
+                                       "b"):
                 by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
             if pure_not:
                 # complement path: shards with no must_not postings

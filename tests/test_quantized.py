@@ -143,3 +143,37 @@ def test_quantized_mode_is_not_a_noop(quant_index):
                      and not math.isclose(exact[d], quant[d],
                                           rel_tol=1e-12))
     assert diffs > 0
+
+
+def test_batched_quantized_matches_single(spark, quant_index):
+    from geospatial_spark.plans.query import IndexSearcher
+
+    s = IndexSearcher(spark, quant_index)
+    qs = {"a": "deploy the spark job", "b": "the", "c": "w100 w200 w5"}
+    batch = s.search_many(qs, 10, quantized=True)
+    for qid, text in qs.items():
+        single = s.search(text, 10, quantized=True)
+        assert [d for d, _ in batch[qid]] == [d for d, _ in single], qid
+        for (_, x), (_, y) in zip(batch[qid], single):
+            assert math.isclose(x, y, rel_tol=1e-12)
+
+
+def test_mixed_batch_quantized_entry(spark, quant_index):
+    """A mixed batch may mark individual match entries quantized; other
+    entries keep exact scoring."""
+    from geospatial_spark.plans.query import IndexSearcher
+
+    s = IndexSearcher(spark, quant_index)
+    res = s.search_many_mixed({
+        "mq": {"type": "match", "q": "deploy the spark", "quantized": True},
+        "me": {"type": "match", "q": "deploy the spark"},
+        "mp": {"type": "phrase", "q": "the spark"},
+    }, 10)
+    want_q = s.search("deploy the spark", 10, quantized=True)
+    want_e = s.search("deploy the spark", 10)
+    assert [d for d, _ in res["mq"]] == [d for d, _ in want_q]
+    for (_, x), (_, y) in zip(res["mq"], want_q):
+        assert math.isclose(x, y, rel_tol=1e-12)
+    assert [d for d, _ in res["me"]] == [d for d, _ in want_e]
+    for (_, x), (_, y) in zip(res["me"], want_e):
+        assert math.isclose(x, y, rel_tol=1e-12)
