@@ -127,3 +127,33 @@ def test_embed_int8_reconstruction_bound(spark):
         x = np.array(vecs[vid], dtype=np.float64)
         assert abs(x.sum() - r["scale"] * r["q_sum"]) <= \
             16 * (r["scale"] / 2 + 1e-6) + 1e-6
+
+
+def test_cli_curate_smoke(tmp_path):
+    """cli/curate.py end-to-end for two ops (subprocess, JSON line)."""
+    import json
+    import subprocess
+    import sys
+
+    out1 = tmp_path / "chunks"
+    r = subprocess.run(
+        [sys.executable, "cli/curate.py",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(out1), "--op", "chunk", "--cores", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    line = json.loads([l for l in r.stdout.splitlines()
+                       if l.startswith("{")][-1])
+    assert line["op"] == "chunk" and line["rows"] > 0
+
+    out2 = tmp_path / "sample"
+    r = subprocess.run(
+        [sys.executable, "cli/curate.py",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(out2), "--op", "sample",
+         "--weights", "src0=1.0,src1=0.5", "--cores", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    line = json.loads([l for l in r.stdout.splitlines()
+                       if l.startswith("{")][-1])
+    assert line["op"] == "sample" and 0 < line["rows"] < 500
