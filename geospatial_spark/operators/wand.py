@@ -676,7 +676,7 @@ def wand_shard(
 
     if stats is not None:
         stats.update(blocks_read=blocks_read, blocks_skipped=blocks_skipped,
-                     hot_terms=len(hot),
+                     hot_terms=len(hot_raw),
                      hot_blocks_read=hot_blocks_read + bulk_hot_blocks,
                      completion_blocks=completion_blocks,
                      candidates=n_candidates)

@@ -178,11 +178,16 @@ class IcebergMetadataSource:
             "manifest_list": snap.get("manifest-list") if snap else None,
         }
 
-    def _resolve(self, path: str) -> Path:
-        """Manifest/data paths are absolute URIs (file://…) in real
-        tables, or table-relative in minimal ones."""
+    def _resolve(self, path: str):
+        """Manifest/data paths are absolute URIs (file://…, s3://…) in
+        real tables, or table-relative in minimal ones. Non-file URI
+        schemes pass through verbatim (spark.read and fsspec-style
+        readers resolve them; joining them onto the table root would
+        corrupt them)."""
         if path.startswith("file://"):
             return Path(path[len("file://"):])
+        if "://" in path:
+            return path
         p = Path(path)
         return p if p.is_absolute() else self.root / path
 
