@@ -258,3 +258,31 @@ def test_iceberg_delete_degrades_to_none(spark, small_transcripts_pd,
 
     src = IcebergMetadataSource(str(tbl))
     assert src.added_files("201") is None  # file removed → full rebuild
+
+
+def test_multi_block_container_decodes():
+    """Real writers emit many data blocks per container; splice two
+    single-block containers' payloads under one header and decode."""
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "x", "type": "long"}]}
+    one = avroio.write_container(schema, [{"x": 1}, {"x": 2}], codec="null")
+    # locate the first block (after magic + meta map + sync)
+    import io
+    buf = io.BytesIO(one)
+    assert buf.read(4) == b"Obj\x01"
+    from geospatial_spark.sources.avroio import _read_meta_map
+    _read_meta_map(buf)
+    sync = buf.read(16)
+    block = one[buf.tell():-16]  # count+size+payload, sans trailing sync
+    two = one + block + sync     # append a second identical block
+    assert avroio.read_container(two) == [{"x": 1}, {"x": 2}] * 2
+
+
+def test_sync_marker_mismatch_rejected():
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "x", "type": "long"}]}
+    blob = bytearray(avroio.write_container(schema, [{"x": 7}],
+                                            codec="null"))
+    blob[-1] ^= 0xFF  # corrupt the trailing sync marker
+    with pytest.raises(ValueError):
+        avroio.read_container(bytes(blob))
