@@ -175,10 +175,18 @@ LIMIT {k}
 
 def bm25_bool_sql(should: str = "", filter_q: str = "", must_not: str = "",
                   k: int = 10, table: str = "documents",
-                  id_col: str = "doc_id", text_col: str = "text") -> str:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  meta_pred: str | None = None) -> str:
     """Bool-query oracle mirroring IndexSearcher.search_bool: scored
     should-OR (≥1 should term must match when given) ∩ filter-AND ∖
-    must_not, hits score 0.0 in pure filter context."""
+    must_not, hits score 0.0 in pure filter context.
+
+    meta_pred: optional SQL predicate over the doc universe (alias `d`,
+    e.g. "d.doc_id % 3 = 0") mirroring the engine's metadata-filter
+    mask (operators/metafilter.py) — the catalog derives role/ts
+    deterministically from doc_id, so the predicate is exact arithmetic
+    on both sides. Scoring stats stay corpus-global, same as the
+    engine (filter context does not change idf)."""
     sh = sorted(set(tokenize_py(should)))
     fl = sorted(set(tokenize_py(filter_q)))
     mn = sorted(set(tokenize_py(must_not)))
@@ -188,6 +196,8 @@ def bm25_bool_sql(should: str = "", filter_q: str = "", must_not: str = "",
         return ", ".join(f"'{t}'" for t in terms)
 
     parts = []
+    if meta_pred:
+        parts.append(f"({meta_pred})")
     if fl:
         parts.append(
             f"(SELECT count(DISTINCT term) FROM tok t2 WHERE t2.doc_id = d.doc_id "

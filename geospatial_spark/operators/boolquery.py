@@ -39,9 +39,15 @@ def bool_match_shard(
     n_docs: int,
     avgdl: float,
     k: int,
+    allowed_init: np.ndarray | None = None,
 ):
     """Score one shard. Returns (local_docs, scores) of the shard's
-    top-k (score desc, doc asc; exact scores)."""
+    top-k (score desc, doc asc; exact scores).
+
+    allowed_init: optional pre-computed membership mask over local
+    ordinals (the metadata-filter path, operators/metafilter.py) that
+    restricts the candidate universe exactly like an unscored filter
+    clause — scoring stats stay corpus-global."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     if n_local_docs == 0:
         return empty
@@ -49,7 +55,16 @@ def bool_match_shard(
     if any(t not in rows_by_term for t in filters):
         return empty
 
-    allowed = np.ones(n_local_docs, dtype=bool)
+    if allowed_init is not None:
+        if len(allowed_init) != n_local_docs:
+            raise ValueError(
+                f"allowed_init length {len(allowed_init)} != shard docs "
+                f"{n_local_docs}")
+        allowed = allowed_init.astype(bool, copy=True)
+        if not allowed.any():
+            return empty
+    else:
+        allowed = np.ones(n_local_docs, dtype=bool)
     for t in filters:
         docs, _, _, _ = _decode_full_posting(rows_by_term[t], base_ord,
                                              need_positions=False)

@@ -139,15 +139,26 @@ def _build_dictionary(spark: SparkSession, gdir: Path, n_shards: int,
 
 
 def _fingerprint(doc_ids: pd.Series, texts: pd.Series,
-                 config_digest: str = "") -> str:
+                 config_digest: str = "",
+                 roles: pd.Series | None = None,
+                 ts_us: pd.Series | None = None) -> str:
     """Stable content hash of a shard (order-sensitive; shards arrive
     sorted by (conv_id, turn_idx)). config_digest folds in build config
     that changes the output (e.g. the normalization dictionary) so a
-    config change invalidates checkpoints."""
+    config change invalidates checkpoints. role/ts ride in the hash
+    because they land in the docmap (metadata-filter side table): a
+    metadata-only change must invalidate the shard's checkpoint."""
     h = hashlib.sha256()
     h.update(config_digest.encode())
     h.update(pd.util.hash_pandas_object(doc_ids, index=False).values.tobytes())
     h.update(pd.util.hash_pandas_object(texts.fillna(""), index=False).values.tobytes())
+    if roles is not None:
+        h.update(pd.util.hash_pandas_object(
+            roles.fillna(""), index=False).values.tobytes())
+    if ts_us is not None:
+        h.update(pd.util.hash_pandas_object(
+            pd.to_numeric(ts_us, errors="coerce").fillna(-1).astype("int64"),
+            index=False).values.tobytes())
     return h.hexdigest()
 
 
@@ -165,7 +176,7 @@ def _config_digest(normalization: dict[str, str] | None,
     # segment format version: v2 added the positions stream — a resumed
     # v1 checkpoint would silently skip shards whose files lack
     # pos_blocks, so the version rides in the fingerprint
-    h.update(b"fmt=3")  # v3: tiered impact skylines
+    h.update(b"fmt=4")  # v3: tiered impact skylines; v4: docmap role/ts_us
     return h.hexdigest()
 
 
@@ -399,7 +410,9 @@ def encode_runs_to_segments(shard: int, terms_sorted, starts, ends,
 def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
                   normalization: dict[str, str] | None = None,
                   hot_df_copy: int = HOT_DF_COPY,
-                  store_positions: bool = True):
+                  store_positions: bool = True,
+                  roles: pd.Series | None = None,
+                  ts_us: pd.Series | None = None):
     """Tokenize + posting encode one shard. Returns (segments pyarrow
     Table, docmap_df, stats dict). All hot paths vectorized; the
     segment table is assembled zero-copy from the bulk encoder's flat
@@ -461,6 +474,15 @@ def _encode_shard(shard: int, doc_ids: pd.Series, texts: pd.Series,
             "dl": dl.astype(np.int32),
         }
     )
+    # docmap v2: doc metadata rides the side table each query kernel
+    # already opens locally — the metadata-filter path
+    # (operators/metafilter.py) masks ordinals from these columns with
+    # no shuffle and no postings read
+    docmap["role"] = (roles.to_numpy(dtype=object) if roles is not None
+                      else np.full(n, None, dtype=object))
+    tsv = (pd.to_numeric(ts_us, errors="coerce").to_numpy(dtype="float64")
+           if ts_us is not None else np.full(n, np.nan))
+    docmap["ts_us"] = pd.array(tsv, dtype="Int64")
     stats = {
         "docs_tokenized": int(n),
         "postings_written": int(n_postings),
@@ -559,11 +581,13 @@ def _make_shard_builder(gdir_str: str, normalization: dict[str, str] | None = No
         # deterministic shard-local order (the fingerprint and the
         # in-shard doc_ord tie-break both depend on it); rows arrive in
         # arbitrary post-shuffle order
-        data = (pdf[["conv_id", "turn_idx", "doc_id", "text"]]
+        data = (pdf[["conv_id", "turn_idx", "doc_id", "text", "role",
+                     "ts_us"]]
                 .sort_values(["conv_id", "turn_idx"], kind="mergesort")
                 .reset_index(drop=True))
 
-        fp = _fingerprint(data["doc_id"], data["text"], cfg_digest)
+        fp = _fingerprint(data["doc_id"], data["text"], cfg_digest,
+                          data["role"], data["ts_us"])
         cp_path = lc.checkpoint_path(gdir, shard)
         # put mode: unique content-derived name — deterministic (same
         # content re-PUTs the same object idempotently), never renamed
@@ -585,7 +609,9 @@ def _make_shard_builder(gdir_str: str, normalization: dict[str, str] | None = No
 
         segments, docmap, stats = _encode_shard(shard, data["doc_id"], data["text"],
                                                 normalization, hot_df_copy,
-                                                store_positions)
+                                                store_positions,
+                                                roles=data["role"],
+                                                ts_us=data["ts_us"])
         _write_parquet(segments, gdir / seg_name, storage)
         _write_parquet(docmap, gdir / dm_name, storage)
         # checkpoint written LAST: it NAMES the landed files (the commit
@@ -679,7 +705,17 @@ def _build_index_locked(
 
     try:
         gdir.mkdir(parents=True, exist_ok=True)
-        docs = with_doc_id(transcripts).select("conv_id", "turn_idx", "doc_id", "text")
+        docs = with_doc_id(transcripts)
+        # doc metadata for the docmap side table (metadata-filter path);
+        # minimal 4-column inputs (tests, adapted tables) get nulls
+        have = set(transcripts.columns)
+        if "role" not in have:
+            docs = docs.withColumn("role", F.lit(None).cast("string"))
+        if "ts" not in have:
+            docs = docs.withColumn("ts", F.lit(None).cast("timestamp"))
+        docs = docs.select(
+            "conv_id", "turn_idx", "doc_id", "text", "role",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
         # deterministic hash-bucket sharding: shard = xxhash64(doc key)
         # mod n_shards. Two properties repartitionByRange lacks, both
         # load-bearing at scale: (a) NO sampling pass — range

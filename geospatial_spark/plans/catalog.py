@@ -92,13 +92,20 @@ def _wand_index_root(spark: SparkSession, sf_dir: str) -> str:
 
     from geospatial_spark.plans.build import build_index
 
+    # role/ts derive DETERMINISTICALLY from doc_id so the metadata-
+    # filter gate row's oracle can express the same predicate as pure
+    # doc_id arithmetic (role cycles assistant/user/system by doc_id%3;
+    # ts = META_EPOCH + doc_id minutes)
     tx = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
-        F.lit("user").alias("role"),
+        F.element_at(
+            F.array(F.lit("assistant"), F.lit("user"), F.lit("system")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int")).alias("role"),
         F.col("text"),
         F.lit(None).cast("string").alias("tool"),
-        F.lit(None).cast("timestamp").alias("ts"),
+        F.timestamp_seconds(
+            F.lit(META_EPOCH_S) + F.col("doc_id") * 60).alias("ts"),
     )
     root = tempfile.mkdtemp(prefix="catalog_wand_idx_")
     # low impact-copy threshold so the hot-term (impact-ordered) query
@@ -233,21 +240,27 @@ def _bm25_near(query: str, slop: int, k: int = 10):
     return run
 
 
-def _bm25_bool(should: str, filter_q: str, must_not: str, k: int = 10):
+def _bm25_bool(should: str, filter_q: str, must_not: str, k: int = 10,
+               meta: dict | None = None):
     """Bool query (should/filter/must_not) through the compressed
-    index; same re-key and rounding contract as the wand entries."""
+    index; same re-key and rounding contract as the wand entries.
+    meta: structured docmap-metadata predicate (operators/metafilter)
+    — the catalog index derives role/ts from doc_id so the oracle can
+    state the same predicate arithmetically (META_PRED_SQL)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
         s = IndexSearcher(spark, root)
-        probe = s.search_bool_df(should, filter_q, must_not, 1)
+        probe = s.search_bool_df(should, filter_q, must_not, 1, meta=meta)
         if probe is None or not probe.take(1):
             return (_docs(spark, sf_dir)
                     .select("doc_id", F.lit(0.0).alias("score")).limit(0))
         df = _adaptive_overfetch(
-            spark, lambda m: s.search_bool_df(should, filter_q, must_not, m),
+            spark,
+            lambda m: s.search_bool_df(should, filter_q, must_not, m,
+                                       meta=meta),
             k, s.n_docs)
         return (
             df.select(
@@ -320,6 +333,15 @@ PHRASE_Q = "table scan"
 PHRASE_Q_RARE = "fast table scan"
 NEAR_SLOP = 3
 BOOL_Q = ("spark merge", "table", "vector")  # should, filter, must_not
+# metadata-filter gate pinning: the catalog index derives role/ts from
+# doc_id (see _wand_index_root), so the engine-side structured predicate
+# and the oracle-side doc_id arithmetic below are the SAME set by
+# construction: role='assistant' ⇔ doc_id%3=0; ts ≥ epoch+30min ⇔
+# doc_id ≥ 30 (ts = epoch + doc_id minutes, compared in exact micros)
+META_EPOCH_S = 1767225600  # 2026-01-01T00:00:00Z
+META_FILTER = {"role": "assistant",
+               "ts_min": (META_EPOCH_S + 30 * 60) * 1_000_000}
+META_PRED_SQL = "d.doc_id % 3 = 0 AND d.doc_id >= 30"
 BM25_Q_MULTI = "spark merge table scan"
 BM25_Q_SINGLE = "spark"
 BM25_Q_MISSING = "qqqqzzz"
@@ -739,11 +761,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_filter_only": _bm25_bool("", BOOL_Q[1], BOOL_Q[2], 10),
         # pure-NOT: docmap-complement match_all minus must_not postings
         "bm25_bool_not_only": _bm25_bool("", "", BOOL_Q[2], 10),
+        # metadata-filtered scored search: BM25 should-OR restricted by
+        # a docmap role+ts predicate (the reference's mixed FILTER
+        # clause analogue, XYPointQueryVisitor.java:165-178)
+        "bm25_filter_role": _bm25_bool(BOOL_Q[0], "", "", 10,
+                                       meta=META_FILTER),
         # opt-in quantized-norm mode (log-quantized dl, bm25.quantize_dl)
         "bm25_wand_quantized": _bm25_wand(BM25_Q_MULTI, 10, quantized=True),
         # BM25 relational scorer (always-correct second path)
         "bm25_topk_multi": _bm25(BM25_Q_MULTI, 10),
-        "bm25_topk_single": _bm25(BM25_Q_SINGLE, 10),
         "bm25_topk_missing": _bm25(BM25_Q_MISSING, 10),
         "term_buckets_top50": _term_buckets(50),
         "corpus_stats": _corpus_stats,
@@ -804,6 +830,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_fingerprint is dedup_exact's md5 grouping key — the same
         # expression stays gated through that row
         "text_fingerprint": _fingerprint,
+        # bm25_topk_single: the relational scorer's single-term variant,
+        # subsumed by bm25_topk_multi (same plan) and bm25_wand_single
+        # (same query through the index path)
+        "bm25_topk_single": _bm25(BM25_Q_SINGLE, 10),
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -821,6 +851,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_bool": osql.bm25_bool_sql(*BOOL_Q, 10),
         "bm25_bool_filter_only": osql.bm25_bool_sql("", BOOL_Q[1], BOOL_Q[2], 10),
         "bm25_bool_not_only": osql.bm25_bool_sql("", "", BOOL_Q[2], 10),
+        "bm25_filter_role": osql.bm25_bool_sql(
+            BOOL_Q[0], "", "", 10, meta_pred=META_PRED_SQL),
         "bm25_wand_quantized": osql.bm25_topk_sql(BM25_Q_MULTI, 10,
                                                   quantized=True),
         "bm25_topk_multi": osql.bm25_topk_sql(BM25_Q_MULTI, 10),

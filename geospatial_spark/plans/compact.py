@@ -82,6 +82,11 @@ def _make_docmap_writer(gdir_str: str, storage: str):
             "src_gen": d["src_gen"].to_numpy(dtype=object),
             "src_ord": d["src_ord"].to_numpy(dtype=np.int64),
         })
+        # metadata passthrough (docmap v2): role/ts_us survive merges
+        docmap["role"] = d["role"].to_numpy(dtype=object)
+        docmap["ts_us"] = pd.array(
+            pd.to_numeric(d["ts_us"], errors="coerce").to_numpy(
+                dtype="float64"), dtype="Int64")
         _write_parquet(docmap, gdir / name, storage)
         return pd.DataFrame([{
             "shard": shard, "docs": n,
@@ -414,15 +419,21 @@ def merge_generations(spark: SparkSession, index_root: str,
         # ---- phase A: merged docmaps ---------------------------------
         dmaps = None
         for g in gens:
-            part = (spark.read.parquet(
+            raw = spark.read.parquet(
                 *[f"{gdirs[g['id']]}/{docmap_files[(g['id'], int(s['shard']))]}"
                   for s in g["shards"]])
-                .select("doc_id", "dl",
-                        F.lit(g["id"]).alias("src_gen"),
-                        F.col("doc_ord").alias("src_ord")))
+            # docmap-v1 generations (pre role/ts_us) merge with nulls —
+            # the merged index then refuses metadata filters for them
+            if "role" not in raw.columns:
+                raw = raw.withColumn("role", F.lit(None).cast("string"))
+            if "ts_us" not in raw.columns:
+                raw = raw.withColumn("ts_us", F.lit(None).cast("long"))
+            part = raw.select("doc_id", "dl", "role", "ts_us",
+                              F.lit(g["id"]).alias("src_gen"),
+                              F.col("doc_ord").alias("src_ord"))
             dmaps = part if dmaps is None else dmaps.unionByName(part)
         keyed = dmaps.select(
-            "doc_id", "dl", "src_gen", "src_ord",
+            "doc_id", "dl", "role", "ts_us", "src_gen", "src_ord",
             F.expr(_CONV_EXPR).alias("conv"),
             F.substring_index("doc_id", ":", -1).cast("int").alias("turn"),
             shard_key.alias("shard_key"))

@@ -55,7 +55,8 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
     if qtype == "bool":
         return searcher.search_bool(req.get("should", ""),
                                     req.get("filter", ""),
-                                    req.get("must_not", ""), k)
+                                    req.get("must_not", ""), k,
+                                    meta=req.get("meta"))
     raise ValueError(f"unknown query type: {qtype!r}")
 
 
@@ -193,13 +194,23 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(400, {"error": f"bad json: {e}"})
         try:
             if self.path == "/search":
+                if not isinstance(req, dict):
+                    return self._reply(
+                        400, {"error": "/search body must be a JSON object"})
                 self._reply(200, {"hits": self.service.handle(req)})
             elif self.path == "/search_batch":
+                # shape-validate BEFORE dispatch: an object body would
+                # iterate its keys and 500 out of the handler thread
+                if not isinstance(req, list) or not all(
+                        isinstance(r, dict) for r in req):
+                    return self._reply(
+                        400, {"error": "/search_batch body must be a JSON "
+                                       "array of request objects"})
                 self._reply(200, {"results": [self.service.handle(r)
                                               for r in req]})
             else:
                 self._reply(404, {"error": f"no such path: {self.path}"})
-        except (KeyError, ValueError) as e:
+        except (KeyError, ValueError, TypeError, AttributeError) as e:
             self._reply(400, {"error": str(e)})
 
 

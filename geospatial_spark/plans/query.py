@@ -426,11 +426,24 @@ class IndexSearcher:
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
 
     def search_bool_df(self, should: str = "", filter_q: str = "",
-                       must_not: str = "", k: int = 10) -> DataFrame | None:
+                       must_not: str = "", k: int = 10,
+                       meta: dict | None = None) -> DataFrame | None:
         """Boolean query (operators/boolquery.py): scored should-OR
         (minimum_should_match=1 when should terms are given) restricted
         by unscored filter-AND and must_not-NOT clauses; with no should
-        clause every hit scores 0.0 (filter context)."""
+        clause every hit scores 0.0 (filter context).
+
+        meta: optional structured-metadata predicate over the docmap
+        side table (operators/metafilter.py — role equality, ts range,
+        conv_id prefix), the reference's mixed FILTER-clause analogue
+        (XYPointQueryVisitor.java:165-178). Resolved per shard to a
+        local-ordinal mask inside the kernel: no shuffle, no postings
+        read, scoring stats stay corpus-global (filter context does
+        not change idf)."""
+        from geospatial_spark.operators.metafilter import normalize_meta
+
+        meta = normalize_meta(meta)
+        self._check_meta_support(meta)
         norm = self.manifest.get("normalization") or {}
 
         def toks(text: str) -> list[str]:
@@ -439,10 +452,11 @@ class IndexSearcher:
         sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
         if self.n_docs == 0:
             return None
-        # pure-NOT / match-all: shards with ZERO matched segment rows
-        # still hold hits (every doc outside the must_not postings), so
-        # the kernel must run over a scaffold of ALL (gen, shard) pairs
-        # (driver metadata, bounded) instead of only the scanned groups
+        # pure-NOT / match-all / metadata-only: shards with ZERO matched
+        # segment rows still hold hits (every doc outside the must_not
+        # postings, or every mask-passing doc), so the kernel must run
+        # over a scaffold of ALL (gen, shard) pairs (driver metadata,
+        # bounded) instead of only the scanned groups
         pure_not = not sh and not fl
         df_global = self._df_for(sorted(set(sh + fl + mn)))
         if any(t not in df_global for t in fl):
@@ -473,15 +487,21 @@ class IndexSearcher:
             import pyarrow.parquet as pq
 
             from geospatial_spark.operators.boolquery import bool_match_shard
+            from geospatial_spark.operators.metafilter import (
+                meta_mask_from_docmap,
+            )
 
             gen, shard = str(key[0]), int(key[1])
             base = shard << ORD_SHARD_SHIFT
             rows_by_term = {rec["term"]: rec
                             for rec in pdf.to_dict("records")
                             if isinstance(rec.get("term"), str)}
+            amask = (meta_mask_from_docmap(
+                _P(gdirs[gen]) / dm_files[(gen, shard)], meta)
+                if meta is not None else None)
             local, scores = bool_match_shard(
                 sh, fl, mn, rows_by_term, shard_docs.get((gen, shard), 0),
-                base, df_global, n_docs, avgdl, kk)
+                base, df_global, n_docs, avgdl, kk, allowed_init=amask)
             if len(local) == 0:
                 return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
                                      "score": pd.Series([], dtype="float64")})
@@ -497,11 +517,40 @@ class IndexSearcher:
         return per_shard.orderBy(F.desc("score"), *merge_tie_break()).limit(kk)
 
     def search_bool(self, should: str = "", filter_q: str = "",
-                    must_not: str = "", k: int = 10) -> list[tuple[str, float]]:
-        df = self.search_bool_df(should, filter_q, must_not, k)
+                    must_not: str = "", k: int = 10,
+                    meta: dict | None = None) -> list[tuple[str, float]]:
+        df = self.search_bool_df(should, filter_q, must_not, k, meta=meta)
         if df is None:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
+    def _check_meta_support(self, meta: dict | None) -> None:
+        """Fail fast (driver-side, one parquet footer per generation)
+        when a metadata predicate targets docmap columns an old-format
+        index lacks — clearer than per-task executor errors."""
+        if meta is None:
+            return
+        from pathlib import Path as _P
+
+        from geospatial_spark.operators import metafilter as mf
+
+        need = set(mf.needed_cols(meta)) - {"doc_id"}
+        if not need:
+            return
+        import pyarrow.parquet as pq
+
+        for g in self.gens:
+            if not g["shards"]:
+                continue
+            sh = int(g["shards"][0]["shard"])
+            path = _P(self.gdirs[g["id"]]) / self.docmap_files[(g["id"], sh)]
+            names = set(pq.ParquetFile(path).schema_arrow.names)
+            missing = sorted(need - names)
+            if missing:
+                raise ValueError(
+                    f"generation {g['id']} docmap lacks metadata columns "
+                    f"{missing} — built before the docmap-v2 format; "
+                    "rebuild to serve metadata-filtered queries")
 
     def search_many(self, queries: dict[str, str], k: int = 10,
                     quantized: bool = False
@@ -640,10 +689,16 @@ class IndexSearcher:
                 p = {"type": typ, "terms": ts,
                      "slop": int(spec.get("slop", 0))}
             elif typ == "bool":
+                from geospatial_spark.operators.metafilter import (
+                    normalize_meta,
+                )
+
                 p = {"type": typ,
                      "should": toks_set(spec.get("should", "")),
                      "filter": toks_set(spec.get("filter", "")),
-                     "must_not": toks_set(spec.get("must_not", ""))}
+                     "must_not": toks_set(spec.get("must_not", "")),
+                     "meta": normalize_meta(spec.get("meta"))}
+                self._check_meta_support(p["meta"])
                 p["terms"] = sorted(set(p["should"] + p["filter"]
                                         + p["must_not"]))
             else:
@@ -672,8 +727,9 @@ class IndexSearcher:
                 live[qid] = p
         if not live:
             return out
-        # any pure-NOT bool in the batch forces the shard scaffold: its
-        # hits live in shards with zero matched segment rows
+        # any pure-NOT (or metadata-only) bool in the batch forces the
+        # shard scaffold: its hits live in shards with zero matched
+        # segment rows
         any_pure_not = any(p["type"] == "bool" and not p["should"]
                            and not p["filter"] for p in live.values())
 
@@ -739,10 +795,19 @@ class IndexSearcher:
                         p["terms"], p["slop"], rows_by_term, base,
                         df_global, n_docs, avgdl, kk)
                 else:
+                    amask = None
+                    if p.get("meta") is not None:
+                        from geospatial_spark.operators.metafilter import (
+                            meta_mask_from_docmap,
+                        )
+
+                        amask = meta_mask_from_docmap(
+                            _P(gdirs[gen]) / dm_files[(gen, shard)],
+                            p["meta"])
                     local, scores = bool_match_shard(
                         p["should"], p["filter"], p["must_not"],
                         rows_by_term, n_local, base, df_global,
-                        n_docs, avgdl, kk)
+                        n_docs, avgdl, kk, allowed_init=amask)
                 if len(local) == 0:
                     continue
                 if docmap_col is None:

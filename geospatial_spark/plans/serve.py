@@ -87,6 +87,8 @@ class LocalSearcher:
 
         self._term_cache: "OrderedDict[tuple, list]" = OrderedDict()
         self.term_cache_max = 2048
+        # (gen, shard, cols) → docmap metadata columns (metafilter path)
+        self._meta_col_cache: dict[tuple, object] = {}
         self._kernel_pool = None  # lazy ThreadPoolExecutor (see _pool)
         if preload_docmaps:
             import pyarrow.parquet as pq
@@ -504,15 +506,45 @@ class LocalSearcher:
         candidates.sort()
         return [(d, -neg) for neg, _, _, d in candidates[:k]]
 
+    def _meta_mask(self, gen_id: str, shard: int, meta: dict):
+        """Per-shard ordinal mask for a normalized metadata predicate;
+        the needed docmap columns are cached per (gen, shard) — frozen
+        generations make the cache sound, and the mask recompute per
+        query is a few numpy ops."""
+        import pyarrow.parquet as pq
+
+        from geospatial_spark.operators import metafilter as mf
+
+        cols = tuple(mf.needed_cols(meta))
+        key = (gen_id, shard, cols)
+        t = self._meta_col_cache.get(key)
+        if t is None:
+            path = self.gdirs[gen_id] / self.docmap_files[(gen_id, shard)]
+            pf = pq.ParquetFile(path)
+            have = set(pf.schema_arrow.names)
+            missing = [c for c in cols if c not in have]
+            if missing:
+                raise ValueError(
+                    f"index docmap lacks metadata columns {missing} — "
+                    "built before the docmap-v2 format; rebuild to serve "
+                    "metadata-filtered queries")
+            t = pf.read(columns=list(cols))
+            self._meta_col_cache[key] = t
+        return mf.meta_mask_table(t, meta)
+
     def search_bool(self, should: str = "", filter_q: str = "",
-                    must_not: str = "", k: int = 10
+                    must_not: str = "", k: int = 10,
+                    meta: dict | None = None
                     ) -> list[tuple[str, float]]:
         """Bool query on the serving path — same contract as
-        IndexSearcher.search_bool (positive clause required)."""
+        IndexSearcher.search_bool, including the metadata-filter
+        predicate (operators/metafilter.py)."""
         import pyarrow.parquet as pq
 
         from geospatial_spark.operators.boolquery import bool_match_shard
+        from geospatial_spark.operators.metafilter import normalize_meta
 
+        meta = normalize_meta(meta)
         norm = self.manifest.get("normalization") or {}
 
         def toks(text: str) -> list[str]:
@@ -550,10 +582,12 @@ class LocalSearcher:
                         by_shard.setdefault(shard, {})
             for shard, rows_by_term in by_shard.items():
                 base = shard << ORD_SHARD_SHIFT
+                amask = (self._meta_mask(gen_id, shard, meta)
+                         if meta is not None else None)
                 local, scores = bool_match_shard(
                     sh, fl, mn, rows_by_term,
                     self.shard_docs[(gen_id, shard)], base, df_global,
-                    self.n_docs, self.avgdl, k)
+                    self.n_docs, self.avgdl, k, allowed_init=amask)
                 if len(local) == 0:
                     continue
                 key = (gen_id, shard)

@@ -52,6 +52,8 @@ SIX = [
     {"type": "near", "q": "deploy spark", "slop": 3},
     {"type": "bool", "should": "deploy spark", "filter": "the"},
     {"type": "bool", "must_not": "deploy"},  # pure-NOT (match-all base)
+    # metadata-filtered scored search (docmap mask, metafilter.py)
+    {"type": "bool", "should": "the spark", "meta": {"role": "assistant"}},
 ]
 
 
@@ -88,6 +90,22 @@ def test_bad_requests(daemon):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(port, "/nothing")
     assert e.value.code == 404
+    # shape validation: object body on the batch path → 400, not a
+    # dropped connection from an AttributeError in the handler thread
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(port, "/search_batch", {"type": "match", "q": "x"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(port, "/search_batch", ["not-an-object"])
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(port, "/search", ["list-not-object"])
+    assert e.value.code == 400
+    # unknown meta key → 400 (normalize_meta ValueError)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(port, "/search", {"type": "bool", "should": "the",
+                                "meta": {"bogus": 1}})
+    assert e.value.code == 400
 
 
 def test_warm_latency_over_socket(daemon):
