@@ -28,6 +28,15 @@ from geospatial_spark.operators.analysis import norm_text_col
 SHINGLE_K = 3
 MINHASH_SEEDS = 16
 LSH_BANDS = 4  # 4 bands × 4 rows
+# per-(band, bucket) contribution cap for candidate generation: a
+# degenerate bucket (web boilerplate: 10^5-10^7 same-signature docs is
+# GUARANTEED at crawl scale) would otherwise materialize O(b²) pairs in
+# one skewed task. With exact dups pre-collapsed (one representative
+# per distinct text) a bucket larger than this cap means a pathological
+# near-dup cluster; the cap bounds the join to O(cap²) per bucket and
+# the truncation is observable via lsh_bucket_stats. Far above anything
+# a non-degenerate corpus produces per 2^64-space band hash.
+LSH_BUCKET_CAP = 1024
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -74,7 +83,8 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
-                       n_seeds: int = MINHASH_SEEDS) -> DataFrame:
+                       n_seeds: int = MINHASH_SEEDS,
+                       collapse_exact: bool = True) -> DataFrame:
     """Per-doc MinHash signature: sig_i = lexicographic min of
     md5(i ':' shingle) — string-min is portable across engines.
     Returns (doc_id, sig_0..sig_{n-1}); docs with no shingles dropped.
@@ -83,13 +93,30 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
     hash-aggregate computing all n_seeds minima — computing the mins as
     array_min(transform(...)) projections instead would inline (and
     recompute) the shingle expression once per seed, a 16× blowup
-    Catalyst does not dedupe across interpreted higher-order lambdas."""
-    ex = shingle_rows(df, id_col, text_col)
+    Catalyst does not dedupe across interpreted higher-order lambdas.
+
+    collapse_exact (default): a signature is a pure function of the
+    text, so shingle + aggregate once per DISTINCT text (keyed by
+    md5(text)) and re-attach per doc with one join — at crawl scale
+    boilerplate dup clusters make distinct texts a small fraction of
+    rows, and the expensive shingle explode never runs twice for the
+    same bytes. Output is row-for-row identical to the uncollapsed
+    form."""
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"sig_{i}")
         for i in range(n_seeds)
     ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    if not collapse_exact:
+        ex = shingle_rows(df, id_col, text_col)
+        return ex.groupBy("doc_id").agg(*aggs)
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    texts = (df.select(fp.alias("doc_id"), F.col(text_col))
+             .dropDuplicates(["doc_id"]))
+    sig_fp = (shingle_rows(texts, "doc_id", text_col)
+              .groupBy("doc_id").agg(*aggs)
+              .withColumnRenamed("doc_id", "_fp"))
+    return (df.select(F.col(id_col).alias("doc_id"), fp.alias("_fp"))
+            .join(sig_fp, "_fp").drop("_fp"))
 
 
 def lsh_buckets(sigs: DataFrame, n_bands: int = LSH_BANDS,
@@ -110,9 +137,51 @@ def lsh_buckets(sigs: DataFrame, n_bands: int = LSH_BANDS,
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Docs sharing ≥1 LSH band bucket: (a, b, n_bands) with a < b."""
-    bk = lsh_buckets(sigs)
+def _cap_buckets(bk: DataFrame, bucket_cap: int | None,
+                 keys: list[str], order_col: str = "doc_id") -> DataFrame:
+    """Keep at most bucket_cap members per bucket (deterministic: the
+    smallest ids survive). The window sorts a degenerate bucket in
+    O(b log b) in one task — instead of the O(b²) pair materialization
+    the uncapped self-join would do there."""
+    if bucket_cap is None:
+        return bk
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (bk.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(bucket_cap)).drop("_rn"))
+
+
+def lsh_bucket_stats(sigs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP,
+                     n_bands: int = LSH_BANDS,
+                     n_seeds: int = MINHASH_SEEDS) -> dict:
+    """Truncation observability for the capped candidate join: returns
+    {n_buckets, n_capped_buckets, dropped_members, max_bucket}. Run it
+    alongside a capped discovery pass when coverage accounting matters
+    (the no-silent-caps rule)."""
+    counts = (lsh_buckets(sigs, n_bands, n_seeds)
+              .groupBy("band", "bucket")
+              .agg(F.count(F.lit(1)).alias("n")))
+    row = counts.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("n") > bucket_cap).cast("long")).alias("n_capped"),
+        F.sum(F.greatest(F.col("n") - bucket_cap, F.lit(0)))
+        .alias("dropped"),
+        F.max("n").alias("max_bucket"),
+    ).collect()[0]
+    return {"n_buckets": int(row["n_buckets"] or 0),
+            "n_capped_buckets": int(row["n_capped"] or 0),
+            "dropped_members": int(row["dropped"] or 0),
+            "max_bucket": int(row["max_bucket"] or 0),
+            "bucket_cap": int(bucket_cap)}
+
+
+def lsh_candidate_pairs(sigs: DataFrame,
+                        bucket_cap: int | None = LSH_BUCKET_CAP) -> DataFrame:
+    """Docs sharing ≥1 LSH band bucket: (a, b, n_bands) with a < b.
+
+    bucket_cap bounds each (band, bucket)'s contribution to the
+    self-join (see LSH_BUCKET_CAP; lsh_bucket_stats reports what a cap
+    dropped). None disables."""
+    bk = _cap_buckets(lsh_buckets(sigs), bucket_cap, ["band", "bucket"])
     l = bk.alias("l")
     r = bk.alias("r")
     return (
@@ -158,15 +227,76 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def lsh_verified_dups(df: DataFrame, id_col: str, text_col: str = "text",
-                      threshold: float = 0.8, round_dp: int = 4) -> DataFrame:
+                      threshold: float = 0.8, round_dp: int = 4,
+                      collapse_exact: bool = True,
+                      bucket_cap: int | None = LSH_BUCKET_CAP) -> DataFrame:
     """The full near-dup pipeline as it runs at scale: MinHash LSH
     candidate generation (never the O(n²) pair space) → exact Jaccard
     verification restricted to the candidates. Returns (a, b, jaccard)
-    with jaccard ≥ threshold."""
-    cand = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col)) \
-        .select("a", "b")
-    return ngram_jaccard_pairs(df, id_col, text_col, threshold, round_dp,
-                               candidates=cand)
+    with jaccard ≥ threshold.
+
+    collapse_exact (default): discovery and verification run over ONE
+    representative per distinct text — the crawl-scale skew killer: a
+    10k-member boilerplate cluster contributes one bucket row instead
+    of 10k identical-signature rows. The verified rep pairs then expand
+    back to member pairs EXACTLY (Jaccard is a function of the text:
+    cross-group pairs inherit the rep pair's value; within-group pairs
+    of any group whose text has ≥1 shingle are identical texts, Jaccard
+    exactly 1.0 ≥ any threshold ≤ 1). Output is row-for-row identical
+    to the uncollapsed pipeline; the expansion is inherent to the PAIR
+    output contract — group-level consumers (dup_groups) never pay it.
+    """
+    if not collapse_exact:
+        cand = lsh_candidate_pairs(
+            minhash_signatures(df, id_col, text_col, collapse_exact=False),
+            bucket_cap=bucket_cap).select("a", "b")
+        return ngram_jaccard_pairs(df, id_col, text_col, threshold,
+                                   round_dp, candidates=cand)
+
+    rep_pairs, groups = _collapsed_rep_pairs(df, id_col, text_col,
+                                             threshold, round_dp,
+                                             bucket_cap)
+    ga = groups.select(F.col("_rep").alias("a"), F.col("doc_id").alias("ma"))
+    gb = groups.select(F.col("_rep").alias("b"), F.col("doc_id").alias("mb"))
+    cross = (rep_pairs.join(ga, "a").join(gb, "b")
+             .select(F.least("ma", "mb").alias("a"),
+                     F.greatest("ma", "mb").alias("b"), "jaccard"))
+    within = (groups.alias("l")
+              .join(groups.alias("r"),
+                    (F.col("l._rep") == F.col("r._rep"))
+                    & (F.col("l.doc_id") < F.col("r.doc_id")))
+              .select(F.col("l.doc_id").alias("a"),
+                      F.col("r.doc_id").alias("b"),
+                      F.lit(1.0).alias("jaccard")))
+    return cross.unionByName(within)
+
+
+def _collapsed_rep_pairs(df: DataFrame, id_col: str, text_col: str,
+                         threshold: float, round_dp: int,
+                         bucket_cap: int | None):
+    """Shared collapse core: verified near-dup pairs over one
+    representative per DISTINCT text, plus the (doc_id, _rep) group
+    membership table restricted to shingle-bearing texts (a no-shingle
+    doc never enters the signature table, so the uncollapsed pipeline
+    never pairs it — not even with its exact duplicates)."""
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    ids = df.select(F.col(id_col).alias("doc_id"), fp.alias("_fp"))
+    reps = ids.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    rep_docs = (df.select(F.col(id_col).alias("doc_id"),
+                          F.col(text_col).alias(text_col), fp.alias("_fp"))
+                .join(reps.select("doc_id"), "doc_id"))
+
+    sigs = minhash_signatures(rep_docs, "doc_id", text_col,
+                              collapse_exact=False)
+    cand = lsh_candidate_pairs(sigs, bucket_cap=bucket_cap).select("a", "b")
+    rep_pairs = ngram_jaccard_pairs(rep_docs, "doc_id", text_col,
+                                    threshold, round_dp, candidates=cand)
+    shingled = sigs.select(F.col("doc_id").alias("_rep"))
+    groups = (ids.join(rep_docs.select(F.col("doc_id").alias("_rep"),
+                                       "_fp"), "_fp")
+              .join(shingled, "_rep")
+              .select("doc_id", "_rep"))
+    return rep_pairs, groups
 
 
 def dup_groups(df: DataFrame, id_col: str, text_col: str = "text",
@@ -185,12 +315,26 @@ def dup_groups(df: DataFrame, id_col: str, text_col: str = "text",
     via min-label propagation: label(n) ← min(label(n), labels of
     neighbors) until fixpoint, O(component diameter) rounds of small
     joins; near-dup chains are shallow in practice. The corpus-sized
-    side is touched once, by the final left join."""
+    side is touched once, by the final left join.
+
+    Default discovery (pairs=None) runs the exact-dup-collapsed LSH
+    pipeline and feeds the components LINEAR-size edges: verified
+    representative pairs plus member→representative STAR edges — a
+    10k-member boilerplate cluster contributes 9 999 edges, not the
+    C(10k, 2) pair expansion (which only the pair-output contract of
+    lsh_verified_dups ever materializes). Components, canonical ids
+    and group sizes are identical: star edges preserve connectivity
+    and the representative is its group's minimum id."""
     from pyspark.sql import functions as F
 
     if pairs is None:
-        pairs = lsh_verified_dups(df, id_col, text_col, threshold) \
-            .select("a", "b")
+        rep_pairs, groups = _collapsed_rep_pairs(df, id_col, text_col,
+                                                 threshold, 4,
+                                                 LSH_BUCKET_CAP)
+        star = (groups.where(F.col("doc_id") != F.col("_rep"))
+                .select(F.col("doc_id").alias("a"),
+                        F.col("_rep").alias("b")))
+        pairs = rep_pairs.select("a", "b").unionByName(star)
     edges = (pairs.select(F.col("a").alias("s"), F.col("b").alias("d"))
              .unionByName(pairs.select(F.col("b").alias("s"),
                                        F.col("a").alias("d")))

@@ -18,6 +18,13 @@ from pyspark.sql import functions as F
 
 ROUND_DP = 4
 ORDER_DP = 6
+# per-bucket contribution cap for the LSH dup self-join (the embedding
+# analogue of dedup.LSH_BUCKET_CAP): adaptive_n_planes keeps buckets
+# worker-sized IN EXPECTATION, this bounds the pathological bucket a
+# boilerplate embedding cluster still produces. Far above any bucket a
+# healthy corpus yields at its plane count; truncation observable via
+# emb_bucket_stats.
+EMB_BUCKET_CAP = 4096
 
 
 def _dot(a, b):
@@ -120,7 +127,10 @@ def lsh_verified_cosine_dups(df: DataFrame, threshold: float = 0.4,
                              n_planes: int = 6, n_tables: int = 3,
                              seed: int = 42, id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             dim: int = 64) -> DataFrame:
+                             dim: int = 64,
+                             bucket_cap: int | None = None) -> DataFrame:
+    if bucket_cap is None:
+        bucket_cap = EMB_BUCKET_CAP
     """Embedding near-dup pipeline AS IT RUNS AT SCALE: hyperplane-LSH
     candidate generation (pairs sharing a bucket in ANY of n_tables
     sign-LSH tables — one shuffle per table keyed on bucket, never the
@@ -132,11 +142,20 @@ def lsh_verified_cosine_dups(df: DataFrame, threshold: float = 0.4,
     raise it with corpus size so buckets stay worker-sized); n_tables
     controls recall. The all-pairs chunked-GEMM form (cosine_dup_pairs)
     is the small-input verify helper, not the discovery path."""
+    from geospatial_spark.operators.dedup import _cap_buckets
+
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     cands = None
     for t in range(n_tables):
-        bk = hyperplane_lsh_buckets(df, n_planes, seed + 1000 * t,
-                                    id_col, vec_col, dim)
+        # per-bucket contribution cap (EMB_BUCKET_CAP): bounds the
+        # self-join of a degenerate bucket — e.g. a boilerplate cluster
+        # of near-identical embeddings all sharing every sign bit — to
+        # O(cap²) instead of O(b²); truncation observable via
+        # emb_bucket_stats
+        bk = _cap_buckets(
+            hyperplane_lsh_buckets(df, n_planes, seed + 1000 * t,
+                                   id_col, vec_col, dim),
+            bucket_cap, ["bucket"], order_col="vec_id")
         l = bk.alias("l")
         r = bk.alias("r")
         pair = (
@@ -156,6 +175,33 @@ def lsh_verified_cosine_dups(df: DataFrame, threshold: float = 0.4,
     )
     return (cos.where(F.col("raw") >= threshold)
             .select("a", "b", F.round("raw", ROUND_DP).alias("cos")))
+
+
+def emb_bucket_stats(df: DataFrame, n_planes: int = 6, n_tables: int = 3,
+                     seed: int = 42, bucket_cap: int = EMB_BUCKET_CAP,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dim: int = 64) -> dict:
+    """Truncation observability for the capped embedding-LSH dup join
+    (the no-silent-caps rule): per-table bucket census → {n_buckets,
+    n_capped_buckets, dropped_members, max_bucket}."""
+    counts = None
+    for t in range(n_tables):
+        bk = hyperplane_lsh_buckets(df, n_planes, seed + 1000 * t,
+                                    id_col, vec_col, dim)
+        c = (bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("table", F.lit(t)))
+        counts = c if counts is None else counts.unionByName(c)
+    row = counts.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("n") > bucket_cap).cast("long")).alias("n_capped"),
+        F.sum(F.greatest(F.col("n") - bucket_cap, F.lit(0))).alias("dropped"),
+        F.max("n").alias("max_bucket"),
+    ).collect()[0]
+    return {"n_buckets": int(row["n_buckets"] or 0),
+            "n_capped_buckets": int(row["n_capped"] or 0),
+            "dropped_members": int(row["dropped"] or 0),
+            "max_bucket": int(row["max_bucket"] or 0),
+            "bucket_cap": int(bucket_cap)}
 
 
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.98,

@@ -42,7 +42,9 @@ def _adaptive_overfetch(spark: SparkSession, fetch, k: int, n_docs: int,
     over = 50
     while True:
         df = fetch(k + over)
-        rows = df.collect()
+        # bounded driver fetch: k+over rows, for tie-boundary DETECTION
+        # only — never the resolution set
+        rows = df.take(k + over)
         if len(rows) <= k or len(rows) < k + over or k + over >= n_docs:
             break
         r_k = round(float(rows[k - 1][score_col]), ORDER_DP)
@@ -51,11 +53,14 @@ def _adaptive_overfetch(spark: SparkSession, fetch, k: int, n_docs: int,
             break
         if r_last == 0.0:
             # filter-context results tie at exactly 0.0 corpus-wide:
-            # escalating ×10 re-runs the query ~4 times before covering
-            # the tie group — fetch everything in ONE more pass instead
-            over = max(n_docs, 1)
-        else:
-            over *= 10
+            # the tie group is the whole candidate set, so resolve it
+            # DISTRIBUTED — return the full candidate frame UNCOLLECTED
+            # and let the caller's rounded re-rank + limit(k) pick the
+            # winners executor-side. A collect here would pull O(corpus)
+            # rows onto the driver (OOM at 100×); detection above needed
+            # only k+50 rows.
+            return fetch(n_docs)
+        over *= 10
     if not rows:
         return df.limit(0)
     return spark.createDataFrame(rows, schema=df.schema)
