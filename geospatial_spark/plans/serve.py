@@ -33,8 +33,16 @@ class LocalSearcher:
     """Driver/serving-process searcher over a published index. No Spark
     session required."""
 
+    # merged-vocabulary size past which the serving dictionary is NOT
+    # loaded into one python dict (same contract as
+    # IndexSearcher.DICT_CACHE_MAX): df lookups fall back to per-query
+    # term-filtered dataset reads, and only the (small by construction)
+    # impact-copied term set is materialized eagerly
+    DICT_CACHE_MAX = 2_000_000
+
     def __init__(self, index_root: str, max_age_seconds: float | None = None,
-                 preload_docmaps: bool = False):
+                 preload_docmaps: bool = False,
+                 dict_cache_max: int | None = None):
         self.root = index_root
         m = lc.read_manifest(index_root)
         if not m or m.get("state") != lc.STATE_AVAILABLE:
@@ -77,6 +85,7 @@ class LocalSearcher:
                 self._shard_file_maps[g["id"]][sh] = gdir / (
                     s.get("segment_file") or lc.segment_file(sh))
         self._dict: dict[str, int] | None = None
+        self._dict_loaded = False
         self._imp_terms: dict[str, set] = {}  # gen -> terms with impact copies
         self._seg_ds = None  # lazy pyarrow dataset over all generations
         self._readers: dict[str, _SegmentReader] = {}
@@ -87,6 +96,20 @@ class LocalSearcher:
 
         self._term_cache: "OrderedDict[tuple, list]" = OrderedDict()
         self.term_cache_max = 2048
+        # BYTE-accounted bound (the binding one): entry count alone lets
+        # a few thousand saturated-term rows hold multi-MB impact/doc
+        # streams each — the one unbounded-memory path in the serving
+        # tier. Sizes re-estimate on HIT because kernels legally fatten
+        # cached rows in place (heavy-stream completion fetches, bulk
+        # (docs, contribution) memos) after the fill-time estimate.
+        self.term_cache_max_bytes = 256 << 20
+        self._term_cache_sizes: dict[tuple, int] = {}
+        self._term_cache_total = 0
+        if dict_cache_max is not None:
+            self.DICT_CACHE_MAX = int(dict_cache_max)
+        self._dict_small = (
+            sum(int(g.get("n_terms", 0)) for g in self.gens)
+            <= self.DICT_CACHE_MAX)
         # (gen, shard, cols) → docmap metadata columns (metafilter path)
         self._meta_col_cache: dict[tuple, object] = {}
         self._kernel_pool = None  # lazy ThreadPoolExecutor (see _pool)
@@ -106,33 +129,65 @@ class LocalSearcher:
 
     # -- dictionary (loaded once; the frozen index makes this sound) ---
 
-    def _load_dict(self) -> None:
+    def _dict_datasets(self):
         import pyarrow.dataset as ds
 
-        if self._dict is not None:
-            return
-        self._dict = {}
         for g in self.gens:
             base = self.gdirs[g["id"]] / "dictionary"
             names = g.get("dictionary_files")
             src = [str(base / n) for n in names] if names else str(base)
-            d = ds.dataset(src, format="parquet")
-            cols = ["term", "df"]
+            yield g["id"], ds.dataset(src, format="parquet")
+
+    def _load_dict(self) -> None:
+        """Small-vocabulary path: full merged dictionary in one python
+        dict. Past DICT_CACHE_MAX terms, only the impact-copied term
+        set (small by construction — the per-shard hot threshold) is
+        materialized; df lookups go per-query through _df_for's
+        term-filtered dataset read instead, so serving memory stays
+        O(hot terms), not O(vocabulary)."""
+        if self._dict_loaded:
+            return
+        self._dict_loaded = True
+        if self._dict_small:
+            self._dict = {}
+        import pyarrow.compute as pc
+
+        for gen_id, d in self._dict_datasets():
             has_imp = "has_imp" in d.schema.names
-            if has_imp:
-                cols.append("has_imp")
-            t = d.to_table(columns=cols)
-            imp_terms = self._imp_terms.setdefault(g["id"], set())
-            imps = t.column("has_imp").to_pylist() if has_imp else None
-            for i, (term, df) in enumerate(zip(t.column("term").to_pylist(),
-                                               t.column("df").to_pylist())):
-                self._dict[term] = self._dict.get(term, 0) + int(df)
-                if imps is not None and imps[i]:
-                    imp_terms.add(term)
+            imp_terms = self._imp_terms.setdefault(gen_id, set())
+            if self._dict is not None:
+                cols = ["term", "df"] + (["has_imp"] if has_imp else [])
+                t = d.to_table(columns=cols)
+                imps = t.column("has_imp").to_pylist() if has_imp else None
+                for i, (term, df) in enumerate(
+                        zip(t.column("term").to_pylist(),
+                            t.column("df").to_pylist())):
+                    self._dict[term] = self._dict.get(term, 0) + int(df)
+                    if imps is not None and imps[i]:
+                        imp_terms.add(term)
+            elif has_imp:
+                # has_imp is stored as an int flag column
+                t = d.to_table(columns=["term"],
+                               filter=pc.field("has_imp") != 0)
+                imp_terms.update(t.column("term").to_pylist())
 
     def _df_for(self, terms: list[str]) -> dict[str, int]:
         self._load_dict()
-        return {t: self._dict[t] for t in terms if t in self._dict}
+        if self._dict is not None:
+            return {t: self._dict[t] for t in terms if t in self._dict}
+        # large-vocabulary fallback: per-query term-filtered dataset
+        # read over (term, df) only — the same size-tiered contract as
+        # the Spark searcher (plans/query.py DICT_CACHE_MAX)
+        import pyarrow.compute as pc
+
+        out: dict[str, int] = {}
+        for _gen_id, d in self._dict_datasets():
+            t = d.to_table(columns=["term", "df"],
+                           filter=pc.field("term").isin(terms))
+            for term, df in zip(t.column("term").to_pylist(),
+                                t.column("df").to_pylist()):
+                out[term] = out.get(term, 0) + int(df)
+        return out
 
     def _imp_for(self, gen_id: str) -> set:
         """Terms holding an impact-ordered copy in this generation — the
@@ -157,18 +212,46 @@ class LocalSearcher:
             self._seg_ds = parts
         return self._seg_ds
 
+    def _account(self, key: tuple, rows: list) -> None:
+        """(Re-)record one entry's byte size in the cache accounting."""
+        sz = _entry_bytes(rows)
+        self._term_cache_total += sz - self._term_cache_sizes.get(key, 0)
+        self._term_cache_sizes[key] = sz
+
+    def _evict(self, protect: set) -> None:
+        """Evict oldest entries past either bound (bytes are the
+        binding bound for saturated terms; the entry cap guards the
+        many-tiny-rows regime). Entries just handed to the caller are
+        protected — they are live references this query."""
+        while ((self._term_cache_total > self.term_cache_max_bytes
+                or len(self._term_cache) > self.term_cache_max)
+               and len(self._term_cache) > len(protect)):
+            for key in self._term_cache:
+                if key not in protect:
+                    break
+            else:
+                return
+            self._term_cache.pop(key)
+            self._term_cache_total -= self._term_cache_sizes.pop(key, 0)
+
     def _cached_rows(self, gen_id: str, reader: "_SegmentReader",
                      terms: list[str], cols: list[str],
                      klass: str) -> list[dict]:
-        """Term rows through the LRU (misses read + pythonize once)."""
+        """Term rows through the LRU (misses read + pythonize once).
+        Byte-accounted: hit entries re-measure (kernels fatten cached
+        rows in place), then eviction trims to the byte budget."""
         rows: list[dict] = []
         miss = []
+        touched: set = set()
         for t in terms:
-            got = self._term_cache.get((gen_id, t, klass))
+            key = (gen_id, t, klass)
+            got = self._term_cache.get(key)
             if got is None:
                 miss.append(t)
             else:
-                self._term_cache.move_to_end((gen_id, t, klass))
+                self._term_cache.move_to_end(key)
+                self._account(key, got)  # re-measure: rows mutate in place
+                touched.add(key)
                 rows.extend(got)
         if miss:
             fetched = reader.read_terms(miss, cols)
@@ -177,10 +260,12 @@ class LocalSearcher:
                 _pythonize_streams(r)
                 by_term[r["term"]].append(r)
             for t, trows in by_term.items():
-                self._term_cache[(gen_id, t, klass)] = trows
+                key = (gen_id, t, klass)
+                self._term_cache[key] = trows
+                self._account(key, trows)
+                touched.add(key)
                 rows.extend(trows)
-            while len(self._term_cache) > self.term_cache_max:
-                self._term_cache.popitem(last=False)
+        self._evict(touched)
         return rows
 
     def _light_cols(self, names) -> list[str]:
@@ -700,6 +785,33 @@ class _SegmentReader:
             return _pythonize_streams(rows[0])
 
         return fetch
+
+
+def _cell_bytes(v) -> int:
+    """Approximate retained bytes of one row cell: exact for the big
+    things (numpy buffers, bytes, python block lists, pyarrow-backed
+    list scalars via Array.nbytes), flat floor for scalars/None."""
+    if v is None:
+        return 8
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return len(v)
+    if isinstance(v, np.ndarray):
+        return int(v.nbytes)
+    if isinstance(v, (list, tuple)):
+        return 64 + sum(_cell_bytes(x) for x in v)
+    vals = getattr(v, "values", None)  # pyarrow ListScalar
+    nb = getattr(vals, "nbytes", None)
+    if nb is not None:
+        return int(nb)
+    return 64
+
+
+def _entry_bytes(rows: list[dict]) -> int:
+    total = 512  # entry overhead floor
+    for r in rows:
+        for v in r.values():
+            total += _cell_bytes(v)
+    return total
 
 
 _IMPACT_STREAM_COLS = ("imp_head_doc_blocks", "imp_head_tf_blocks",

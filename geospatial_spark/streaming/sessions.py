@@ -67,24 +67,64 @@ def _make_fn(gap_us: int):
             ts.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
         ts.sort()
 
+        closed = []
         if state.exists:
+            # merge a later micro-batch into the open session summary.
+            # In-watermark stragglers BEFORE the open start are real
+            # (batch parity): sessionize them among themselves, bridge
+            # the latest straggler run into the open session when it is
+            # within gap of start (start moves back, matching the batch
+            # operator), and close the rest as their own earlier
+            # sessions. One summary-state limitation stands documented:
+            # events INSIDE [start, last] merge by count — the summary
+            # cannot re-split a span it has already compressed.
             start, last, n = state.get
+            pre = [t for t in ts if t < start]
+            n += sum(1 for t in ts if start <= t <= last)
+            post = [t for t in ts if t > last]
+            if pre:
+                subs = []
+                s0, l0, c0 = pre[0], pre[0], 1
+                for t in pre[1:]:
+                    if t - l0 > gap_us:
+                        subs.append((s0, l0, c0))
+                        s0, l0, c0 = t, t, 1
+                    else:
+                        l0, c0 = t, c0 + 1
+                if start - l0 <= gap_us:
+                    # latest straggler run bridges into the open session
+                    start, n = s0, n + c0
+                else:
+                    subs.append((s0, l0, c0))
+                closed.extend(subs)
+            for t in post:
+                if t - last > gap_us:
+                    closed.append((start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
         else:
             start = last = None
             n = 0
-        closed = []
-        for t in ts:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_us:
-                closed.append((start, last, n))
-                start, last, n = t, t, 1
-            else:
-                last = max(last, t)
-                n += 1
-        state.update((start, last, n))
-        # flush the open session when event time passes last + gap
-        state.setTimeoutTimestamp((last + gap_us) // 1000)
+            for t in ts:
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_us:
+                    closed.append((start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+        # flush the open session when event time passes last + gap; if
+        # the watermark already passed the deadline (stragglers moved no
+        # event time forward), close NOW — a timeout in the past would
+        # be rejected by the state store
+        deadline_ms = (last + gap_us) // 1000
+        if deadline_ms <= state.getCurrentWatermarkMs():
+            closed.append((start, last, n))
+            state.remove()
+        else:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(deadline_ms)
         if closed:
             yield to_df(user, closed)
 

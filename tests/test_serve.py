@@ -162,3 +162,49 @@ def test_serving_near_and_bool_parity(spark, small_transcripts, small_oracle,
         assert [d for d, _ in a] == [d for d, _ in b], (should, flt, mn)
         for (_, sa), (_, sb) in zip(a, b):
             assert math.isclose(sa, sb, rel_tol=1e-12)
+
+
+def test_term_cache_byte_budget(serve_index):
+    """Oversized synthetic entries evict at the byte budget: the cache
+    is bounded by summed cell bytes, not entry count."""
+    import numpy as np
+
+    from geospatial_spark.plans.serve import LocalSearcher, _entry_bytes
+
+    s = LocalSearcher(serve_index)
+    s.search("the spark", 5)  # warm normally
+    s.term_cache_max_bytes = 4 << 20  # 4 MiB budget
+    big = [{"term": f"zz{i}", "shard": 0,
+            "blob": np.zeros(1 << 20, dtype=np.uint8)} for i in range(12)]
+    for i, r in enumerate(big):
+        key = ("g0001", f"zz{i}", "c")
+        s._term_cache[key] = [r]
+        s._account(key, [r])
+    s._evict(set())
+    assert s._term_cache_total <= s.term_cache_max_bytes
+    # the 1 MiB rows can coexist at most 4-at-a-time under 4 MiB
+    n_big = sum(1 for k in s._term_cache if str(k[1]).startswith("zz"))
+    assert n_big <= 4
+    # accounting invariant: total equals the sum of recorded sizes
+    assert s._term_cache_total == sum(s._term_cache_sizes.values())
+    assert _entry_bytes([big[0]]) >= 1 << 20
+    # and queries still work after eviction
+    assert s.search("the spark", 5)
+
+
+def test_tiered_dictionary_fallback(serve_index):
+    """Past DICT_CACHE_MAX the full-vocab dict is never materialized;
+    df lookups go through the term-filtered dataset read and results
+    stay identical to the eager path."""
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    eager = LocalSearcher(serve_index)
+    lazy = LocalSearcher(serve_index, dict_cache_max=1)  # force fallback
+    for q in ["the spark", "deploy job", "zzz-not-in-corpus"]:
+        a, b = eager.search(q, 10), lazy.search(q, 10)
+        assert [(d, round(sc, 9)) for d, sc in a] == \
+            [(d, round(sc, 9)) for d, sc in b], q
+    assert lazy._dict is None  # the full vocab was never materialized
+    assert eager._dict is not None
+    # hot-term warm-up still works off the filtered has_imp read
+    assert lazy.warm_hot_terms() == eager.warm_hot_terms()

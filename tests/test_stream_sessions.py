@@ -119,3 +119,54 @@ def test_stream_sessions_state_survives_batches(spark, tmp_path):
                 in [(u, s, e, n) for u, s, e, n in got])
     finally:
         q.stop()
+
+
+def test_stream_sessions_out_of_order_stragglers(spark, tmp_path):
+    """In-watermark events arriving in a LATER batch that precede the
+    open session's start: within-gap stragglers move session_start back
+    (batch parity); a straggler more than gap before start closes as
+    its own earlier session."""
+    base = pd.Timestamp("2026-03-01 10:00:00")
+    src = tmp_path / "ev"
+    src.mkdir()
+    ck = tmp_path / "ck"
+
+    def drop(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(src / name, index=False)
+
+    drop("b1.parquet", [("u1", base), ("u1", base + pd.Timedelta(minutes=10)),
+                        ("u2", base)])
+
+    from geospatial_spark.streaming.sessions import sessionize_stream
+
+    stream = spark.readStream.schema("user_id string, ts timestamp") \
+        .parquet(str(src))
+    q = (sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+         .writeStream.format("memory").queryName("sess3")
+         .outputMode("append")
+         .option("checkpointLocation", str(ck))
+         .start())
+    try:
+        q.processAllAvailable()
+        # stragglers (both above the 2h watermark): u1 bridges, u2 splits
+        drop("b2.parquet", [("u1", base - pd.Timedelta(minutes=10)),
+                            ("u2", base - pd.Timedelta(minutes=90))])
+        q.processAllAvailable()
+        drop("b3.parquet", [("zz", base + pd.Timedelta(days=7))])
+        q.processAllAvailable()
+        got = sorted(
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"])
+            for r in spark.sql("select * from sess3").collect()
+            if r["user_id"] != "zz")
+        assert got == [
+            ("u1", base - pd.Timedelta(minutes=10),
+             base + pd.Timedelta(minutes=10), 3),
+            ("u2", base - pd.Timedelta(minutes=90),
+             base - pd.Timedelta(minutes=90), 1),
+            ("u2", base, base, 1),
+        ]
+    finally:
+        q.stop()
