@@ -653,6 +653,19 @@ SELECT a, b, round(raw, {ROUND_DP}) AS cos FROM pairs WHERE raw >= {threshold}
 
 # ---------- relational / reference-op analogues ----------
 
+def range_lookup_sql(tiers: list[tuple[float, float, str]]) -> str:
+    """Broadcast containment-lookup oracle (the CIDR-lookup analogue,
+    operators/enrich.range_lookup): each customer's acctbal resolved to
+    the [lo, hi) tier containing it; misses keep NULL."""
+    vals = ", ".join(f"({lo!r}, {hi!r}, '{t}')" for lo, hi, t in tiers)
+    return f"""
+WITH dim(lo, hi, tier) AS (VALUES {vals})
+SELECT c.c_custkey AS c_custkey, d.tier AS tier
+FROM customer c
+LEFT JOIN dim d ON c.c_acctbal >= d.lo AND c.c_acctbal < d.hi
+""".strip()
+
+
 def enrich_region_stats_sql() -> str:
     """ip2geo enrichment-join analogue over the star schema."""
     return f"""

@@ -352,6 +352,20 @@ BM25_Q_SINGLE = "spark"
 BM25_Q_MISSING = "qqqqzzz"
 POSTING_TERMS = ["spark", "window", "vector"]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+# [lo, hi) acctbal tiers for the containment-lookup row; the gap below
+# 0 and above 9000 exercises the left-join miss path
+RANGE_TIERS = [(0.0, 1000.0, "low"), (1000.0, 5000.0, "mid"),
+               (5000.0, 9000.0, "high")]
+
+
+def _range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geospatial_spark.operators.enrich import range_lookup
+
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey", "c_acctbal"))
+    dim = spark.createDataFrame(RANGE_TIERS, "lo double, hi double, tier string")
+    return (range_lookup(cust, dim, "c_acctbal")
+            .select("c_custkey", "tier"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,6 +853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # subsumed by bm25_topk_multi (same plan) and bm25_wand_single
         # (same query through the index path)
         "bm25_topk_single": _bm25(BM25_Q_SINGLE, 10),
+        # broadcast containment lookup (the literal CIDR-join analogue)
+        "range_lookup_tier": _range_lookup,
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -886,6 +902,7 @@ def oracle_sql() -> dict[str, str]:
                                                        id_max=PAIRWISE_SUBSET),
         "embed_lsh_verified_dups": osql.embed_lsh_verified_sql(threshold=0.4),
         # ann_topk_lsh: intentionally no oracle (approximate op)
+        "range_lookup_tier": osql.range_lookup_sql(RANGE_TIERS),
         "enrich_region_stats": osql.enrich_region_stats_sql(),
         "multi_value_join": osql.multi_value_join_sql(),
         "stats_by_source": osql.stats_by_source_sql(),

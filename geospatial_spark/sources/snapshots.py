@@ -295,6 +295,18 @@ def incremental_build(spark: SparkSession,
         # The pin rides build_index's single publish (under BuildLock) —
         # no second out-of-lock publish to clobber a concurrent writer.
         files = log.added_files(None)
+        if files is None:
+            # the CURRENT snapshot itself is not resolvable to a plain
+            # data-file set (merge-on-read deletes, delete manifests, or
+            # unreadable manifest chain). Reading the raw data files
+            # would resurrect deleted rows — fail with the reason
+            # instead of a TypeError deep in read()
+            raise ValueError(
+                f"table at {log.root}: current snapshot "
+                f"{cur['snapshot_id']} cannot be pinned to a data-file "
+                "set (row-level deletes or unreadable manifests) — this "
+                "reader supports append/overwrite tables; compact the "
+                "table (rewrite data files) and retry")
         df = log.read(spark, files)
         return build_index(spark, df, index_root, n_shards=n_shards,
                            generation=f"snap-{cur['version']:06d}",

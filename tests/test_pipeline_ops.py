@@ -28,7 +28,9 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.8, recall
 
 
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_compressed_decode_is_stubbed():
+    """Only COMPRESSED formats remain stubbed (codec libs absent);
+    uncompressed PPM/WAV decode for real (test_decode_ppm_and_wav)."""
     from geospatial_spark.sources.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
@@ -180,3 +182,105 @@ def test_star_contract_path_graph_bounded_rounds(spark):
     # rounds raises, so reaching here proves O(log n) behavior
     assert len(labels) == n
     assert all(v == 0 for v in labels.values())
+
+
+def test_range_lookup_chunked_parity(spark):
+    """Chunked (hash equi-join) and nested-loop range lookups agree,
+    including misses and boundary values."""
+    import pandas as pd
+
+    from geospatial_spark.operators.enrich import range_lookup
+
+    facts = spark.createDataFrame(pd.DataFrame({
+        "id": list(range(12)),
+        "v": [-5.0, 0.0, 999.99, 1000.0, 2500.0, 4999.9, 5000.0,
+              8999.0, 9000.0, 12000.0, 500.0, 1.5]}))
+    dim = spark.createDataFrame(
+        [(0.0, 1000.0, "low"), (1000.0, 5000.0, "mid"),
+         (5000.0, 9000.0, "high")], "lo double, hi double, tier string")
+    a = sorted(map(tuple, range_lookup(facts, dim, "v").collect()))
+    b = sorted(map(tuple, range_lookup(facts, dim, "v",
+                                       chunk=750.0).collect()))
+    assert a == b
+    by_id = {r[0]: r[2] for r in a}
+    assert by_id[0] is None and by_id[9] is None      # below/above all
+    assert by_id[1] == "low" and by_id[3] == "mid"    # inclusive lo
+    assert by_id[8] is None                           # exclusive hi
+
+
+def _ppm(w, h, rgb):
+    head = f"P6\n# handcrafted\n{w} {h}\n255\n".encode()
+    return head + bytes(rgb)
+
+
+def _wav(rate, samples16):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples16)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", 4) + b"INFO"  # skipped chunk
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_ppm_and_wav():
+    """Real pure-Python decode of handcrafted uncompressed media."""
+    import numpy as np
+    import pytest as _pt
+
+    from geospatial_spark.sources.multimodal import (
+        decode_media,
+        decode_ppm,
+        decode_wav,
+    )
+
+    img = decode_ppm(_ppm(2, 2, [255, 0, 0, 0, 255, 0,
+                                 0, 0, 255, 10, 20, 30]))
+    assert (img["width"], img["height"]) == (2, 2)
+    assert img["pixels"].shape == (2, 2, 3)
+    assert tuple(img["pixels"][0, 0]) == (255, 0, 0)
+    assert tuple(img["pixels"][1, 1]) == (10, 20, 30)
+
+    wav = decode_wav(_wav(8000, [0, 1000, -1000, 32767, -32768, 0]))
+    assert wav["sample_rate"] == 8000 and wav["n_channels"] == 1
+    assert wav["samples"].shape == (6, 1)
+    assert int(wav["samples"][3, 0]) == 32767
+
+    assert decode_media(_ppm(1, 1, [1, 2, 3]))["kind"] == "image/ppm"
+    with _pt.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n1 2 3")     # ASCII PPM is not P6
+    with _pt.raises(ValueError):
+        decode_ppm(_ppm(4, 4, [0] * 12))        # truncated raster
+    with _pt.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0JFIF")   # JPEG stays stubbed
+    import struct as _s
+
+    gsm = (b"RIFF" + _s.pack("<I", 28) + b"WAVE" + b"fmt "
+           + _s.pack("<I", 16) + _s.pack("<HHIIHH", 49, 1, 8000, 1625, 65, 0)
+           + b"data" + _s.pack("<I", 0))
+    with _pt.raises(NotImplementedError):
+        decode_media(gsm)                       # compressed WAVE stubbed
+
+
+def test_extract_media_features(spark):
+    """Spark-side real feature extraction: PPM pixel means, WAV RMS,
+    graceful unknown-kind degradation."""
+    import math
+
+    rows = [
+        (1, _ppm(2, 1, [10, 20, 30, 30, 40, 50])),
+        (2, _wav(16000, [3, 4, 3, 4])),
+        (3, b"not media at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    from geospatial_spark.sources.multimodal import extract_media_features
+
+    got = {r["doc_id"]: r for r in extract_media_features(df).collect()}
+    assert got[1]["kind"] == "image/ppm"
+    assert (got[1]["width"], got[1]["height"]) == (2, 1)
+    assert got[1]["mean_r"] == 20.0 and got[1]["mean_b"] == 40.0
+    assert got[2]["kind"] == "audio/wav"
+    assert got[2]["n_samples"] == 4 and got[2]["sample_rate"] == 16000
+    assert math.isclose(got[2]["rms"], math.sqrt((9 + 16 + 9 + 16) / 4))
+    assert got[3]["kind"] == "unknown" and got[3]["rms"] is None

@@ -150,3 +150,34 @@ def test_metadata_only_repin_preserves_provenance(spark, log_table, tmp_path):
     assert m2["source_snapshot"]["snapshot_id"] == "meta-only-777"
     assert len(m2["generations"]) == 1           # no build happened
     assert m2["source_snapshot"]["files_consumed"] == consumed1
+
+
+def test_unpinnable_current_snapshot_fails_descriptively(spark, tmp_path):
+    """A current snapshot that cannot resolve to a plain data-file set
+    (missing/unreadable manifest list) fails the full-rebuild branch
+    with the reason — not a TypeError from read(None)."""
+    import pytest
+
+    from geospatial_spark.sources.snapshots import (
+        IcebergMetadataSource,
+        incremental_build,
+    )
+
+    meta = tmp_path / "tbl" / "metadata"
+    meta.mkdir(parents=True)
+    md = {
+        "format-version": 2,
+        "last-sequence-number": 3,
+        "current-snapshot-id": 99,
+        "snapshots": [
+            {"snapshot-id": 99,
+             "manifest-list": "metadata/snap-missing.avro"},
+        ],
+    }
+    (meta / "v1.metadata.json").write_text(json.dumps(md))
+    (meta / "version-hint.text").write_text("1")
+
+    src = IcebergMetadataSource(str(tmp_path / "tbl"))
+    assert src.added_files(None) is None
+    with pytest.raises(ValueError, match="cannot be pinned"):
+        incremental_build(spark, src, str(tmp_path / "idx"), n_shards=2)
