@@ -293,6 +293,28 @@ def main_default():
 
         timings, n_turns, extras = run_suite(spark, SF_DIR, idx_root,
                                              n_shards=CPUS * 4)
+        # second BUILD-ONLY repetition, min — the same protocol the
+        # scaling points already use: a single-shot build wall varies
+        # ±15% with page-cache state and co-tenant bursts (measured
+        # 9.9 → 7.6 → 6.7 s back-to-back at sf0.1); min-of-2 filters
+        # the one-sided cold/pollution tail. Fresh root: checkpoints
+        # would resume-skip the rebuild.
+        import tempfile as _tf
+
+        from geospatial_spark.plans.build import build_index as _bi
+        from geospatial_spark.sources.transcripts import (
+            read_transcripts as _rt,
+        )
+
+        root2 = _tf.mkdtemp(prefix="bench_idx_r2_")
+        try:
+            tx2 = _rt(spark, ensure_transcripts(spark, sf))
+            t0 = time.perf_counter()
+            _bi(spark, tx2, root2, n_shards=CPUS * 4)
+            timings["q_build"] = min(timings["q_build"],
+                                     time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(root2, ignore_errors=True)
         timings.update(run_catalog(spark, SF_DIR))
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)

@@ -278,13 +278,22 @@ def _collapsed_rep_pairs(df: DataFrame, id_col: str, text_col: str,
     representative per DISTINCT text, plus the (doc_id, _rep) group
     membership table restricted to shingle-bearing texts (a no-shingle
     doc never enters the signature table, so the uncollapsed pipeline
-    never pairs it — not even with its exact duplicates)."""
+    never pairs it — not even with its exact duplicates).
+
+    Shape: ONE window over the NARROW (doc_id, fingerprint) projection
+    assigns every doc its representative (min doc_id per fp) in one
+    small shuffle — text bytes never enter it, so re-deriving the
+    assignment for the membership side is cheap; the full-text shuffle
+    happens once, in the rep_docs join."""
     fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
-    ids = df.select(F.col(id_col).alias("doc_id"), fp.alias("_fp"))
-    reps = ids.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    w = Window.partitionBy("_fp")
+    groups_all = (df.select(F.col(id_col).alias("doc_id"), fp.alias("_fp"))
+                  .withColumn("_rep", F.min("doc_id").over(w))
+                  .select("doc_id", "_rep"))
     rep_docs = (df.select(F.col(id_col).alias("doc_id"),
-                          F.col(text_col).alias(text_col), fp.alias("_fp"))
-                .join(reps.select("doc_id"), "doc_id"))
+                          F.col(text_col).alias(text_col))
+                .join(groups_all.where(F.col("doc_id") == F.col("_rep"))
+                      .select("doc_id"), "doc_id"))
 
     sigs = minhash_signatures(rep_docs, "doc_id", text_col,
                               collapse_exact=False)
@@ -292,10 +301,7 @@ def _collapsed_rep_pairs(df: DataFrame, id_col: str, text_col: str,
     rep_pairs = ngram_jaccard_pairs(rep_docs, "doc_id", text_col,
                                     threshold, round_dp, candidates=cand)
     shingled = sigs.select(F.col("doc_id").alias("_rep"))
-    groups = (ids.join(rep_docs.select(F.col("doc_id").alias("_rep"),
-                                       "_fp"), "_fp")
-              .join(shingled, "_rep")
-              .select("doc_id", "_rep"))
+    groups = groups_all.join(shingled, "_rep").select("doc_id", "_rep")
     return rep_pairs, groups
 
 
