@@ -45,12 +45,30 @@ def main() -> None:
                     help="score match queries with log-quantized doc "
                          "lengths (the Lucene norm-compression "
                          "contract; functions/bm25.quantize_dl)")
+    ap.add_argument("--role", action="append", default=None,
+                    help="metadata filter: role must equal one of the "
+                         "given values (repeatable)")
+    ap.add_argument("--ts-min", dest="ts_min", default=None,
+                    help="metadata filter: ts >= ISO timestamp")
+    ap.add_argument("--ts-max", dest="ts_max", default=None,
+                    help="metadata filter: ts <= ISO timestamp")
+    ap.add_argument("--conv-prefix", dest="conv_prefix", default=None,
+                    help="metadata filter: conv_id prefix")
     args = ap.parse_args()
+    meta = {k: v for k, v in (("role", args.role),
+                              ("ts_min", args.ts_min),
+                              ("ts_max", args.ts_max),
+                              ("conv_prefix", args.conv_prefix))
+            if v is not None} or None
+
 
     mode = ("phrase_scored" if args.phrase_scored else
             "phrase" if args.phrase else
             "near" if args.slop is not None else
             "bool" if (args.filter or args.must_not) else "match")
+    if meta and mode not in ("match", "bool"):
+        ap.error("--role/--ts-min/--ts-max/--conv-prefix apply to match "
+                 "and bool queries only")
     if args.local:
         from geospatial_spark.plans.serve import LocalSearcher
 
@@ -63,10 +81,11 @@ def main() -> None:
             hits = ls.search_near(args.query, args.slop, args.k)
         elif mode == "bool":
             hits = ls.search_bool(args.query, args.filter, args.must_not,
-                                  args.k)
+                                  args.k, meta=meta,
+                                  quantized=args.quantized)
         else:
             hits = ls.search(args.query, args.k,
-                             quantized=args.quantized)
+                             quantized=args.quantized, meta=meta)
     else:
         from geospatial_spark.plans.query import IndexSearcher
         from geospatial_spark.session import get_spark
@@ -80,9 +99,12 @@ def main() -> None:
         elif mode == "near":
             hits = s.search_near(args.query, args.slop, args.k)
         elif mode == "bool":
-            hits = s.search_bool(args.query, args.filter, args.must_not, args.k)
+            hits = s.search_bool(args.query, args.filter, args.must_not,
+                                 args.k, meta=meta,
+                                 quantized=args.quantized)
         else:
-            hits = s.search(args.query, args.k, quantized=args.quantized)
+            hits = s.search(args.query, args.k, quantized=args.quantized,
+                            meta=meta)
     print(json.dumps({
         "query": args.query, "k": args.k,
         "hits": [{"doc_id": d, "score": sc, "rank": i + 1}

@@ -40,6 +40,7 @@ def bool_match_shard(
     avgdl: float,
     k: int,
     allowed_init: np.ndarray | None = None,
+    quantize: bool = False,
 ):
     """Score one shard. Returns (local_docs, scores) of the shard's
     top-k (score desc, doc asc; exact scores).
@@ -47,7 +48,11 @@ def bool_match_shard(
     allowed_init: optional pre-computed membership mask over local
     ordinals (the metadata-filter path, operators/metafilter.py) that
     restricts the candidate universe exactly like an unscored filter
-    clause — scoring stats stay corpus-global."""
+    clause — scoring stats stay corpus-global.
+
+    quantize: score with log-quantized doc lengths (the opt-in
+    quantized-norm mode, functions/bm25.quantize_dl) — same contract
+    as wand_shard(quantize=True)."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     if n_local_docs == 0:
         return empty
@@ -92,6 +97,10 @@ def bool_match_shard(
                 continue
             docs, tfs, dls, _ = _decode_full_posting(r, base_ord,
                                                      need_positions=False)
+            if quantize:
+                from geospatial_spark.functions.bm25 import quantize_dl_np
+
+                dls = quantize_dl_np(dls)
             tff = tfs.astype(np.float64)
             dlf = dls.astype(np.float64)
             idf_t = idf(int(df_global[t]), n_docs)

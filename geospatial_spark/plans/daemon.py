@@ -45,7 +45,8 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
     k = int(req.get("k", 10))
     if qtype == "match":
         return searcher.search(req["q"], k,
-                               quantized=bool(req.get("quantized", False)))
+                               quantized=bool(req.get("quantized", False)),
+                               meta=req.get("meta"))
     if qtype == "phrase":
         return searcher.search_phrase(req["q"], k)
     if qtype == "phrase_scored":

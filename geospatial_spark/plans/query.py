@@ -163,12 +163,22 @@ class IndexSearcher:
     # -- search -------------------------------------------------------
 
     def search_df(self, query: str, k: int = 10,
-                  quantized: bool = False) -> DataFrame | None:
+                  quantized: bool = False,
+                  meta: dict | None = None) -> DataFrame | None:
         """Top-k as a DataFrame (doc_id, score); None for the empty fast
         path. quantized=True scores with log-quantized doc lengths (the
         opt-in Lucene norm-compression analogue,
         functions/bm25.quantize_dl) — same kernel, same exactness
-        contract for that scoring function."""
+        contract for that scoring function.
+
+        meta: structured docmap-metadata predicate — a metadata-
+        filtered match query IS a scored should-OR restricted by the
+        mask (identical terms, scores, tie-break), so it delegates to
+        the bool path, whose kernel decodes exactly the mask-surviving
+        postings."""
+        if meta is not None:
+            return self.search_bool_df(should=query, k=k, meta=meta,
+                                       quantized=quantized)
         norm = self.manifest.get("normalization") or {}
         terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
         if not terms or self.n_docs == 0:
@@ -211,10 +221,11 @@ class IndexSearcher:
         return per_shard.orderBy(F.desc("score"), *merge_tie_break()).limit(kk)
 
     def search(self, query: str, k: int = 10,
-               quantized: bool = False) -> list[tuple[str, float]]:
+               quantized: bool = False,
+               meta: dict | None = None) -> list[tuple[str, float]]:
         """Top-k (doc_id, score), exact BM25, rank/score-identical to the
         oracle; tie-break (conv_id, turn_idx) asc."""
-        df = self.search_df(query, k, quantized=quantized)
+        df = self.search_df(query, k, quantized=quantized, meta=meta)
         if df is None:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
@@ -427,7 +438,8 @@ class IndexSearcher:
 
     def search_bool_df(self, should: str = "", filter_q: str = "",
                        must_not: str = "", k: int = 10,
-                       meta: dict | None = None) -> DataFrame | None:
+                       meta: dict | None = None,
+                       quantized: bool = False) -> DataFrame | None:
         """Boolean query (operators/boolquery.py): scored should-OR
         (minimum_should_match=1 when should terms are given) restricted
         by unscored filter-AND and must_not-NOT clauses; with no should
@@ -480,6 +492,7 @@ class IndexSearcher:
         shard_docs, gdirs = self.shard_docs, self.gdirs
         dm_files = self.docmap_files
         kk = int(k)
+        qz = bool(quantized)
 
         def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
             from pathlib import Path as _P
@@ -501,7 +514,8 @@ class IndexSearcher:
                 if meta is not None else None)
             local, scores = bool_match_shard(
                 sh, fl, mn, rows_by_term, shard_docs.get((gen, shard), 0),
-                base, df_global, n_docs, avgdl, kk, allowed_init=amask)
+                base, df_global, n_docs, avgdl, kk, allowed_init=amask,
+                quantize=qz)
             if len(local) == 0:
                 return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
                                      "score": pd.Series([], dtype="float64")})
@@ -518,8 +532,10 @@ class IndexSearcher:
 
     def search_bool(self, should: str = "", filter_q: str = "",
                     must_not: str = "", k: int = 10,
-                    meta: dict | None = None) -> list[tuple[str, float]]:
-        df = self.search_bool_df(should, filter_q, must_not, k, meta=meta)
+                    meta: dict | None = None,
+                    quantized: bool = False) -> list[tuple[str, float]]:
+        df = self.search_bool_df(should, filter_q, must_not, k, meta=meta,
+                                 quantized=quantized)
         if df is None:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
@@ -697,7 +713,8 @@ class IndexSearcher:
                      "should": toks_set(spec.get("should", "")),
                      "filter": toks_set(spec.get("filter", "")),
                      "must_not": toks_set(spec.get("must_not", "")),
-                     "meta": normalize_meta(spec.get("meta"))}
+                     "meta": normalize_meta(spec.get("meta")),
+                     "quantized": bool(spec.get("quantized", False))}
                 self._check_meta_support(p["meta"])
                 p["terms"] = sorted(set(p["should"] + p["filter"]
                                         + p["must_not"]))
@@ -807,7 +824,8 @@ class IndexSearcher:
                     local, scores = bool_match_shard(
                         p["should"], p["filter"], p["must_not"],
                         rows_by_term, n_local, base, df_global,
-                        n_docs, avgdl, kk, allowed_init=amask)
+                        n_docs, avgdl, kk, allowed_init=amask,
+                        quantize=p.get("quantized", False))
                 if len(local) == 0:
                     continue
                 if docmap_col is None:

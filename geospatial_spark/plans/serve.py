@@ -321,9 +321,15 @@ class LocalSearcher:
                   "imp_tail_dl_blocks")
 
     def search(self, query: str, k: int = 10,
-               quantized: bool = False) -> list[tuple[str, float]]:
+               quantized: bool = False,
+               meta: dict | None = None) -> list[tuple[str, float]]:
         import pyarrow.parquet as pq
 
+        if meta is not None:
+            # a metadata-filtered match IS a scored should-OR under the
+            # mask (same terms, scores, tie-break) — one code path
+            return self.search_bool(should=query, k=k, meta=meta,
+                                    quantized=quantized)
         norm = self.manifest.get("normalization") or {}
         terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
         if not terms or self.n_docs == 0:
@@ -619,7 +625,8 @@ class LocalSearcher:
 
     def search_bool(self, should: str = "", filter_q: str = "",
                     must_not: str = "", k: int = 10,
-                    meta: dict | None = None
+                    meta: dict | None = None,
+                    quantized: bool = False
                     ) -> list[tuple[str, float]]:
         """Bool query on the serving path — same contract as
         IndexSearcher.search_bool, including the metadata-filter
@@ -672,7 +679,8 @@ class LocalSearcher:
                 local, scores = bool_match_shard(
                     sh, fl, mn, rows_by_term,
                     self.shard_docs[(gen_id, shard)], base, df_global,
-                    self.n_docs, self.avgdl, k, allowed_init=amask)
+                    self.n_docs, self.avgdl, k, allowed_init=amask,
+                    quantize=quantized)
                 if len(local) == 0:
                     continue
                 key = (gen_id, shard)

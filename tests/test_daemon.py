@@ -54,6 +54,7 @@ SIX = [
     {"type": "bool", "must_not": "deploy"},  # pure-NOT (match-all base)
     # metadata-filtered scored search (docmap mask, metafilter.py)
     {"type": "bool", "should": "the spark", "meta": {"role": "assistant"}},
+    {"type": "match", "q": "the spark", "meta": {"role": "user"}},
 ]
 
 

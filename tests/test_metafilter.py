@@ -182,3 +182,64 @@ def test_old_docmap_rejected(spark, built_index, tmp_path):
         s.search_bool("the", "", "", meta={"role": "assistant"})
     # un-filtered queries on the same old index still work
     assert s.search_bool("the", "", "", k=3)
+
+
+def test_match_meta_delegation(searcher, local, small_oracle,
+                               small_transcripts_pd):
+    """search(meta=) ≡ the scored should-OR under the mask — the match
+    path delegates exactly; Spark ≡ serving."""
+    meta = {"role": "assistant"}
+    want = _ref_bool_meta(small_oracle, small_transcripts_pd,
+                          "the spark", "", "", meta, k=10)
+    a = searcher.search("the spark", k=10, meta=meta)
+    b = local.search("the spark", k=10, meta=meta)
+    assert [d for d, _ in a] == [d for d, _ in want]
+    for (_, ga), (_, ws) in zip(a, want):
+        assert ga == pytest.approx(ws, abs=1e-9)
+    assert [(d, round(s, 9)) for d, s in a] == \
+        [(d, round(s, 9)) for d, s in b]
+
+
+def test_quantized_meta(searcher, local, small_transcripts_pd,
+                        small_oracle):
+    """quantized scoring composes with the metadata mask: quantized-dl
+    brute reference on the filtered universe; Spark ≡ serving."""
+    import math
+
+    from geospatial_spark.functions.bm25 import (
+        B,
+        K1,
+        idf,
+        quantize_dl,
+    )
+    from geospatial_spark.functions.tokenize import tokenize_py
+
+    meta = {"role": "assistant"}
+    terms = sorted(set(tokenize_py("the spark")))
+    o = small_oracle
+    hits = []
+    for row in small_transcripts_pd.itertuples():
+        if not _passes(row, meta):
+            continue
+        doc_id = f"{row.conv_id}:{row.turn_idx}"
+        toks = tokenize_py(row.text)
+        present = [t for t in terms if t in set(toks)]
+        if not present:
+            continue
+        score = 0.0
+        for t in present:
+            tf = o.postings[t][doc_id]
+            qdl = quantize_dl(o.doclens[doc_id])
+            score += idf(len(o.postings[t]), o.n_docs) * (
+                tf / (tf + K1 * (1.0 - B + B * (qdl / o.avgdl))))
+        hits.append((doc_id, score))
+    hits.sort(key=lambda h: (-h[1], o.doc_sort_key(h[0])))
+    want = hits[:10]
+
+    a = searcher.search("the spark", k=10, quantized=True, meta=meta)
+    b = local.search("the spark", k=10, quantized=True, meta=meta)
+    assert [d for d, _ in a] == [d for d, _ in want]
+    for (_, ga), (_, ws) in zip(a, want):
+        assert math.isclose(ga, ws, rel_tol=1e-9)
+    assert [(d, round(s, 9)) for d, s in a] == \
+        [(d, round(s, 9)) for d, s in b]
