@@ -243,3 +243,93 @@ def test_quantized_meta(searcher, local, small_transcripts_pd,
         assert math.isclose(ga, ws, rel_tol=1e-9)
     assert [(d, round(s, 9)) for d, s in a] == \
         [(d, round(s, 9)) for d, s in b]
+
+
+def test_meta_survives_merge_and_generations(spark, small_transcripts_pd,
+                                             small_oracle, tmp_path):
+    """Docmap-v2 metadata passes through append generations AND a
+    force-merge: the same metadata-filtered query returns identical
+    results before and after compaction, and matches the brute
+    reference over the full union."""
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.compact import merge_generations
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.sources.transcripts import read_transcripts
+
+    half = len(small_transcripts_pd) // 2
+    a_pd = small_transcripts_pd.iloc[:half]
+    b_pd = small_transcripts_pd.iloc[half:]
+    pa_, pb_ = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    a_pd.to_parquet(pa_, index=False)
+    b_pd.to_parquet(pb_, index=False)
+
+    root = str(tmp_path / "idx")
+    build_index(spark, read_transcripts(spark, str(pa_)), root,
+                n_shards=4, generation="g0001")
+    build_index(spark, read_transcripts(spark, str(pb_)), root,
+                n_shards=4, generation="g0002", append=True)
+
+    meta = {"role": "assistant",
+            "ts_min": dt.datetime(2026, 1, 1, 6, 0, 0)}
+    want = _ref_bool_meta(small_oracle, small_transcripts_pd,
+                          "the spark", "", "", meta, k=10)
+
+    s2 = IndexSearcher(spark, root)
+    got_two_gens = s2.search_bool("the spark", k=10, meta=meta)
+    assert [(d, round(s, 9)) for d, s in got_two_gens] == \
+        [(d, round(s, 9)) for d, s in want]
+
+    merge_generations(spark, root, n_shards=2)
+    sm = IndexSearcher(spark, root)
+    assert len(sm.gens) == 1
+    got_merged = sm.search_bool("the spark", k=10, meta=meta)
+    assert [(d, round(s, 9)) for d, s in got_merged] == \
+        [(d, round(s, 9)) for d, s in want]
+
+    # serving path over the merged index agrees too
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    lm = LocalSearcher(root)
+    got_local = lm.search_bool("the spark", k=10, meta=meta)
+    assert [(d, round(s, 9)) for d, s in got_local] == \
+        [(d, round(s, 9)) for d, s in want]
+
+
+def test_metadata_change_invalidates_checkpoint(spark, tmp_path):
+    """role/ts ride the shard fingerprint: a metadata-only edit (same
+    conv/turn/text) must rebuild the shard, or a resumed build would
+    serve stale docmap metadata to the filter path."""
+    import pandas as pd
+
+    from geospatial_spark.plans.build import build_index
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.sources.transcripts import read_transcripts
+
+    base = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": [0, 1, 0],
+        "role": ["user", "assistant", "user"],
+        "text": ["alpha beta", "alpha gamma", "beta gamma"],
+        "tool": pd.array([None, None, None], dtype="string"),
+        "ts": pd.to_datetime(["2026-01-01", "2026-01-02",
+                              "2026-01-03"]).astype("datetime64[us]"),
+    })
+    p1 = tmp_path / "v1.parquet"
+    base.to_parquet(p1, index=False)
+    root = str(tmp_path / "idx")
+    build_index(spark, read_transcripts(spark, str(p1)), root, n_shards=2)
+    s = IndexSearcher(spark, root)
+    assert [d for d, _ in s.search_bool("alpha", k=5,
+                                        meta={"role": "assistant"})] == \
+        ["c1:1"]
+
+    # metadata-only edit: c1:1 becomes role=user (text unchanged)
+    v2 = base.copy()
+    v2.loc[1, "role"] = "user"
+    p2 = tmp_path / "v2.parquet"
+    v2.to_parquet(p2, index=False)
+    build_index(spark, read_transcripts(spark, str(p2)), root, n_shards=2)
+    s2 = IndexSearcher(spark, root)
+    assert s2.search_bool("alpha", k=5, meta={"role": "assistant"}) == []
+    assert sorted(d for d, _ in s2.search_bool(
+        "alpha", k=5, meta={"role": "user"})) == ["c1:0", "c1:1"]
