@@ -284,3 +284,38 @@ def test_extract_media_features(spark):
     assert got[2]["n_samples"] == 4 and got[2]["sample_rate"] == 16000
     assert math.isclose(got[2]["rms"], math.sqrt((9 + 16 + 9 + 16) / 4))
     assert got[3]["kind"] == "unknown" and got[3]["rms"] is None
+
+
+def test_range_lookup_randomized(spark):
+    """Seeded randomized parity: many disjoint intervals, values planted
+    on/off boundaries; both join modes vs a numpy reference."""
+    import numpy as np
+    import pandas as pd
+
+    from geospatial_spark.operators.enrich import range_lookup
+
+    rng = np.random.default_rng(11)
+    # 60 disjoint intervals with gaps
+    edges = np.sort(rng.choice(np.arange(0, 20_000), size=240,
+                               replace=False)).astype("float64")
+    lo, hi = edges[0::4], edges[1::4]  # every other span is a GAP
+    dim_pd = pd.DataFrame({"lo": lo, "hi": hi,
+                           "tier": [f"t{i}" for i in range(len(lo))]})
+    vals = np.concatenate([
+        rng.uniform(-100, 20_100, size=300),
+        lo[:20], hi[:20] - 1e-9, hi[:20],  # boundary probes
+    ])
+    facts_pd = pd.DataFrame({"id": np.arange(len(vals)), "v": vals})
+
+    def ref(v):
+        j = np.where((lo <= v) & (v < hi))[0]
+        return f"t{j[0]}" if len(j) else None
+
+    want = sorted((int(i), ref(v)) for i, v in zip(facts_pd["id"], vals))
+    facts = spark.createDataFrame(facts_pd)
+    dim = spark.createDataFrame(dim_pd)
+    for chunk in (None, 500.0):
+        got = sorted((int(r["id"]), r["tier"])
+                     for r in range_lookup(facts, dim, "v",
+                                           chunk=chunk).collect())
+        assert got == want, f"chunk={chunk}"
