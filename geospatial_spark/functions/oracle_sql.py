@@ -578,15 +578,22 @@ SELECT vec_id, round(nrm, {ROUND_DP}) AS l2_norm FROM nv
 """.strip()
 
 
-def ann_topk_sql(query_ids: list[int], k: int = 10) -> str:
+def ann_topk_sql(query_ids: list[int], k: int = 10,
+                 corpus_pred: str | None = None) -> str:
+    """corpus_pred: optional SQL predicate over nv.vec_id restricting
+    the SEARCHED corpus (filtered vector search — metadata-filtered
+    retrieval); query vectors still come from the full table and
+    scoring stats are per-pair, so the restriction is a pure
+    candidate-set mask, same contract as the engine's filtered ANN."""
     ids = ", ".join(str(i) for i in query_ids)
+    pred = f"AND ({corpus_pred})" if corpus_pred else ""
     return f"""
 WITH {_VEC_CTE},
 q AS (SELECT vec_id AS q, ve AS qv, nrm AS qn FROM nv WHERE vec_id IN ({ids})),
 pairs AS (
   SELECT q.q, nv.vec_id,
     list_sum(list_transform(list_zip(q.qv, nv.ve), p -> p[1] * p[2])) / (q.qn * nv.nrm) AS raw
-  FROM nv, q WHERE nv.vec_id != q.q
+  FROM nv, q WHERE nv.vec_id != q.q {pred}
 ),
 ranked AS (
   SELECT q, vec_id, raw,

@@ -90,16 +90,25 @@ def embed_int8(df: DataFrame, id_col: str = "vec_id",
 
 
 def brute_force_topk(df: DataFrame, query_ids: list[int], k: int = 10,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     where=None) -> DataFrame:
     """For each query vector (selected by id), exact cosine top-k over
     the corpus (self excluded). Returns (q, vec_id, cos) ordered within
     each q by cos desc then vec_id. Query side is broadcast — probe cost
-    is one corpus scan for ALL queries."""
+    is one corpus scan for ALL queries.
+
+    where: optional Column predicate restricting the SEARCHED corpus
+    (filtered vector search — the metadata-filtered-retrieval shape:
+    'nearest docs among those tagged X'). Query vectors still resolve
+    from the full table; the predicate prunes candidates at the scan
+    (Catalyst pushes it into the parquet read), so a selective filter
+    makes the probe CHEAPER, never approximate."""
     from pyspark.sql.window import Window
 
     q = df.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q"), F.col(vec_col).alias("qv"))
-    c = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    corpus = df.where(where) if where is not None else df
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     pairs = c.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q"))
     cos = pairs.select(
         "q", "vec_id",
@@ -456,7 +465,7 @@ def lsh_topk(df: DataFrame, query_ids: list[int], k: int = 10,
              n_planes: int | None = None, seed: int = 42, n_tables: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, n_corpus: int | None = None,
-             stats: dict | None = None) -> DataFrame:
+             stats: dict | None = None, where=None) -> DataFrame:
     """Bucketed ANN with multi-probe: exact cosine within the query's
     LSH bucket plus every bucket at Hamming distance 1 (flip one plane
     sign) — the standard recall repair for sign-LSH. Approximate by
@@ -470,7 +479,12 @@ def lsh_topk(df: DataFrame, query_ids: list[int], k: int = 10,
     defaults to the adaptive rule (bucket ≈ TARGET_BUCKET vectors at any
     corpus size — adaptive_n_planes), so the probed FRACTION falls as
     the corpus grows. stats (optional dict) receives
-    {n_planes, probe_fraction_bound} for recall gates."""
+    {n_planes, probe_fraction_bound} for recall gates.
+
+    where: optional Column predicate restricting the SEARCHED corpus
+    (filtered ANN): applied to the corpus bucket side BEFORE the probe
+    join — bucket membership shrinks at the scan, so selectivity makes
+    probing cheaper; query vectors still resolve from the full table."""
     from pyspark.sql.window import Window
 
     if n_planes is None:
@@ -482,13 +496,23 @@ def lsh_topk(df: DataFrame, query_ids: list[int], k: int = 10,
         stats["probe_fraction_bound"] = min(
             1.0, n_tables * (n_planes + 1) / float(2 ** n_planes))
 
-    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    corpus = df.where(where) if where is not None else df
+    base = corpus.select(F.col(id_col).alias("vec_id"),
+                         F.col(vec_col).alias("v"))
+    # query vectors come from the FULL table: a query doc that the
+    # filter excludes from the corpus still probes
+    qvecs = (df.where(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("q"), F.col(vec_col).alias("qv")))
     cands = None
     for t in range(n_tables):
-        bk = lsh_buckets_kernel(df, n_planes, seed + 1000 * t,
+        bk = lsh_buckets_kernel(corpus, n_planes, seed + 1000 * t,
                                 id_col, vec_col, dim)
-        q0 = bk.where(F.col("vec_id").isin(query_ids)) \
-               .select(F.col("vec_id").alias("q"), F.col("bucket").alias("qb"))
+        qbk = (bk if where is None else
+               lsh_buckets_kernel(df.where(F.col(id_col).isin(query_ids)),
+                                  n_planes, seed + 1000 * t,
+                                  id_col, vec_col, dim))
+        q0 = qbk.where(F.col("vec_id").isin(query_ids)) \
+                .select(F.col("vec_id").alias("q"), F.col("bucket").alias("qb"))
         # multi-probe: the bucket itself + each one-bit flip (XOR)
         probes = F.array(F.col("qb"),
                          *[F.col("qb").bitwiseXOR(F.lit(1 << i))
@@ -501,8 +525,7 @@ def lsh_topk(df: DataFrame, query_ids: list[int], k: int = 10,
         cands.distinct()
         .where(F.col("vec_id") != F.col("q"))
         .join(base, "vec_id")
-        .join(F.broadcast(base.where(F.col("vec_id").isin(query_ids))
-                          .select(F.col("vec_id").alias("q"), F.col("v").alias("qv"))), "q")
+        .join(F.broadcast(qvecs), "q")
     )
     cos = cand.select(
         "q", "vec_id",

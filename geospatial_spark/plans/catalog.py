@@ -358,6 +358,18 @@ RANGE_TIERS = [(0.0, 1000.0, "low"), (1000.0, 5000.0, "mid"),
                (5000.0, 9000.0, "high")]
 
 
+def _ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact cosine top-k restricted to a
+    corpus predicate (deterministic vec_id arithmetic stands in for a
+    metadata tag, same pinning idiom as the bm25_filter_role row);
+    query vectors resolve from the full table."""
+    from geospatial_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, 10,
+        where=F.pmod(F.col("vec_id"), F.lit(3)) == 0)
+
+
 def _range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geospatial_spark.operators.enrich import range_lookup
 
@@ -855,6 +867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_single": _bm25(BM25_Q_SINGLE, 10),
         # broadcast containment lookup (the literal CIDR-join analogue)
         "range_lookup_tier": _range_lookup,
+        # filtered vector search (predicate-restricted exact top-k)
+        "ann_topk_filtered": _ann_topk_filtered,
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -903,6 +917,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_lsh_verified_dups": osql.embed_lsh_verified_sql(threshold=0.4),
         # ann_topk_lsh: intentionally no oracle (approximate op)
         "range_lookup_tier": osql.range_lookup_sql(RANGE_TIERS),
+        "ann_topk_filtered": osql.ann_topk_sql(
+            ANN_QUERY_IDS, 10, corpus_pred="nv.vec_id % 3 = 0"),
         "enrich_region_stats": osql.enrich_region_stats_sql(),
         "multi_value_join": osql.multi_value_join_sql(),
         "stats_by_source": osql.stats_by_source_sql(),

@@ -319,3 +319,35 @@ def test_range_lookup_randomized(spark):
                      for r in range_lookup(facts, dim, "v",
                                            chunk=chunk).collect())
         assert got == want, f"chunk={chunk}"
+
+
+def test_filtered_ann(spark):
+    """Filtered vector search: the corpus predicate prunes candidates
+    exactly (brute force), the LSH path keeps recall on the filtered
+    universe, and a query excluded by the filter still probes."""
+    from pyspark.sql import functions as F
+
+    from geospatial_spark.plans import catalog
+    from geospatial_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pred = F.pmod(F.col("vec_id"), F.lit(3)) == 0
+    bf = catalog.queries()["ann_topk_filtered"](spark, SF).collect()
+    # every hit satisfies the predicate; query ids include non-matching
+    assert bf and all(r["vec_id"] % 3 == 0 for r in bf)
+    qs = {r["q"] for r in bf}
+    assert any(q % 3 != 0 for q in qs)  # excluded query still probed
+
+    ls = lsh_topk(emb, catalog.ANN_QUERY_IDS, 10, where=pred).collect()
+    assert all(r["vec_id"] % 3 == 0 for r in ls)
+    bf_set = {(r["q"], r["vec_id"]) for r in bf}
+    ls_set = {(r["q"], r["vec_id"]) for r in ls}
+    recall = len(bf_set & ls_set) / len(bf_set)
+    assert recall >= 0.9, recall
+
+    # unfiltered call unchanged (no behavior drift from the new param)
+    plain = brute_force_topk(emb, catalog.ANN_QUERY_IDS, 10).collect()
+    assert {r["vec_id"] % 3 for r in plain} == {0, 1, 2}
