@@ -236,6 +236,47 @@ ORDER BY doc_id ASC LIMIT {k}
 """.strip()
 
 
+def bm25_facet_sql(should: str = "", filter_q: str = "",
+                   must_not: str = "",
+                   facet_expr: str = ("CASE d.doc_id % 3 WHEN 0 THEN "
+                                      "'assistant' WHEN 1 THEN 'user' "
+                                      "ELSE 'system' END"),
+                   table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """Facet-aggregation oracle (IndexSearcher.facet_counts): count the
+    FULL match set of a bool query per facet value — the facet value
+    derives from doc_id by the same arithmetic the catalog's index
+    derives its role metadata with."""
+    sh = sorted(set(tokenize_py(should)))
+    fl = sorted(set(tokenize_py(filter_q)))
+    mn = sorted(set(tokenize_py(must_not)))
+
+    def in_list(terms):
+        return ", ".join(f"'{t}'" for t in terms)
+
+    parts = []
+    if fl:
+        parts.append(
+            f"(SELECT count(DISTINCT term) FROM tok t2 WHERE t2.doc_id = d.doc_id "
+            f"AND t2.term IN ({in_list(fl)})) = {len(fl)}")
+    if mn:
+        parts.append(
+            f"NOT EXISTS (SELECT 1 FROM tok t3 WHERE t3.doc_id = d.doc_id "
+            f"AND t3.term IN ({in_list(mn)}))")
+    if sh:
+        parts.append(
+            f"EXISTS (SELECT 1 FROM tok t4 WHERE t4.doc_id = d.doc_id "
+            f"AND t4.term IN ({in_list(sh)}))")
+    where = " AND ".join(parts) or "TRUE"
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)}
+SELECT {facet_expr} AS facet, count(*)::BIGINT AS n
+FROM dl d WHERE {where}
+GROUP BY 1
+ORDER BY n DESC, facet ASC
+""".strip()
+
+
 def term_buckets_sql(limit: int = 50, table: str = "documents",
                      id_col: str = "doc_id", text_col: str = "text") -> str:
     """Bucket agg analogue of geohex_grid: term → df, top-N by df."""

@@ -358,6 +358,26 @@ RANGE_TIERS = [(0.0, 1000.0, "low"), (1000.0, 5000.0, "mid"),
                (5000.0, 9000.0, "high")]
 
 
+def _bm25_facet(should: str, filter_q: str = ""):
+    """Facet aggregation over a bool query's full match set (the
+    aggs-inside-a-query-context shape: the reference's grid agg runs
+    within arbitrary filtered queries). Facet = the index's derived
+    role metadata; the oracle states the same facet as doc_id
+    arithmetic."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        df = s.facet_counts_df(should, filter_q, "")
+        if df is None:
+            return spark.createDataFrame([], "facet string, n long")
+        return df.select("facet", F.col("n"))
+
+    return run
+
+
 def _ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search: exact cosine top-k restricted to a
     corpus predicate (deterministic vec_id arithmetic stands in for a
@@ -869,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_lookup_tier": _range_lookup,
         # filtered vector search (predicate-restricted exact top-k)
         "ann_topk_filtered": _ann_topk_filtered,
+        # facet aggregation over a query's full match set
+        "bm25_facet_role": _bm25_facet(BOOL_Q[0], BOOL_Q[1]),
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -919,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
         "range_lookup_tier": osql.range_lookup_sql(RANGE_TIERS),
         "ann_topk_filtered": osql.ann_topk_sql(
             ANN_QUERY_IDS, 10, corpus_pred="nv.vec_id % 3 = 0"),
+        "bm25_facet_role": osql.bm25_facet_sql(BOOL_Q[0], BOOL_Q[1]),
         "enrich_region_stats": osql.enrich_region_stats_sql(),
         "multi_value_join": osql.multi_value_join_sql(),
         "stats_by_source": osql.stats_by_source_sql(),

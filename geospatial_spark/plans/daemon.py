@@ -58,6 +58,13 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
                                     req.get("filter", ""),
                                     req.get("must_not", ""), k,
                                     meta=req.get("meta"))
+    if qtype == "facet":
+        counts = searcher.facet_counts(req.get("should", ""),
+                                       req.get("filter", ""),
+                                       req.get("must_not", ""),
+                                       meta=req.get("meta"),
+                                       field=req.get("field", "role"))
+        return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
     raise ValueError(f"unknown query type: {qtype!r}")
 
 

@@ -568,6 +568,107 @@ class IndexSearcher:
                     f"{missing} — built before the docmap-v2 format; "
                     "rebuild to serve metadata-filtered queries")
 
+    def facet_counts_df(self, should: str = "", filter_q: str = "",
+                        must_not: str = "", meta: dict | None = None,
+                        field: str = "role") -> DataFrame | None:
+        """Facet aggregation OVER a query's full match set: how many
+        matching docs per value of a docmap metadata field — the
+        aggregation-inside-a-query-context shape (the reference's
+        geohex grid agg runs within an arbitrary filtered query,
+        GeoHexGridAggregationBuilder + bool contexts). Returns a
+        DataFrame (facet string, n long); NULL field values are
+        excluded (the missing bucket).
+
+        Scale shape: each (gen, shard) kernel resolves its FULL local
+        match set (bool semantics incl. meta mask), maps ordinals to
+        the facet column of its own docmap (local file, no shuffle),
+        and emits ≤ |distinct values| rows; the driver-side agg sums
+        tiny per-shard partials. No per-doc row ever leaves the
+        kernel."""
+        from geospatial_spark.operators.metafilter import normalize_meta
+
+        if field not in ("role",):
+            raise ValueError(f"unsupported facet field {field!r} "
+                             "(docmap metadata fields only)")
+        meta = normalize_meta(meta)
+        self._check_meta_support(meta)
+        self._check_meta_support({"role": ["x"]})  # field itself needs v2
+        norm = self.manifest.get("normalization") or {}
+
+        def toks(text: str) -> list[str]:
+            return sorted({norm.get(t, t) for t in tokenize_py(text)})
+
+        sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
+        if self.n_docs == 0:
+            return None
+        pure_not = not sh and not fl
+        df_global = self._df_for(sorted(set(sh + fl + mn)))
+        if any(t not in df_global for t in fl):
+            return None
+        sh = [t for t in sh if t in df_global]
+        if should and not sh:
+            return None
+        mn = [t for t in mn if t in df_global]
+
+        scan_terms = sorted(set(sh + fl + mn))
+        matched = (self._segments().where(F.col("term").isin(scan_terms))
+                   .drop("pos_blocks", *_IMP_COLS))
+        if pure_not:
+            shards_df = self.spark.createDataFrame(
+                [(g, s) for (g, s) in sorted(self.shard_docs)],
+                "gen string, shard int")
+            matched = shards_df.join(matched, ["gen", "shard"], "left")
+        n_docs, avgdl = self.n_docs, self.avgdl
+        shard_docs, gdirs = self.shard_docs, self.gdirs
+        dm_files = self.docmap_files
+        fld = field
+
+        def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from pathlib import Path as _P
+
+            import pyarrow.parquet as pq
+
+            from geospatial_spark.operators.boolquery import bool_match_shard
+            from geospatial_spark.operators.metafilter import (
+                meta_mask_from_docmap,
+            )
+
+            gen, shard = str(key[0]), int(key[1])
+            base = shard << ORD_SHARD_SHIFT
+            n_local = shard_docs.get((gen, shard), 0)
+            rows_by_term = {rec["term"]: rec
+                            for rec in pdf.to_dict("records")
+                            if isinstance(rec.get("term"), str)}
+            dm_path = _P(gdirs[gen]) / dm_files[(gen, shard)]
+            amask = (meta_mask_from_docmap(dm_path, meta)
+                     if meta is not None else None)
+            # k = n_local: facets aggregate the FULL match set
+            local, _scores = bool_match_shard(
+                sh, fl, mn, rows_by_term, n_local, base, df_global,
+                n_docs, avgdl, max(n_local, 1), allowed_init=amask)
+            if len(local) == 0:
+                return pd.DataFrame({"facet": pd.Series([], dtype=object),
+                                     "n": pd.Series([], dtype="int64")})
+            col = pq.read_table(dm_path, columns=[fld]).column(fld)
+            vals = col.take(local.tolist()).to_pandas()
+            counts = vals.dropna().value_counts()
+            return pd.DataFrame({"facet": counts.index.astype(object),
+                                 "n": counts.to_numpy(dtype="int64")})
+
+        per_shard = matched.groupBy("gen", "shard").applyInPandas(
+            run_shard, schema="facet string, n long")
+        return (per_shard.groupBy("facet")
+                .agg(F.sum("n").cast("long").alias("n"))
+                .orderBy(F.desc("n"), F.asc("facet")))
+
+    def facet_counts(self, should: str = "", filter_q: str = "",
+                     must_not: str = "", meta: dict | None = None,
+                     field: str = "role") -> dict[str, int]:
+        df = self.facet_counts_df(should, filter_q, must_not, meta, field)
+        if df is None:
+            return {}
+        return {r["facet"]: int(r["n"]) for r in df.collect()}
+
     def search_many(self, queries: dict[str, str], k: int = 10,
                     quantized: bool = False
                     ) -> dict[str, list[tuple[str, float]]]:

@@ -623,6 +623,14 @@ class LocalSearcher:
             self._meta_col_cache[key] = t
         return mf.meta_mask_table(t, meta)
 
+    def facet_counts(self, should: str = "", filter_q: str = "",
+                     must_not: str = "", meta: dict | None = None,
+                     field: str = "role") -> dict[str, int]:
+        """Facet aggregation over a query's full match set — the
+        serving-path twin of IndexSearcher.facet_counts."""
+        return _facet_counts_local(self, should, filter_q, must_not,
+                                   meta, field)
+
     def search_bool(self, should: str = "", filter_q: str = "",
                     must_not: str = "", k: int = 10,
                     meta: dict | None = None,
@@ -695,6 +703,70 @@ class LocalSearcher:
                     candidates.append((-float(sc), conv, int(turn), doc_id))
         candidates.sort()
         return [(d, -neg) for neg, _, _, d in candidates[:k]]
+
+
+def _facet_counts_local(searcher: "LocalSearcher", should: str,
+                        filter_q: str, must_not: str,
+                        meta: dict | None, field: str) -> dict[str, int]:
+    """Serving-path facet aggregation — same contract as
+    IndexSearcher.facet_counts (full match set per shard → ordinal →
+    docmap field → summed counts; NULL values excluded)."""
+    import pyarrow.parquet as pq
+
+    from geospatial_spark.operators.boolquery import bool_match_shard
+    from geospatial_spark.operators.metafilter import normalize_meta
+
+    if field not in ("role",):
+        raise ValueError(f"unsupported facet field {field!r}")
+    meta = normalize_meta(meta)
+    s = searcher
+    norm = s.manifest.get("normalization") or {}
+
+    def toks(text: str) -> list[str]:
+        return sorted({norm.get(t, t) for t in tokenize_py(text)})
+
+    sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
+    if s.n_docs == 0:
+        return {}
+    pure_not = not sh and not fl
+    df_global = s._df_for(sorted(set(sh + fl + mn)))
+    if any(t not in df_global for t in fl):
+        return {}
+    sh = [t for t in sh if t in df_global]
+    if should and not sh:
+        return {}
+    mn = [t for t in mn if t in df_global]
+    scan_terms = sorted(set(sh + fl + mn))
+
+    out: dict[str, int] = {}
+    for g in s.gens:
+        gen_id = g["id"]
+        reader = s._reader(gen_id)
+        cols = [c for c in reader.schema_names
+                if not c.startswith("imp_") and c != "pos_blocks"]
+        by_shard: dict[int, dict[str, dict]] = {}
+        for r in s._cached_rows(gen_id, reader, scan_terms, cols, "b"):
+            by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
+        if pure_not:
+            for (g_id, shard) in s.shard_docs:
+                if g_id == gen_id:
+                    by_shard.setdefault(shard, {})
+        for shard, rows_by_term in by_shard.items():
+            base = shard << ORD_SHARD_SHIFT
+            n_local = s.shard_docs[(gen_id, shard)]
+            amask = (s._meta_mask(gen_id, shard, meta)
+                     if meta is not None else None)
+            local, _sc = bool_match_shard(
+                sh, fl, mn, rows_by_term, n_local, base, df_global,
+                s.n_docs, s.avgdl, max(n_local, 1), allowed_init=amask)
+            if len(local) == 0:
+                continue
+            path = s.gdirs[gen_id] / s.docmap_files[(gen_id, shard)]
+            col = pq.read_table(path, columns=[field]).column(field)
+            for v in col.take(local.tolist()).to_pylist():
+                if v is not None:
+                    out[v] = out.get(v, 0) + 1
+    return out
 
 
 class _SegmentReader:

@@ -55,6 +55,8 @@ SIX = [
     # metadata-filtered scored search (docmap mask, metafilter.py)
     {"type": "bool", "should": "the spark", "meta": {"role": "assistant"}},
     {"type": "match", "q": "the spark", "meta": {"role": "user"}},
+    # facet aggregation over the full match set
+    {"type": "facet", "should": "the spark"},
 ]
 
 

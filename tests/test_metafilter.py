@@ -333,3 +333,42 @@ def test_metadata_change_invalidates_checkpoint(spark, tmp_path):
     assert s2.search_bool("alpha", k=5, meta={"role": "assistant"}) == []
     assert sorted(d for d, _ in s2.search_bool(
         "alpha", k=5, meta={"role": "user"})) == ["c1:0", "c1:1"]
+
+
+def test_facet_counts_parity(searcher, local, small_transcripts_pd):
+    """Facet counts over the full match set: brute pandas reference ≡
+    Spark ≡ serving, with and without a metadata mask."""
+    def ref(should, filter_q, meta):
+        out = {}
+        for row in small_transcripts_pd.itertuples():
+            if not _passes(row, meta):
+                continue
+            toks = set(tokenize_py(row.text))
+            sh = [t for t in sorted(set(tokenize_py(should))) if t in toks]
+            if should and not sh:
+                continue
+            fl = sorted(set(tokenize_py(filter_q)))
+            if fl and not all(t in toks for t in fl):
+                continue
+            if row.role is not None:
+                out[row.role] = out.get(row.role, 0) + 1
+        return out
+
+    cases = [("the spark", "", None),
+             ("deploy", "the", None),
+             ("the", "", {"ts_min": TS_MID}),
+             ("", "", {"conv_prefix": "c00"}),   # match-all facet + meta
+             ("", "", None)]                      # full-corpus facet
+    for should, filter_q, meta in cases:
+        want = ref(should, filter_q, meta)
+        got = searcher.facet_counts(should, filter_q, "", meta=meta)
+        assert got == want, (should, filter_q, meta)
+        got_local = local.facet_counts(should, filter_q, "", meta=meta)
+        assert got_local == want, (should, filter_q, meta)
+
+
+def test_facet_counts_field_validation(searcher, local):
+    with pytest.raises(ValueError, match="unsupported facet field"):
+        searcher.facet_counts_df("the", field="dl")
+    with pytest.raises(ValueError, match="unsupported facet field"):
+        local.facet_counts("the", field="nope")
