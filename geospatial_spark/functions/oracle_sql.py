@@ -61,6 +61,36 @@ LIMIT {k}
 """.strip()
 
 
+def bm25_expansion_sql(term_pred_sql: str, k: int = 10,
+                       max_expansions: int = 64,
+                       table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """Prefix/fuzzy rewrite oracle (plans/query.search_prefix_df /
+    search_fuzzy_df): the expansion set is the ``max_expansions``
+    highest-df dictionary terms matching ``term_pred_sql`` (a predicate
+    over column ``term``), ties broken term-asc — then scored as the
+    plain BM25 should-OR (each expanded term keeps its own idf)."""
+    per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "dft.df", "s.n")
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+vocab AS (SELECT term, count(*)::INT AS df FROM tf GROUP BY 1),
+qt AS (
+  SELECT term FROM vocab WHERE {term_pred_sql}
+  ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}
+),
+dft AS (SELECT term, df FROM vocab WHERE term IN (SELECT term FROM qt)),
+scored AS (
+  SELECT tf.doc_id, SUM({per_term}) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, {ROUND_DP}) AS score
+FROM scored
+ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def bm25_phrase_sql(phrase: str, k: int = 10, table: str = "documents",
                     id_col: str = "doc_id", text_col: str = "text") -> str:
     """Exact-phrase top-k: docs whose KEPT token stream contains the

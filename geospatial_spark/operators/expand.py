@@ -1,0 +1,99 @@
+"""Multi-term query expansion: prefix and fuzzy term queries.
+
+Reference analogue: the query-builder surface that rewrites a single
+user term into a dictionary-driven disjunction before scoring (the
+plugin's query extension point, GeospatialPlugin.java:121-133; Lucene's
+PrefixQuery / FuzzyQuery rewrite). The pinned semantics here:
+
+  * expansion runs over the INDEX DICTIONARY (term, df), never the
+    postings — the dictionary is the small side (vocab-sized);
+  * the expansion set is deterministic: every matching term when the
+    match count is within ``max_expansions``, else the
+    ``max_expansions`` highest-df terms (ties broken by term asc) —
+    Lucene's top-terms rewrite shape, with a pinned tie-break;
+  * the rewritten query scores as a plain BM25 should-OR over the
+    expanded terms (each term keeps its own idf) — unlike Lucene's
+    default constant-score rewrite we keep full scoring, which is the
+    pinned, oracle-checkable contract.
+
+Scale: the dictionary scan is a distributed filter + bounded top-k;
+``StartsWith`` pushes to the parquet dictionary scan as a data filter,
+the Levenshtein band first prunes by length (|len(t) - len(q)| ≤
+max_edits, an index-friendly range predicate) before the O(len²)
+distance kernel runs JVM-side. The driver only ever materialises
+``max_expansions`` rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_EXPANSIONS = 64
+
+
+def levenshtein_py(a: str, b: str) -> int:
+    """Standard (unit-cost) Levenshtein — the same metric as Spark's
+    ``F.levenshtein`` and DuckDB's ``levenshtein``, so all three tiers
+    expand identically."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def pick_top_py(df_by_term: dict[str, int], max_expansions: int) -> list[str]:
+    """The pinned cap: highest-df ``max_expansions`` terms, ties broken
+    term-asc — identical to _top_terms' DataFrame form."""
+    ranked = sorted(df_by_term.items(), key=lambda kv: (-kv[1], kv[0]))
+    return sorted(t for t, _ in ranked[:int(max_expansions)])
+
+
+def _top_terms(matches: DataFrame, max_expansions: int) -> list[str]:
+    """Deterministic bounded expansion: global df per term, then the
+    max_expansions highest-df terms (df desc, term asc)."""
+    rows = (
+        matches.groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(max_expansions))
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def expand_prefix(dict_df: DataFrame, prefix: str,
+                  max_expansions: int = MAX_EXPANSIONS) -> list[str]:
+    """Terms in the dictionary starting with ``prefix`` (already
+    normalized/lowercase), highest-df ``max_expansions`` of them."""
+    prefix = (prefix or "").lower()
+    if not prefix:
+        return []
+    return _top_terms(
+        dict_df.where(F.col("term").startswith(prefix)), max_expansions)
+
+
+def expand_fuzzy(dict_df: DataFrame, term: str, max_edits: int = 1,
+                 prefix_length: int = 0,
+                 max_expansions: int = MAX_EXPANSIONS) -> list[str]:
+    """Terms within ``max_edits`` Levenshtein edits of ``term``
+    (FuzzyQuery shape). ``prefix_length`` pins an exact shared prefix
+    (Lucene's cheap pre-filter); the length band prunes before the
+    distance kernel."""
+    term = (term or "").lower()
+    if not term:
+        return []
+    cand = dict_df.where(
+        F.abs(F.length("term") - F.lit(len(term))) <= int(max_edits))
+    if prefix_length > 0:
+        cand = cand.where(
+            F.col("term").startswith(term[:int(prefix_length)]))
+    cand = cand.where(F.levenshtein(F.col("term"), F.lit(term)) <= int(max_edits))
+    return _top_terms(cand, max_expansions)

@@ -155,6 +155,39 @@ def _bm25_wand(query: str, k: int = 10, quantized: bool = False):
     return run
 
 
+def _bm25_expansion(kind: str, q: str, k: int = 10):
+    """Prefix/fuzzy rewrite through the REAL compressed index: bounded
+    dictionary expansion (operators/expand.py) scored as a BM25
+    should-OR, re-keyed/rounded under the usual gate contract."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        if kind == "prefix":
+            def fetch(m):
+                return s.search_prefix_df(q, m)
+        else:
+            def fetch(m):
+                return s.search_fuzzy_df(q, m)
+        probe = fetch(1)
+        if probe is None:
+            return (_docs(spark, sf_dir)
+                    .select("doc_id", F.lit(0.0).alias("score")).limit(0))
+        df = _adaptive_overfetch(spark, fetch, k, s.n_docs)
+        return (
+            df.select(
+                F.substring_index("doc_id", ":", 1).cast("long").alias("doc_id"),
+                F.col("score").alias("raw"))
+            .orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("doc_id"))
+            .select("doc_id", F.round("raw", ROUND_DP).alias("score"))
+            .limit(k)
+        )
+
+    return run
+
+
 def _bm25_phrase(phrase: str, k: int = 10):
     """Exact-phrase top-k through the positions stream of the REAL
     compressed index (operators/phrase.py), re-keyed and rounded under
@@ -348,6 +381,12 @@ META_FILTER = {"role": "assistant",
                "ts_min": (META_EPOCH_S + 30 * 60) * 1_000_000}
 META_PRED_SQL = "d.doc_id % 3 = 0 AND d.doc_id >= 30"
 BM25_Q_MULTI = "spark merge table scan"
+# expansion-query gate constants: prefix 's' matches 6 vocabulary terms,
+# 'sow' is a misspelling within 1 edit of {slow, row} — both expansions
+# are far under MAX_EXPANSIONS at every sf, so the engine's df-ranked cap
+# never binds and the oracle's LIMIT is inert (same set on both sides)
+PREFIX_Q = "s"
+FUZZY_Q = "sow"
 BM25_Q_SINGLE = "spark"
 BM25_Q_MISSING = "qqqqzzz"
 POSTING_TERMS = ["spark", "window", "vector"]
@@ -803,10 +842,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_hot": _bm25_wand("the table", 10),
         # exact-phrase via the positions stream (Lucene .pos analogue)
         "bm25_phrase": _bm25_phrase(PHRASE_Q, 10),
-        "bm25_phrase_rare": _bm25_phrase(PHRASE_Q_RARE, 10),
         # phrase-as-term: idf(phrase df), tf = occurrence count
         "bm25_phrase_scored": _bm25_phrase_scored(PHRASE_Q, 10),
         "bm25_near": _bm25_near(PHRASE_Q, NEAR_SLOP, 10),
+        # prefix/fuzzy rewrite: bounded df-ranked dictionary expansion
+        # scored as a BM25 should-OR (operators/expand.py)
+        "bm25_prefix": _bm25_expansion("prefix", PREFIX_Q, 10),
+        "bm25_fuzzy": _bm25_expansion("fuzzy", FUZZY_Q, 10),
         # bool query: scored should-OR ∩ filter-AND ∖ must_not
         "bm25_bool": _bm25_bool(*BOOL_Q, 10),
         "bm25_bool_filter_only": _bm25_bool("", BOOL_Q[1], BOOL_Q[2], 10),
@@ -832,8 +874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_exact": _dedup_exact,
         "dedup_minhash_sigs": _minhash_sigs,
-        "dedup_minhash_lsh_pairs": _minhash_lsh_pairs,
-        "dedup_ngram_jaccard": _ngram_jaccard,
         "dedup_lsh_verified": _lsh_verified,
         "dedup_groups": _dup_groups,
         "dedup_simhash": _simhash,
@@ -878,6 +918,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and": _intersection_of(POSTING_TERMS),
         "boolean_or": _union_of(POSTING_TERMS),
         "embed_norm": _embed_norm,
+        # bm25_phrase_rare: the same positions-stream plan as bm25_phrase
+        # with a rarer constant — one gate row per code path suffices
+        "bm25_phrase_rare": _bm25_phrase(PHRASE_Q_RARE, 10),
+        # dedup_minhash_lsh_pairs / dedup_ngram_jaccard: both are stages
+        # of dedup_lsh_verified, which gates the SAME discovery + verify
+        # fragments chained on the FULL corpus (these two run a bounded
+        # subset); they stay oracle-gated in tests/test_driver_gate.py
+        "dedup_minhash_lsh_pairs": _minhash_lsh_pairs,
+        "dedup_ngram_jaccard": _ngram_jaccard,
         # text_fingerprint is dedup_exact's md5 grouping key — the same
         # expression stays gated through that row
         "text_fingerprint": _fingerprint,
@@ -905,6 +954,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_rare": osql.bm25_phrase_sql(PHRASE_Q_RARE, 10),
         "bm25_phrase_scored": osql.bm25_phrase_scored_sql(PHRASE_Q, 10),
         "bm25_near": osql.bm25_near_sql(PHRASE_Q, NEAR_SLOP, 10),
+        "bm25_prefix": osql.bm25_expansion_sql(
+            f"term LIKE '{PREFIX_Q}%'", 10),
+        "bm25_fuzzy": osql.bm25_expansion_sql(
+            f"levenshtein(term, '{FUZZY_Q}') <= 1", 10),
         "bm25_bool": osql.bm25_bool_sql(*BOOL_Q, 10),
         "bm25_bool_filter_only": osql.bm25_bool_sql("", BOOL_Q[1], BOOL_Q[2], 10),
         "bm25_bool_not_only": osql.bm25_bool_sql("", "", BOOL_Q[2], 10),

@@ -540,6 +540,66 @@ class IndexSearcher:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
 
+    # -- expansion queries (prefix / fuzzy rewrite) --------------------
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 64) -> list[str]:
+        """Dictionary terms starting with ``prefix`` — the bounded,
+        df-ranked expansion set (operators/expand.py)."""
+        from geospatial_spark.operators.expand import expand_prefix as _ep
+
+        return _ep(self._dict_df(), prefix, max_expansions)
+
+    def expand_fuzzy(self, term: str, max_edits: int = 1,
+                     prefix_length: int = 0,
+                     max_expansions: int = 64) -> list[str]:
+        """Dictionary terms within ``max_edits`` Levenshtein edits of
+        ``term`` (operators/expand.py)."""
+        from geospatial_spark.operators.expand import expand_fuzzy as _ef
+
+        return _ef(self._dict_df(), term, max_edits, prefix_length,
+                   max_expansions)
+
+    def search_prefix_df(self, prefix: str, k: int = 10,
+                         max_expansions: int = 64,
+                         meta: dict | None = None) -> DataFrame | None:
+        """PrefixQuery rewrite: expand against the dictionary, then
+        score the expansion as a plain BM25 should-OR (each term keeps
+        its own idf — the pinned, oracle-checkable contract; see
+        operators/expand.py for the rewrite spec). The expansion terms
+        are single normalized tokens, so the rewritten query string
+        round-trips exactly through the tokenizer."""
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return None
+        return self.search_df(" ".join(terms), k, meta=meta)
+
+    def search_prefix(self, prefix: str, k: int = 10,
+                      max_expansions: int = 64) -> list[tuple[str, float]]:
+        df = self.search_prefix_df(prefix, k, max_expansions)
+        if df is None:
+            return []
+        return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
+    def search_fuzzy_df(self, term: str, k: int = 10, max_edits: int = 1,
+                        prefix_length: int = 0, max_expansions: int = 64,
+                        meta: dict | None = None) -> DataFrame | None:
+        """FuzzyQuery rewrite: Levenshtein-bounded dictionary expansion
+        scored as a BM25 should-OR (same contract as search_prefix_df)."""
+        terms = self.expand_fuzzy(term, max_edits, prefix_length,
+                                  max_expansions)
+        if not terms:
+            return None
+        return self.search_df(" ".join(terms), k, meta=meta)
+
+    def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 1,
+                     prefix_length: int = 0,
+                     max_expansions: int = 64) -> list[tuple[str, float]]:
+        df = self.search_fuzzy_df(term, k, max_edits, prefix_length,
+                                  max_expansions)
+        if df is None:
+            return []
+        return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
     def _check_meta_support(self, meta: dict | None) -> None:
         """Fail fast (driver-side, one parquet footer per generation)
         when a metadata predicate targets docmap columns an old-format

@@ -189,6 +189,88 @@ class LocalSearcher:
                 out[term] = out.get(term, 0) + int(df)
         return out
 
+    # -- expansion queries (prefix / fuzzy rewrite) ---------------------
+
+    def _expand(self, match, max_expansions: int,
+                arrow_filter=None) -> list[str]:
+        """Dictionary expansion shared by prefix/fuzzy: merge df across
+        generations for terms passing ``match`` (a python predicate),
+        then apply the pinned df-desc/term-asc cap (operators/expand.py).
+        Small-vocab tier scans the already-merged driver dict; the
+        large-vocab tier streams dictionary batches (optionally
+        pre-filtered by ``arrow_filter`` on the parquet scan) so memory
+        stays O(matching terms), never O(vocabulary)."""
+        from geospatial_spark.operators.expand import pick_top_py
+
+        self._load_dict()
+        acc: dict[str, int] = {}
+        if self._dict is not None:
+            for term, df in self._dict.items():
+                if match(term):
+                    acc[term] = df
+        else:
+            for _gen_id, d in self._dict_datasets():
+                scanner = d.scanner(columns=["term", "df"],
+                                    filter=arrow_filter)
+                for batch in scanner.to_batches():
+                    for term, df in zip(batch.column("term").to_pylist(),
+                                        batch.column("df").to_pylist()):
+                        if match(term):
+                            acc[term] = acc.get(term, 0) + int(df)
+        return pick_top_py(acc, max_expansions)
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 64) -> list[str]:
+        import pyarrow.compute as pc
+
+        prefix = (prefix or "").lower()
+        if not prefix:
+            return []
+        return self._expand(
+            lambda t: t.startswith(prefix), max_expansions,
+            arrow_filter=pc.starts_with(pc.field("term"), prefix))
+
+    def expand_fuzzy(self, term: str, max_edits: int = 1,
+                     prefix_length: int = 0,
+                     max_expansions: int = 64) -> list[str]:
+        from geospatial_spark.operators.expand import levenshtein_py
+
+        term = (term or "").lower()
+        if not term:
+            return []
+        me = int(max_edits)
+        pfx = term[:int(prefix_length)] if prefix_length > 0 else ""
+
+        def match(t: str) -> bool:
+            return (abs(len(t) - len(term)) <= me
+                    and (not pfx or t.startswith(pfx))
+                    and levenshtein_py(t, term) <= me)
+
+        arrow_filter = None
+        if pfx:
+            import pyarrow.compute as pc
+            arrow_filter = pc.starts_with(pc.field("term"), pfx)
+        return self._expand(match, max_expansions, arrow_filter=arrow_filter)
+
+    def search_prefix(self, prefix: str, k: int = 10,
+                      max_expansions: int = 64,
+                      meta: dict | None = None) -> list[tuple[str, float]]:
+        """PrefixQuery rewrite — identical contract to
+        IndexSearcher.search_prefix_df (BM25 should-OR over the bounded
+        df-ranked expansion)."""
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return []
+        return self.search(" ".join(terms), k, meta=meta)
+
+    def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 1,
+                     prefix_length: int = 0, max_expansions: int = 64,
+                     meta: dict | None = None) -> list[tuple[str, float]]:
+        terms = self.expand_fuzzy(term, max_edits, prefix_length,
+                                  max_expansions)
+        if not terms:
+            return []
+        return self.search(" ".join(terms), k, meta=meta)
+
     def _imp_for(self, gen_id: str) -> set:
         """Terms holding an impact-ordered copy in this generation — the
         pre-read routing signal (light read vs doc-stream prefetch)."""
