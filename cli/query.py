@@ -37,6 +37,23 @@ def main() -> None:
     ap.add_argument("--slop", type=int, default=None,
                     help="proximity: all query terms within a window "
                          "of this width")
+    ap.add_argument("--prefix", action="store_true",
+                    help="treat --query as a term prefix (bounded "
+                         "dictionary expansion scored as a BM25 OR)")
+    ap.add_argument("--fuzzy", action="store_true",
+                    help="treat --query as a fuzzy term (Levenshtein "
+                         "expansion, see --max-edits)")
+    ap.add_argument("--wildcard", action="store_true",
+                    help="treat --query as a */? wildcard pattern")
+    ap.add_argument("--max-edits", dest="max_edits", type=int, default=1,
+                    help="fuzzy: max Levenshtein edits (default 1)")
+    ap.add_argument("--fuzzy-prefix-length", dest="fuzzy_prefix_length",
+                    type=int, default=0,
+                    help="fuzzy: exact shared prefix length (default 0)")
+    ap.add_argument("--max-expansions", dest="max_expansions", type=int,
+                    default=64,
+                    help="prefix/fuzzy/wildcard: expansion cap — the "
+                         "highest-df terms kept (default 64)")
     ap.add_argument("--filter", default="",
                     help="bool filter clause (unscored AND)")
     ap.add_argument("--must-not", dest="must_not", default="",
@@ -65,10 +82,14 @@ def main() -> None:
     mode = ("phrase_scored" if args.phrase_scored else
             "phrase" if args.phrase else
             "near" if args.slop is not None else
+            "prefix" if args.prefix else
+            "fuzzy" if args.fuzzy else
+            "wildcard" if args.wildcard else
             "bool" if (args.filter or args.must_not) else "match")
-    if meta and mode not in ("match", "bool"):
-        ap.error("--role/--ts-min/--ts-max/--conv-prefix apply to match "
-                 "and bool queries only")
+    if meta and mode not in ("match", "bool", "prefix", "fuzzy",
+                             "wildcard"):
+        ap.error("--role/--ts-min/--ts-max/--conv-prefix apply to match, "
+                 "bool and expansion queries only")
     if args.local:
         from geospatial_spark.plans.serve import LocalSearcher
 
@@ -79,6 +100,16 @@ def main() -> None:
             hits = ls.search_phrase(args.query, args.k)
         elif mode == "near":
             hits = ls.search_near(args.query, args.slop, args.k)
+        elif mode == "prefix":
+            hits = ls.search_prefix(args.query, args.k,
+                                    args.max_expansions, meta=meta)
+        elif mode == "fuzzy":
+            hits = ls.search_fuzzy(args.query, args.k, args.max_edits,
+                                   args.fuzzy_prefix_length,
+                                   args.max_expansions, meta=meta)
+        elif mode == "wildcard":
+            hits = ls.search_wildcard(args.query, args.k,
+                                      args.max_expansions, meta=meta)
         elif mode == "bool":
             hits = ls.search_bool(args.query, args.filter, args.must_not,
                                   args.k, meta=meta,
@@ -98,6 +129,16 @@ def main() -> None:
             hits = s.search_phrase(args.query, args.k)
         elif mode == "near":
             hits = s.search_near(args.query, args.slop, args.k)
+        elif mode == "prefix":
+            hits = s.search_prefix(args.query, args.k,
+                                   args.max_expansions, meta=meta)
+        elif mode == "fuzzy":
+            hits = s.search_fuzzy(args.query, args.k, args.max_edits,
+                                  args.fuzzy_prefix_length,
+                                  args.max_expansions, meta=meta)
+        elif mode == "wildcard":
+            hits = s.search_wildcard(args.query, args.k,
+                                     args.max_expansions, meta=meta)
         elif mode == "bool":
             hits = s.search_bool(args.query, args.filter, args.must_not,
                                  args.k, meta=meta,

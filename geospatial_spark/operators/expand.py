@@ -80,6 +80,52 @@ def expand_prefix(dict_df: DataFrame, prefix: str,
         dict_df.where(F.col("term").startswith(prefix)), max_expansions)
 
 
+def wildcard_regex(pattern: str) -> str:
+    """Anchored regex for a Lucene-style wildcard pattern: ``*`` = any
+    run (including empty), ``?`` = exactly one char, everything else
+    literal. The same compiled form drives all three tiers."""
+    import re
+
+    parts = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    return "^" + "".join(parts) + "$"
+
+
+def wildcard_literal_prefix(pattern: str) -> str:
+    """The literal run before the first wildcard — the scan-pushdown
+    pre-filter (Lucene's prefix-accelerated wildcard)."""
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            return pattern[:i]
+    return pattern
+
+
+def expand_wildcard(dict_df: DataFrame, pattern: str,
+                    max_expansions: int = MAX_EXPANSIONS) -> list[str]:
+    """Terms matching a ``*``/``?`` wildcard pattern (WildcardQuery
+    shape). A leading literal prefix pushes to the parquet dictionary
+    scan as ``StartsWith``; the anchored regex runs JVM-side on the
+    survivors."""
+    pattern = (pattern or "").lower()
+    if not pattern or pattern.strip("*?") == "":
+        # all-wildcard patterns (match-everything) are rejected rather
+        # than expanded — the cap would pick an arbitrary-feeling slice
+        # of the whole vocabulary (Lucene guards these the same way)
+        return []
+    cand = dict_df
+    pfx = wildcard_literal_prefix(pattern)
+    if pfx:
+        cand = cand.where(F.col("term").startswith(pfx))
+    cand = cand.where(F.col("term").rlike(wildcard_regex(pattern)))
+    return _top_terms(cand, max_expansions)
+
+
 def expand_fuzzy(dict_df: DataFrame, term: str, max_edits: int = 1,
                  prefix_length: int = 0,
                  max_expansions: int = MAX_EXPANSIONS) -> list[str]:

@@ -168,6 +168,9 @@ def _bm25_expansion(kind: str, q: str, k: int = 10):
         if kind == "prefix":
             def fetch(m):
                 return s.search_prefix_df(q, m)
+        elif kind == "wildcard":
+            def fetch(m):
+                return s.search_wildcard_df(q, m)
         else:
             def fetch(m):
                 return s.search_fuzzy_df(q, m)
@@ -387,6 +390,8 @@ BM25_Q_MULTI = "spark merge table scan"
 # never binds and the oracle's LIMIT is inert (same set on both sides)
 PREFIX_Q = "s"
 FUZZY_Q = "sow"
+# '*ow' matches {row, slow, window} — translates exactly to LIKE '%ow'
+WILDCARD_Q = "*ow"
 BM25_Q_SINGLE = "spark"
 BM25_Q_MISSING = "qqqqzzz"
 POSTING_TERMS = ["spark", "window", "vector"]
@@ -849,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scored as a BM25 should-OR (operators/expand.py)
         "bm25_prefix": _bm25_expansion("prefix", PREFIX_Q, 10),
         "bm25_fuzzy": _bm25_expansion("fuzzy", FUZZY_Q, 10),
+        "bm25_wildcard": _bm25_expansion("wildcard", WILDCARD_Q, 10),
         # bool query: scored should-OR ∩ filter-AND ∖ must_not
         "bm25_bool": _bm25_bool(*BOOL_Q, 10),
         "bm25_bool_filter_only": _bm25_bool("", BOOL_Q[1], BOOL_Q[2], 10),
@@ -958,6 +964,8 @@ def oracle_sql() -> dict[str, str]:
             f"term LIKE '{PREFIX_Q}%'", 10),
         "bm25_fuzzy": osql.bm25_expansion_sql(
             f"levenshtein(term, '{FUZZY_Q}') <= 1", 10),
+        # the engine's *-wildcard is exactly SQL LIKE's %
+        "bm25_wildcard": osql.bm25_expansion_sql("term LIKE '%ow'", 10),
         "bm25_bool": osql.bm25_bool_sql(*BOOL_Q, 10),
         "bm25_bool_filter_only": osql.bm25_bool_sql("", BOOL_Q[1], BOOL_Q[2], 10),
         "bm25_bool_not_only": osql.bm25_bool_sql("", "", BOOL_Q[2], 10),

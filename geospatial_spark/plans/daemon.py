@@ -21,8 +21,9 @@ a production web stack. Endpoints:
     POST /search        → {"type": ..., "q": ..., "k": ...} → hits
     POST /search_batch  → [req, ...] → [hits, ...]
 
-All six query types are served: match, phrase, phrase_scored, near,
-bool (including pure-NOT via empty should/filter).
+All query types are served: match, phrase, phrase_scored, near,
+bool (including pure-NOT via empty should/filter), facet, and the
+expansion rewrites prefix / fuzzy / wildcard.
 """
 
 from __future__ import annotations
@@ -47,6 +48,19 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
         return searcher.search(req["q"], k,
                                quantized=bool(req.get("quantized", False)),
                                meta=req.get("meta"))
+    if qtype == "prefix":
+        return searcher.search_prefix(
+            req["q"], k, int(req.get("max_expansions", 64)),
+            meta=req.get("meta"))
+    if qtype == "fuzzy":
+        return searcher.search_fuzzy(
+            req["q"], k, int(req.get("max_edits", 1)),
+            int(req.get("prefix_length", 0)),
+            int(req.get("max_expansions", 64)), meta=req.get("meta"))
+    if qtype == "wildcard":
+        return searcher.search_wildcard(
+            req["q"], k, int(req.get("max_expansions", 64)),
+            meta=req.get("meta"))
     if qtype == "phrase":
         return searcher.search_phrase(req["q"], k)
     if qtype == "phrase_scored":

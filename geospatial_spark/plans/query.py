@@ -559,6 +559,32 @@ class IndexSearcher:
         return _ef(self._dict_df(), term, max_edits, prefix_length,
                    max_expansions)
 
+    def expand_wildcard(self, pattern: str,
+                        max_expansions: int = 64) -> list[str]:
+        """Dictionary terms matching a ``*``/``?`` wildcard pattern
+        (operators/expand.py)."""
+        from geospatial_spark.operators.expand import expand_wildcard as _ew
+
+        return _ew(self._dict_df(), pattern, max_expansions)
+
+    def search_wildcard_df(self, pattern: str, k: int = 10,
+                           max_expansions: int = 64,
+                           meta: dict | None = None) -> DataFrame | None:
+        """WildcardQuery rewrite — same bounded-expansion → BM25
+        should-OR contract as search_prefix_df."""
+        terms = self.expand_wildcard(pattern, max_expansions)
+        if not terms:
+            return None
+        return self.search_df(" ".join(terms), k, meta=meta)
+
+    def search_wildcard(self, pattern: str, k: int = 10,
+                        max_expansions: int = 64,
+                        meta: dict | None = None) -> list[tuple[str, float]]:
+        df = self.search_wildcard_df(pattern, k, max_expansions, meta=meta)
+        if df is None:
+            return []
+        return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
     def search_prefix_df(self, prefix: str, k: int = 10,
                          max_expansions: int = 64,
                          meta: dict | None = None) -> DataFrame | None:
@@ -574,8 +600,9 @@ class IndexSearcher:
         return self.search_df(" ".join(terms), k, meta=meta)
 
     def search_prefix(self, prefix: str, k: int = 10,
-                      max_expansions: int = 64) -> list[tuple[str, float]]:
-        df = self.search_prefix_df(prefix, k, max_expansions)
+                      max_expansions: int = 64,
+                      meta: dict | None = None) -> list[tuple[str, float]]:
+        df = self.search_prefix_df(prefix, k, max_expansions, meta=meta)
         if df is None:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
@@ -592,13 +619,38 @@ class IndexSearcher:
         return self.search_df(" ".join(terms), k, meta=meta)
 
     def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 1,
-                     prefix_length: int = 0,
-                     max_expansions: int = 64) -> list[tuple[str, float]]:
+                     prefix_length: int = 0, max_expansions: int = 64,
+                     meta: dict | None = None) -> list[tuple[str, float]]:
         df = self.search_fuzzy_df(term, k, max_edits, prefix_length,
-                                  max_expansions)
+                                  max_expansions, meta=meta)
         if df is None:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
+    def _rewrite_expansion_spec(self, spec: dict) -> dict:
+        """Prefix/fuzzy/wildcard batch entries rewrite driver-side into
+        the expanded match spec (or bool, when a metadata filter rides
+        along) — an empty expansion becomes the MatchNoDocs empty-match
+        spec, never a match-all."""
+        typ = spec.get("type", "match")
+        if typ not in ("prefix", "fuzzy", "wildcard"):
+            return spec
+        cap = int(spec.get("max_expansions", 64))
+        if typ == "prefix":
+            terms = self.expand_prefix(spec.get("q", ""), cap)
+        elif typ == "wildcard":
+            terms = self.expand_wildcard(spec.get("q", ""), cap)
+        else:
+            terms = self.expand_fuzzy(spec.get("q", ""),
+                                      int(spec.get("max_edits", 1)),
+                                      int(spec.get("prefix_length", 0)),
+                                      cap)
+        q = " ".join(terms)
+        quant = bool(spec.get("quantized", False))
+        if terms and spec.get("meta") is not None:
+            return {"type": "bool", "should": q, "meta": spec["meta"],
+                    "quantized": quant}
+        return {"type": "match", "q": q, "quantized": quant}
 
     def _check_meta_support(self, meta: dict | None) -> None:
         """Fail fast (driver-side, one parquet footer per generation)
@@ -829,7 +881,16 @@ class IndexSearcher:
           {"type": "near",   "q": text, "slop": int}
           {"type": "bool",   "should": text, "filter": text,
                              "must_not": text}   (clauses optional)
+          {"type": "prefix" | "fuzzy" | "wildcard", "q": term
+                             [, "max_expansions", "max_edits",
+                              "prefix_length", "meta"]}  — rewritten
+                             driver-side into the expanded match/bool
+                             spec (one small dictionary job per
+                             expansion entry, then the usual single
+                             batched segment job)
         """
+        queries = {qid: self._rewrite_expansion_spec(spec)
+                   for qid, spec in queries.items()}
         norm = self.manifest.get("normalization") or {}
 
         def toks_set(text: str) -> list[str]:

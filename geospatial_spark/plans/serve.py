@@ -251,6 +251,33 @@ class LocalSearcher:
             arrow_filter = pc.starts_with(pc.field("term"), pfx)
         return self._expand(match, max_expansions, arrow_filter=arrow_filter)
 
+    def expand_wildcard(self, pattern: str,
+                        max_expansions: int = 64) -> list[str]:
+        import re
+
+        from geospatial_spark.operators.expand import (
+            wildcard_literal_prefix, wildcard_regex)
+
+        pattern = (pattern or "").lower()
+        if not pattern or pattern.strip("*?") == "":
+            return []
+        rx = re.compile(wildcard_regex(pattern))
+        pfx = wildcard_literal_prefix(pattern)
+        arrow_filter = None
+        if pfx:
+            import pyarrow.compute as pc
+            arrow_filter = pc.starts_with(pc.field("term"), pfx)
+        return self._expand(lambda t: rx.match(t) is not None,
+                            max_expansions, arrow_filter=arrow_filter)
+
+    def search_wildcard(self, pattern: str, k: int = 10,
+                        max_expansions: int = 64,
+                        meta: dict | None = None) -> list[tuple[str, float]]:
+        terms = self.expand_wildcard(pattern, max_expansions)
+        if not terms:
+            return []
+        return self.search(" ".join(terms), k, meta=meta)
+
     def search_prefix(self, prefix: str, k: int = 10,
                       max_expansions: int = 64,
                       meta: dict | None = None) -> list[tuple[str, float]]:

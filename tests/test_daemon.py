@@ -57,6 +57,11 @@ SIX = [
     {"type": "match", "q": "the spark", "meta": {"role": "user"}},
     # facet aggregation over the full match set
     {"type": "facet", "should": "the spark"},
+    # expansion rewrites (prefix / fuzzy / wildcard)
+    {"type": "prefix", "q": "sp"},
+    {"type": "fuzzy", "q": "w100", "max_edits": 1},
+    {"type": "wildcard", "q": "s*k"},
+    {"type": "prefix", "q": "sp", "meta": {"role": "assistant"}},
 ]
 
 

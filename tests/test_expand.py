@@ -158,6 +158,68 @@ def test_search_fuzzy_matches_oracle(spark, exp_index, small_oracle):
             assert math.isclose(g, e, rel_tol=1e-9)
 
 
+def _oracle_expand_wildcard(oracle, pattern: str, max_expansions: int = 64):
+    import re
+
+    from geospatial_spark.operators.expand import wildcard_regex
+
+    rx = re.compile(wildcard_regex(pattern))
+    dfs = {t: len(p) for t, p in oracle.postings.items() if rx.match(t)}
+    return pick_top_py(dfs, max_expansions)
+
+
+def test_wildcard_three_tiers(spark, exp_index, small_oracle):
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    ss = IndexSearcher(spark, exp_index)
+    ls = LocalSearcher(exp_index)
+    for pat in ["s*k", "s?an", "*ow", "w1?0", "t*le", "spark"]:
+        want = _oracle_expand_wildcard(small_oracle, pat)
+        assert ss.expand_wildcard(pat) == want, pat
+        assert ls.expand_wildcard(pat) == want, pat
+    # all-wildcard patterns refuse to expand (match-all guard)
+    for pat in ["*", "?*", "", "***"]:
+        assert ss.expand_wildcard(pat) == []
+        assert ls.expand_wildcard(pat) == []
+
+
+def test_search_wildcard_matches_oracle(spark, exp_index, small_oracle):
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    ss = IndexSearcher(spark, exp_index)
+    ls = LocalSearcher(exp_index)
+    terms = _oracle_expand_wildcard(small_oracle, "s*")
+    assert terms
+    expected = small_oracle.search(" ".join(terms), 10)
+    for got in (ss.search_wildcard("s*", 10), ls.search_wildcard("s*", 10)):
+        assert [d for d, _ in got] == [d for d, _ in expected]
+        for (_, g), (_, e) in zip(got, expected):
+            assert math.isclose(g, e, rel_tol=1e-9)
+
+
+def test_mixed_batch_expansion_specs(spark, exp_index):
+    """search_many_mixed rewrites expansion entries driver-side — the
+    batched result must equal the singleton expansion queries, and an
+    empty expansion must yield [] (never match-all)."""
+    from geospatial_spark.plans.query import IndexSearcher
+
+    ss = IndexSearcher(spark, exp_index)
+    out = ss.search_many_mixed({
+        "p": {"type": "prefix", "q": "sp"},
+        "f": {"type": "fuzzy", "q": "w100", "max_edits": 1},
+        "w": {"type": "wildcard", "q": "s*k"},
+        "none": {"type": "fuzzy", "q": "qqqqqqqqqqq"},
+        "m": {"type": "match", "q": "the spark"},
+    }, k=10)
+    assert out["none"] == []
+    assert out["p"] == ss.search_prefix("sp", 10)
+    assert out["f"] == ss.search_fuzzy("w100", 10, 1)
+    assert out["w"] == ss.search_wildcard("s*k", 10)
+    assert out["m"] == ss.search("the spark", 10)
+
+
 def test_no_match_paths(spark, exp_index):
     from geospatial_spark.plans.query import IndexSearcher
     from geospatial_spark.plans.serve import LocalSearcher
