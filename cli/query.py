@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--slop", type=int, default=None,
                     help="proximity: all query terms within a window "
                          "of this width")
+    ap.add_argument("--phrase-prefix", dest="phrase_prefix",
+                    action="store_true",
+                    help="match_phrase_prefix: the query's last token "
+                         "is a term prefix; docs must contain the fixed "
+                         "tokens followed by any expansion")
     ap.add_argument("--prefix", action="store_true",
                     help="treat --query as a term prefix (bounded "
                          "dictionary expansion scored as a BM25 OR)")
@@ -82,6 +87,7 @@ def main() -> None:
     mode = ("phrase_scored" if args.phrase_scored else
             "phrase" if args.phrase else
             "near" if args.slop is not None else
+            "phrase_prefix" if args.phrase_prefix else
             "prefix" if args.prefix else
             "fuzzy" if args.fuzzy else
             "wildcard" if args.wildcard else
@@ -100,6 +106,9 @@ def main() -> None:
             hits = ls.search_phrase(args.query, args.k)
         elif mode == "near":
             hits = ls.search_near(args.query, args.slop, args.k)
+        elif mode == "phrase_prefix":
+            hits = ls.search_phrase_prefix(args.query, args.k,
+                                           args.max_expansions)
         elif mode == "prefix":
             hits = ls.search_prefix(args.query, args.k,
                                     args.max_expansions, meta=meta)
@@ -129,6 +138,9 @@ def main() -> None:
             hits = s.search_phrase(args.query, args.k)
         elif mode == "near":
             hits = s.search_near(args.query, args.slop, args.k)
+        elif mode == "phrase_prefix":
+            hits = s.search_phrase_prefix(args.query, args.k,
+                                          args.max_expansions)
         elif mode == "prefix":
             hits = s.search_prefix(args.query, args.k,
                                    args.max_expansions, meta=meta)

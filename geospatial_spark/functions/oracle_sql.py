@@ -126,6 +126,68 @@ LIMIT {k}
 """.strip()
 
 
+def bm25_phrase_prefix_sql(query: str, k: int = 10,
+                           max_expansions: int = 64,
+                           table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """match_phrase_prefix oracle (plans/query.search_phrase_prefix_df):
+    the trailing token is a term prefix expanded under the pinned cap
+    (highest-df ``max_expansions`` dictionary terms, ties term-asc); a
+    doc matches variant e iff its kept token stream contains the fixed
+    tokens followed immediately by e, scores per variant as the sum of
+    the variant's distinct terms' BM25 contributions, and per doc as
+    the MAX over matching variants. Adjacency via the space-joined
+    token string (the bm25_phrase_sql trick)."""
+    toks = tokenize_py(query)
+    if not toks:
+        return "SELECT NULL::BIGINT AS doc_id, NULL::DOUBLE AS score WHERE 1=0"
+    fixed = toks[:-1]
+    pfx = toks[-1]
+    fixed_needle = " " + " ".join(fixed) + " " if fixed else " "
+    per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "vc.df", "s.n")
+    if fixed:
+        vals = ", ".join(f"('{t}')" for t in sorted(set(fixed)))
+        vterms = f"""
+  SELECT DISTINCT v.doc_id, v.eterm, f.term
+  FROM variants v CROSS JOIN (VALUES {vals}) AS f(term)
+  UNION
+  SELECT DISTINCT doc_id, eterm, eterm AS term FROM variants
+""".strip()
+    else:
+        vterms = "SELECT DISTINCT doc_id, eterm, eterm AS term FROM variants"
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+vocab AS (SELECT term, count(*)::INT AS df FROM tf GROUP BY 1),
+exp AS (
+  SELECT term FROM vocab WHERE term LIKE '{pfx}%'
+  ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}
+),
+joined AS (
+  SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s FROM docs
+),
+variants AS (
+  SELECT j.doc_id, e.term AS eterm
+  FROM joined j CROSS JOIN exp e
+  WHERE position('{fixed_needle}' || e.term || ' ' IN j.s) > 0
+),
+vterms AS ({vterms}),
+scored_v AS (
+  SELECT vt.doc_id, vt.eterm, SUM({per_term}) AS raw
+  FROM vterms vt
+  JOIN tf ON tf.doc_id = vt.doc_id AND tf.term = vt.term
+  JOIN vocab vc ON vc.term = vt.term
+  JOIN dl ON dl.doc_id = vt.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+scored AS (SELECT doc_id, MAX(raw) AS raw FROM scored_v GROUP BY 1)
+SELECT doc_id, round(raw, {ROUND_DP}) AS score
+FROM scored
+ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def bm25_phrase_scored_sql(phrase: str, k: int = 10,
                            table: str = "documents",
                            id_col: str = "doc_id",

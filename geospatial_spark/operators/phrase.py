@@ -344,3 +344,118 @@ def near_match_shard(
     order = np.lexsort((matched, -scores))
     top = order[:k]
     return matched[top], scores[top], spans[top]
+
+
+def phrase_prefix_match_shard(
+    fixed_slots: list[str],
+    exp_terms: list[str],
+    rows_by_term: dict[str, dict],
+    base_ord: int,
+    df_global: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+):
+    """match_phrase_prefix: the fixed slots followed immediately by ANY
+    of the expansion terms (the trailing prefix expanded against the
+    dictionary, Lucene MatchPhrasePrefixQuery shape).
+
+    Pinned contract (shared with the DuckDB oracle):
+      * a doc matches variant e iff its kept token stream contains
+        ``fixed_slots + [e]`` consecutively;
+      * variant score = Σ over the variant's DISTINCT terms of their
+        exact BM25 contributions (the phrase contract);
+      * doc score = MAX over its matching variants.
+
+    Scale shape: the fixed prefix decodes and position-intersects ONCE;
+    each expansion variant then costs one doc-set intersection plus one
+    slot-key intersection against the precomputed fixed key set — the
+    per-variant work is bounded by the rarest fixed term's df, and the
+    variant count by max_expansions. Returns (local_docs, scores) of
+    the shard's top-k (score desc, doc asc).
+    """
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    distinct_fixed = list(dict.fromkeys(fixed_slots))
+    if any(t not in rows_by_term for t in distinct_fixed):
+        return empty
+    avail = [e for e in exp_terms if e in rows_by_term]
+    if not avail:
+        return empty
+
+    decoded: dict[str, tuple] = {}
+    cand = None
+    for t in sorted(distinct_fixed, key=lambda t: int(rows_by_term[t]["df"])):
+        decoded[t] = _decode_full_posting(rows_by_term[t], base_ord)
+        docs = decoded[t][0]
+        cand = docs if cand is None else np.intersect1d(cand, docs,
+                                                        assume_unique=True)
+        if len(cand) == 0:
+            return empty
+
+    def slot_keys(t: str, j: int, cand_docs):
+        """(doc << POS_SHIFT) | (pos − j) keys of term t's occurrences
+        in cand_docs — a phrase start survives iff its key appears in
+        every slot's key set (same packing as _phrase_occurrences)."""
+        docs, tfs, _dls, poss = decoded[t]
+        sel = np.searchsorted(docs, cand_docs)
+        tok_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        reps = tfs[sel]
+        idx = np.repeat(tok_starts[sel], reps) + (
+            np.arange(int(reps.sum())) -
+            np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])), reps))
+        p = poss[idx]
+        if p.max(initial=0) >= (1 << POS_SHIFT):
+            raise ValueError("document exceeds 2^22 tokens — phrase "
+                             "position packing would overflow")
+        adj = p - j
+        ok = adj >= 0
+        return (np.repeat(cand_docs, reps)[ok] << POS_SHIFT) | adj[ok]
+
+    nfix = len(fixed_slots)
+    fixed_keys = None
+    for j, t in enumerate(fixed_slots):
+        keys = slot_keys(t, j, cand)
+        fixed_keys = keys if fixed_keys is None else np.intersect1d(
+            fixed_keys, keys, assume_unique=True)
+        if len(fixed_keys) == 0:
+            return empty
+
+    all_docs, all_scores = [], []
+    for e in avail:
+        if e not in decoded:
+            decoded[e] = _decode_full_posting(rows_by_term[e], base_ord)
+        docs_e = decoded[e][0]
+        if nfix:
+            cand_e = np.intersect1d(cand, docs_e, assume_unique=True)
+            if len(cand_e) == 0:
+                continue
+            mk = np.intersect1d(fixed_keys, slot_keys(e, nfix, cand_e),
+                                assume_unique=True)
+            if len(mk) == 0:
+                continue
+            matched = np.unique(mk >> POS_SHIFT)
+        else:
+            # no fixed prefix: the variant is bare term presence
+            matched = docs_e
+        distinct = list(dict.fromkeys(fixed_slots + [e]))
+        all_docs.append(matched)
+        all_scores.append(_score_distinct_terms(
+            matched, distinct, decoded, df_global, n_docs, avgdl))
+    if not all_docs:
+        return empty
+
+    # per-doc max across variants: sort (doc asc, score desc), keep firsts
+    d = np.concatenate(all_docs)
+    s = np.concatenate(all_scores)
+    order = np.lexsort((-s, d))
+    d, s = d[order], s[order]
+    first = np.concatenate(([True], d[1:] != d[:-1]))
+    matched, scores = d[first], s[first]
+
+    if len(matched) > k:
+        kth = np.partition(scores, -k)[-k]
+        keep = scores >= kth
+        matched, scores = matched[keep], scores[keep]
+    order = np.lexsort((matched, -scores))
+    top = order[:k]
+    return matched[top], scores[top]

@@ -171,6 +171,9 @@ def _bm25_expansion(kind: str, q: str, k: int = 10):
         elif kind == "wildcard":
             def fetch(m):
                 return s.search_wildcard_df(q, m)
+        elif kind == "phrase_prefix":
+            def fetch(m):
+                return s.search_phrase_prefix_df(q, m)
         else:
             def fetch(m):
                 return s.search_fuzzy_df(q, m)
@@ -392,6 +395,9 @@ PREFIX_Q = "s"
 FUZZY_Q = "sow"
 # '*ow' matches {row, slow, window} — translates exactly to LIKE '%ow'
 WILDCARD_Q = "*ow"
+# match_phrase_prefix: fixed token 'table' + prefix 's' (6 variants,
+# far under the cap ⇒ the df-ranked cut never binds on either side)
+PHRASE_PREFIX_Q = "table s"
 BM25_Q_SINGLE = "spark"
 BM25_Q_MISSING = "qqqqzzz"
 POSTING_TERMS = ["spark", "window", "vector"]
@@ -855,6 +861,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": _bm25_expansion("prefix", PREFIX_Q, 10),
         "bm25_fuzzy": _bm25_expansion("fuzzy", FUZZY_Q, 10),
         "bm25_wildcard": _bm25_expansion("wildcard", WILDCARD_Q, 10),
+        # match_phrase_prefix: trailing-prefix expansion ∘ phrase
+        # adjacency, per-doc max over variants (operators/phrase.py)
+        "bm25_phrase_prefix": _bm25_expansion("phrase_prefix",
+                                              PHRASE_PREFIX_Q, 10),
         # bool query: scored should-OR ∩ filter-AND ∖ must_not
         "bm25_bool": _bm25_bool(*BOOL_Q, 10),
         "bm25_bool_filter_only": _bm25_bool("", BOOL_Q[1], BOOL_Q[2], 10),
@@ -966,6 +976,8 @@ def oracle_sql() -> dict[str, str]:
             f"levenshtein(term, '{FUZZY_Q}') <= 1", 10),
         # the engine's *-wildcard is exactly SQL LIKE's %
         "bm25_wildcard": osql.bm25_expansion_sql("term LIKE '%ow'", 10),
+        "bm25_phrase_prefix": osql.bm25_phrase_prefix_sql(
+            PHRASE_PREFIX_Q, 10),
         "bm25_bool": osql.bm25_bool_sql(*BOOL_Q, 10),
         "bm25_bool_filter_only": osql.bm25_bool_sql("", BOOL_Q[1], BOOL_Q[2], 10),
         "bm25_bool_not_only": osql.bm25_bool_sql("", "", BOOL_Q[2], 10),

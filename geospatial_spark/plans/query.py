@@ -293,6 +293,78 @@ class IndexSearcher:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
 
+    def search_phrase_prefix_df(self, query: str, k: int = 10,
+                                max_expansions: int = 64
+                                ) -> DataFrame | None:
+        """match_phrase_prefix top-k as a DataFrame (doc_id, score).
+
+        The query's trailing token is a term PREFIX, expanded against
+        the dictionary under the pinned cap (operators/expand.py); a
+        doc matches iff its kept token stream contains the fixed tokens
+        followed immediately by any expanded term, and scores as the
+        MAX over matching variants of the variant's phrase score
+        (operators/phrase.phrase_prefix_match_shard). One dictionary
+        job for the expansion, one segment job for the match.
+        """
+        if not self.manifest.get("positions", True):
+            raise ValueError("index built with store_positions=False "
+                             "cannot serve phrase queries — rebuild with "
+                             "positions")
+        norm = self.manifest.get("normalization") or {}
+        toks = tokenize_py(query)
+        if not toks or self.n_docs == 0:
+            return None
+        fixed = [norm.get(t, t) for t in toks[:-1]]
+        exp = self.expand_prefix(toks[-1], max_expansions)
+        if not exp:
+            return None
+        all_terms = sorted(set(fixed) | set(exp))
+        df_global = self._df_for(all_terms)
+        if any(t not in df_global for t in set(fixed)):
+            return None  # a fixed term absent corpus-wide ⇒ no doc matches
+
+        matched = (self._segments().where(F.col("term").isin(all_terms))
+                   .drop(*_IMP_COLS))
+        n_docs, avgdl = self.n_docs, self.avgdl
+        gdirs = self.gdirs
+        dm_files = self.docmap_files
+        kk = int(k)
+
+        def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from pathlib import Path as _P
+
+            import pyarrow.parquet as pq
+
+            from geospatial_spark.operators.phrase import (
+                phrase_prefix_match_shard,
+            )
+
+            gen, shard = str(key[0]), int(key[1])
+            base = shard << ORD_SHARD_SHIFT
+            rows_by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
+            local, scores = phrase_prefix_match_shard(
+                fixed, exp, rows_by_term, base, df_global, n_docs, avgdl, kk)
+            if len(local) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                                     "score": pd.Series([], dtype="float64")})
+            ids = pq.read_table(
+                _P(gdirs[gen]) / dm_files[(gen, shard)], columns=["doc_id"]
+            ).column("doc_id").take(local.tolist()).to_pylist()
+            return pd.DataFrame({"doc_id": ids,
+                                 "score": scores.astype(np.float64)})
+
+        per_shard = matched.groupBy("gen", "shard").applyInPandas(
+            run_shard, schema="doc_id string, score double")
+        return per_shard.orderBy(F.desc("score"), *merge_tie_break()).limit(kk)
+
+    def search_phrase_prefix(self, query: str, k: int = 10,
+                             max_expansions: int = 64
+                             ) -> list[tuple[str, float]]:
+        df = self.search_phrase_prefix_df(query, k, max_expansions)
+        if df is None:
+            return []
+        return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
     def search_phrase_scored(self, phrase: str, k: int = 10
                              ) -> list[tuple[str, float]]:
         """Phrase-as-term scoring (Lucene PhraseQuery semantics): the

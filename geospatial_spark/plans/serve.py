@@ -596,6 +596,68 @@ class LocalSearcher:
         candidates.sort()
         return [(d, -neg) for neg, _, _, d in candidates[:k]]
 
+    def search_phrase_prefix(self, query: str, k: int = 10,
+                             max_expansions: int = 64
+                             ) -> list[tuple[str, float]]:
+        """match_phrase_prefix without a Spark job — same contract as
+        IndexSearcher.search_phrase_prefix: trailing token expanded
+        against the dictionary, fixed-tokens-then-any-variant adjacency,
+        per-doc MAX over variant phrase scores
+        (operators/phrase.phrase_prefix_match_shard)."""
+        import pyarrow.parquet as pq
+
+        from geospatial_spark.operators.phrase import (
+            phrase_prefix_match_shard,
+        )
+
+        if not self.manifest.get("positions", True):
+            raise ValueError("index built with store_positions=False "
+                             "cannot serve phrase queries")
+        norm = self.manifest.get("normalization") or {}
+        toks = tokenize_py(query)
+        if not toks or self.n_docs == 0:
+            return []
+        fixed = [norm.get(t, t) for t in toks[:-1]]
+        exp = self.expand_prefix(toks[-1], max_expansions)
+        if not exp:
+            return []
+        all_terms = sorted(set(fixed) | set(exp))
+        df_global = self._df_for(all_terms)
+        if any(t not in df_global for t in set(fixed)):
+            return []
+
+        candidates: list[tuple[float, str, int, str]] = []
+        for g in self.gens:
+            gen_id = g["id"]
+            gdir = self.gdirs[gen_id]
+            reader = self._reader(gen_id)
+            cols = [c for c in reader.schema_names
+                    if not c.startswith("imp_")]
+            rows = self._cached_rows(gen_id, reader, all_terms, cols, "p")
+            by_shard: dict[int, dict[str, dict]] = {}
+            for r in rows:
+                by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
+            for shard, rows_by_term in by_shard.items():
+                base = shard << ORD_SHARD_SHIFT
+                local, scores = phrase_prefix_match_shard(
+                    fixed, exp, rows_by_term, base, df_global,
+                    self.n_docs, self.avgdl, k)
+                if len(local) == 0:
+                    continue
+                key = (gen_id, shard)
+                col = self._docmap_cache.get(key)
+                if col is None:
+                    col = pq.read_table(
+                        gdir / self.docmap_files[key],
+                        columns=["doc_id"]).column("doc_id").combine_chunks()
+                    self._docmap_cache[key] = col
+                for doc_id, sc in zip(col.take(local.tolist()).to_pylist(),
+                                      scores):
+                    conv, _, turn = doc_id.rpartition(":")
+                    candidates.append((-float(sc), conv, int(turn), doc_id))
+        candidates.sort()
+        return [(d, -neg) for neg, _, _, d in candidates[:k]]
+
     def search_phrase_scored(self, phrase: str, k: int = 10
                              ) -> list[tuple[str, float]]:
         """Phrase-as-term scoring on the serving path — same contract

@@ -75,6 +75,35 @@ class OracleIndex:
         hits.sort(key=lambda h: (-h[1], self.doc_sort_key(h[0])))
         return hits[:k]
 
+    def search_phrase_prefix(self, rows: list[tuple[str, int, str]],
+                             query: str, k: int = 10,
+                             max_expansions: int = 64
+                             ) -> list[tuple[str, float]]:
+        """match_phrase_prefix reference: the trailing token is a term
+        prefix expanded under the pinned cap (highest-df, ties
+        term-asc); a doc's score is the MAX over matching variants of
+        the variant's phrase score (the engine contract,
+        operators/phrase.phrase_prefix_match_shard)."""
+        from geospatial_spark.operators.expand import pick_top_py
+
+        toks = tokenize_py(query)
+        if not toks:
+            return []
+        fixed, pfx = toks[:-1], toks[-1]
+        dfs = {t: len(p) for t, p in self.postings.items()
+               if t.startswith(pfx)}
+        exp = pick_top_py(dfs, max_expansions)
+        best: dict[str, float] = {}
+        for e in exp:
+            variant = " ".join(fixed + [e])
+            for doc_id, score, _m in self.search_phrase(
+                    rows, variant, k=len(rows) + 1):
+                if doc_id not in best or score > best[doc_id]:
+                    best[doc_id] = score
+        hits = sorted(best.items(),
+                      key=lambda h: (-h[1], self.doc_sort_key(h[0])))
+        return hits[:k]
+
     def search_near(self, rows: list[tuple[str, int, str]], query: str,
                     slop: int, k: int = 10) -> list[tuple[str, float, int]]:
         """Proximity reference: (doc_id, score, min_span) for docs where

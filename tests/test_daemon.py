@@ -61,6 +61,7 @@ SIX = [
     {"type": "prefix", "q": "sp"},
     {"type": "fuzzy", "q": "w100", "max_edits": 1},
     {"type": "wildcard", "q": "s*k"},
+    {"type": "phrase_prefix", "q": "the sp"},
     {"type": "prefix", "q": "sp", "meta": {"role": "assistant"}},
 ]
 
