@@ -50,6 +50,9 @@ def main() -> None:
                          "expansion, see --max-edits)")
     ap.add_argument("--wildcard", action="store_true",
                     help="treat --query as a */? wildcard pattern")
+    ap.add_argument("--regexp", action="store_true",
+                    help="treat --query as an anchored regex over "
+                         "dictionary terms (must match the whole term)")
     ap.add_argument("--max-edits", dest="max_edits", type=int, default=1,
                     help="fuzzy: max Levenshtein edits (default 1)")
     ap.add_argument("--fuzzy-prefix-length", dest="fuzzy_prefix_length",
@@ -91,9 +94,10 @@ def main() -> None:
             "prefix" if args.prefix else
             "fuzzy" if args.fuzzy else
             "wildcard" if args.wildcard else
+            "regexp" if args.regexp else
             "bool" if (args.filter or args.must_not) else "match")
     if meta and mode not in ("match", "bool", "prefix", "fuzzy",
-                             "wildcard"):
+                             "wildcard", "regexp"):
         ap.error("--role/--ts-min/--ts-max/--conv-prefix apply to match, "
                  "bool and expansion queries only")
     if args.local:
@@ -119,6 +123,9 @@ def main() -> None:
         elif mode == "wildcard":
             hits = ls.search_wildcard(args.query, args.k,
                                       args.max_expansions, meta=meta)
+        elif mode == "regexp":
+            hits = ls.search_regexp(args.query, args.k,
+                                    args.max_expansions, meta=meta)
         elif mode == "bool":
             hits = ls.search_bool(args.query, args.filter, args.must_not,
                                   args.k, meta=meta,
@@ -151,6 +158,9 @@ def main() -> None:
         elif mode == "wildcard":
             hits = s.search_wildcard(args.query, args.k,
                                      args.max_expansions, meta=meta)
+        elif mode == "regexp":
+            hits = s.search_regexp(args.query, args.k,
+                                   args.max_expansions, meta=meta)
         elif mode == "bool":
             hits = s.search_bool(args.query, args.filter, args.must_not,
                                  args.k, meta=meta,

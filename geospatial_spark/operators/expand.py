@@ -126,6 +126,53 @@ def expand_wildcard(dict_df: DataFrame, pattern: str,
     return _top_terms(cand, max_expansions)
 
 
+REGEX_META = set(".?*+{}[]()|\\^$")
+
+
+def regexp_literal_prefix(pattern: str) -> str:
+    """The literal run before the first regex metacharacter — the
+    scan-pushdown pre-filter (the RegexpQuery analogue of
+    wildcard_literal_prefix)."""
+    for i, ch in enumerate(pattern):
+        if ch in REGEX_META:
+            return pattern[:i]
+    return pattern
+
+
+def regexp_guard(pattern: str) -> str:
+    """Normalize + reject degenerate regexp patterns. Returns the
+    lowercased pattern, or '' when the query must expand to nothing:
+    empty input and the trivially-universal forms ('.*', '.+', '.?')
+    are rejected the same way all-wildcard patterns are — the cap
+    would otherwise pick an arbitrary-feeling slice of the whole
+    vocabulary."""
+    pattern = (pattern or "").lower()
+    if not pattern or pattern in (".*", ".+", ".?"):
+        return ""
+    return pattern
+
+
+def expand_regexp(dict_df: DataFrame, pattern: str,
+                  max_expansions: int = MAX_EXPANSIONS) -> list[str]:
+    """Terms matching an ANCHORED regex (Lucene RegexpQuery shape: the
+    pattern must match the whole term). The pinned portable subset —
+    literals, '.', quantifiers, character classes, groups, alternation
+    — behaves identically in Java regex (Spark ``rlike``), RE2 (DuckDB
+    ``regexp_full_match``) and Python ``re.fullmatch``, so all three
+    tiers expand the same set; backreferences/lookaround are outside
+    the contract. A leading literal run pushes to the dictionary scan
+    as ``StartsWith``."""
+    pattern = regexp_guard(pattern)
+    if not pattern:
+        return []
+    cand = dict_df
+    pfx = regexp_literal_prefix(pattern)
+    if pfx:
+        cand = cand.where(F.col("term").startswith(pfx))
+    cand = cand.where(F.col("term").rlike("^(?:" + pattern + ")$"))
+    return _top_terms(cand, max_expansions)
+
+
 def expand_fuzzy(dict_df: DataFrame, term: str, max_edits: int = 1,
                  prefix_length: int = 0,
                  max_expansions: int = MAX_EXPANSIONS) -> list[str]:

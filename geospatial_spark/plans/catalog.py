@@ -174,6 +174,9 @@ def _bm25_expansion(kind: str, q: str, k: int = 10):
         elif kind == "phrase_prefix":
             def fetch(m):
                 return s.search_phrase_prefix_df(q, m)
+        elif kind == "regexp":
+            def fetch(m):
+                return s.search_regexp_df(q, m)
         else:
             def fetch(m):
                 return s.search_fuzzy_df(q, m)
@@ -398,6 +401,10 @@ WILDCARD_Q = "*ow"
 # match_phrase_prefix: fixed token 'table' + prefix 's' (6 variants,
 # far under the cap ⇒ the df-ranked cut never binds on either side)
 PHRASE_PREFIX_Q = "table s"
+# anchored regexp: matches {customer, filter, merge, order} — a term
+# set no other expansion entry produces; no literal prefix, so the
+# dictionary scan path (not the StartsWith pushdown) is what's gated
+REGEXP_Q = "[a-z]+er[a-z]*"
 BM25_Q_SINGLE = "spark"
 BM25_Q_MISSING = "qqqqzzz"
 POSTING_TERMS = ["spark", "window", "vector"]
@@ -865,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # adjacency, per-doc max over variants (operators/phrase.py)
         "bm25_phrase_prefix": _bm25_expansion("phrase_prefix",
                                               PHRASE_PREFIX_Q, 10),
+        # RegexpQuery: anchored full-term regex over the dictionary
+        "bm25_regexp": _bm25_expansion("regexp", REGEXP_Q, 10),
         # bool query: scored should-OR ∩ filter-AND ∖ must_not
         "bm25_bool": _bm25_bool(*BOOL_Q, 10),
         "bm25_bool_filter_only": _bm25_bool("", BOOL_Q[1], BOOL_Q[2], 10),
@@ -978,6 +987,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wildcard": osql.bm25_expansion_sql("term LIKE '%ow'", 10),
         "bm25_phrase_prefix": osql.bm25_phrase_prefix_sql(
             PHRASE_PREFIX_Q, 10),
+        # the engine's anchored rlike ≡ DuckDB's regexp_full_match
+        "bm25_regexp": osql.bm25_expansion_sql(
+            f"regexp_full_match(term, '{REGEXP_Q}')", 10),
         "bm25_bool": osql.bm25_bool_sql(*BOOL_Q, 10),
         "bm25_bool_filter_only": osql.bm25_bool_sql("", BOOL_Q[1], BOOL_Q[2], 10),
         "bm25_bool_not_only": osql.bm25_bool_sql("", "", BOOL_Q[2], 10),

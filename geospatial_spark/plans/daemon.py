@@ -61,6 +61,10 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
         return searcher.search_wildcard(
             req["q"], k, int(req.get("max_expansions", 64)),
             meta=req.get("meta"))
+    if qtype == "regexp":
+        return searcher.search_regexp(
+            req["q"], k, int(req.get("max_expansions", 64)),
+            meta=req.get("meta"))
     if qtype == "phrase_prefix":
         return searcher.search_phrase_prefix(
             req["q"], k, int(req.get("max_expansions", 64)))

@@ -639,6 +639,33 @@ class IndexSearcher:
 
         return _ew(self._dict_df(), pattern, max_expansions)
 
+    def expand_regexp(self, pattern: str,
+                      max_expansions: int = 64) -> list[str]:
+        """Dictionary terms fully matching an anchored regex
+        (operators/expand.py)."""
+        from geospatial_spark.operators.expand import expand_regexp as _er
+
+        return _er(self._dict_df(), pattern, max_expansions)
+
+    def search_regexp_df(self, pattern: str, k: int = 10,
+                         max_expansions: int = 64,
+                         meta: dict | None = None) -> DataFrame | None:
+        """RegexpQuery rewrite — same bounded-expansion → BM25
+        should-OR contract as search_prefix_df; the regex must match
+        the WHOLE term (Lucene's anchored-regexp semantics)."""
+        terms = self.expand_regexp(pattern, max_expansions)
+        if not terms:
+            return None
+        return self.search_df(" ".join(terms), k, meta=meta)
+
+    def search_regexp(self, pattern: str, k: int = 10,
+                      max_expansions: int = 64,
+                      meta: dict | None = None) -> list[tuple[str, float]]:
+        df = self.search_regexp_df(pattern, k, max_expansions, meta=meta)
+        if df is None:
+            return []
+        return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
     def search_wildcard_df(self, pattern: str, k: int = 10,
                            max_expansions: int = 64,
                            meta: dict | None = None) -> DataFrame | None:
@@ -705,13 +732,15 @@ class IndexSearcher:
         along) — an empty expansion becomes the MatchNoDocs empty-match
         spec, never a match-all."""
         typ = spec.get("type", "match")
-        if typ not in ("prefix", "fuzzy", "wildcard"):
+        if typ not in ("prefix", "fuzzy", "wildcard", "regexp"):
             return spec
         cap = int(spec.get("max_expansions", 64))
         if typ == "prefix":
             terms = self.expand_prefix(spec.get("q", ""), cap)
         elif typ == "wildcard":
             terms = self.expand_wildcard(spec.get("q", ""), cap)
+        elif typ == "regexp":
+            terms = self.expand_regexp(spec.get("q", ""), cap)
         else:
             terms = self.expand_fuzzy(spec.get("q", ""),
                                       int(spec.get("max_edits", 1)),

@@ -270,6 +270,36 @@ class LocalSearcher:
         return self._expand(lambda t: rx.match(t) is not None,
                             max_expansions, arrow_filter=arrow_filter)
 
+    def expand_regexp(self, pattern: str,
+                      max_expansions: int = 64) -> list[str]:
+        import re
+
+        from geospatial_spark.operators.expand import (
+            regexp_guard, regexp_literal_prefix)
+
+        pattern = regexp_guard(pattern)
+        if not pattern:
+            return []
+        rx = re.compile(pattern)
+        pfx = regexp_literal_prefix(pattern)
+        arrow_filter = None
+        if pfx:
+            import pyarrow.compute as pc
+            arrow_filter = pc.starts_with(pc.field("term"), pfx)
+        return self._expand(lambda t: rx.fullmatch(t) is not None,
+                            max_expansions, arrow_filter=arrow_filter)
+
+    def search_regexp(self, pattern: str, k: int = 10,
+                      max_expansions: int = 64,
+                      meta: dict | None = None) -> list[tuple[str, float]]:
+        """RegexpQuery rewrite — identical contract to
+        IndexSearcher.search_regexp_df (anchored full-term regex,
+        bounded df-ranked expansion, BM25 should-OR)."""
+        terms = self.expand_regexp(pattern, max_expansions)
+        if not terms:
+            return []
+        return self.search(" ".join(terms), k, meta=meta)
+
     def search_wildcard(self, pattern: str, k: int = 10,
                         max_expansions: int = 64,
                         meta: dict | None = None) -> list[tuple[str, float]]:

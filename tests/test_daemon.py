@@ -62,6 +62,7 @@ SIX = [
     {"type": "fuzzy", "q": "w100", "max_edits": 1},
     {"type": "wildcard", "q": "s*k"},
     {"type": "phrase_prefix", "q": "the sp"},
+    {"type": "regexp", "q": "s[a-z]+k"},
     {"type": "prefix", "q": "sp", "meta": {"role": "assistant"}},
 ]
 

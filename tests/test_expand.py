@@ -199,6 +199,63 @@ def test_search_wildcard_matches_oracle(spark, exp_index, small_oracle):
             assert math.isclose(g, e, rel_tol=1e-9)
 
 
+def _oracle_expand_regexp(oracle, pattern: str, max_expansions: int = 64):
+    import re
+
+    rx = re.compile(pattern)
+    dfs = {t: len(p) for t, p in oracle.postings.items() if rx.fullmatch(t)}
+    return pick_top_py(dfs, max_expansions)
+
+
+def test_regexp_three_tiers(spark, exp_index, small_oracle):
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    ss = IndexSearcher(spark, exp_index)
+    ls = LocalSearcher(exp_index)
+    for pat in ["s[a-z]+", "[a-z]+er[a-z]*", "w[0-9]+", "(row|slow|flow)",
+                "t.b?le", "spark", "s(low|park)"]:
+        want = _oracle_expand_regexp(small_oracle, pat)
+        assert ss.expand_regexp(pat) == want, pat
+        assert ls.expand_regexp(pat) == want, pat
+    # anchoring: a mid-term match is NOT a term match
+    assert "window" not in ss.expand_regexp("indo")
+    # degenerate/universal patterns refuse to expand
+    for pat in ["", ".*", ".+", ".?"]:
+        assert ss.expand_regexp(pat) == []
+        assert ls.expand_regexp(pat) == []
+
+
+def test_regexp_lazy_dict_tier(exp_index, small_oracle):
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    lazy = LocalSearcher(exp_index, dict_cache_max=1)
+    # leading literal run pushes a starts_with arrow filter
+    assert lazy.expand_regexp("s[a-z]+") == \
+        _oracle_expand_regexp(small_oracle, "s[a-z]+")
+    # classes up front: full dictionary stream, no pushdown
+    assert lazy.expand_regexp("[a-z]+er[a-z]*") == \
+        _oracle_expand_regexp(small_oracle, "[a-z]+er[a-z]*")
+
+
+def test_search_regexp_matches_oracle(spark, exp_index, small_oracle):
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    ss = IndexSearcher(spark, exp_index)
+    ls = LocalSearcher(exp_index)
+    terms = _oracle_expand_regexp(small_oracle, "[a-z]+er[a-z]*")
+    assert len(terms) >= 2
+    expected = small_oracle.search(" ".join(terms), 10)
+    for got in (ss.search_regexp("[a-z]+er[a-z]*", 10),
+                ls.search_regexp("[a-z]+er[a-z]*", 10)):
+        assert [d for d, _ in got] == [d for d, _ in expected]
+        for (_, g), (_, e) in zip(got, expected):
+            assert math.isclose(g, e, rel_tol=1e-9)
+    assert ss.search_regexp("zzz[0-9]+", 10) == []
+    assert ls.search_regexp("zzz[0-9]+", 10) == []
+
+
 def test_mixed_batch_expansion_specs(spark, exp_index):
     """search_many_mixed rewrites expansion entries driver-side — the
     batched result must equal the singleton expansion queries, and an
@@ -210,6 +267,7 @@ def test_mixed_batch_expansion_specs(spark, exp_index):
         "p": {"type": "prefix", "q": "sp"},
         "f": {"type": "fuzzy", "q": "w100", "max_edits": 1},
         "w": {"type": "wildcard", "q": "s*k"},
+        "r": {"type": "regexp", "q": "[a-z]+er[a-z]*"},
         "none": {"type": "fuzzy", "q": "qqqqqqqqqqq"},
         "m": {"type": "match", "q": "the spark"},
     }, k=10)
@@ -217,6 +275,7 @@ def test_mixed_batch_expansion_specs(spark, exp_index):
     assert out["p"] == ss.search_prefix("sp", 10)
     assert out["f"] == ss.search_fuzzy("w100", 10, 1)
     assert out["w"] == ss.search_wildcard("s*k", 10)
+    assert out["r"] == ss.search_regexp("[a-z]+er[a-z]*", 10)
     assert out["m"] == ss.search("the spark", 10)
 
 
