@@ -66,6 +66,18 @@ def main() -> None:
                     help="bool filter clause (unscored AND)")
     ap.add_argument("--must-not", dest="must_not", default="",
                     help="bool must_not clause (unscored NOT)")
+    ap.add_argument("--min-should-match", dest="min_should_match",
+                    type=int, default=1,
+                    help="bool: distinct should terms a hit must "
+                         "contain (0 = should is optional and only "
+                         "contributes score; default 1)")
+    ap.add_argument("--after-score", dest="after_score", type=float,
+                    default=None,
+                    help="cursor pagination: score of the last hit of "
+                         "the previous page (with --after-doc)")
+    ap.add_argument("--after-doc", dest="after_doc", default=None,
+                    help="cursor pagination: doc_id of the last hit of "
+                         "the previous page (with --after-score)")
     ap.add_argument("--quantized", action="store_true",
                     help="score match queries with log-quantized doc "
                          "lengths (the Lucene norm-compression "
@@ -85,6 +97,10 @@ def main() -> None:
                               ("ts_max", args.ts_max),
                               ("conv_prefix", args.conv_prefix))
             if v is not None} or None
+    if (args.after_score is None) != (args.after_doc is None):
+        ap.error("--after-score and --after-doc must be given together")
+    after = ((args.after_score, args.after_doc)
+             if args.after_doc is not None else None)
 
 
     mode = ("phrase_scored" if args.phrase_scored else
@@ -95,11 +111,14 @@ def main() -> None:
             "fuzzy" if args.fuzzy else
             "wildcard" if args.wildcard else
             "regexp" if args.regexp else
-            "bool" if (args.filter or args.must_not) else "match")
+            "bool" if (args.filter or args.must_not
+                       or args.min_should_match != 1) else "match")
     if meta and mode not in ("match", "bool", "prefix", "fuzzy",
                              "wildcard", "regexp"):
         ap.error("--role/--ts-min/--ts-max/--conv-prefix apply to match, "
                  "bool and expansion queries only")
+    if after is not None and mode != "match":
+        ap.error("--after-score/--after-doc apply to match queries only")
     if args.local:
         from geospatial_spark.plans.serve import LocalSearcher
 
@@ -129,7 +148,11 @@ def main() -> None:
         elif mode == "bool":
             hits = ls.search_bool(args.query, args.filter, args.must_not,
                                   args.k, meta=meta,
-                                  quantized=args.quantized)
+                                  quantized=args.quantized,
+                                  min_should_match=args.min_should_match)
+        elif after is not None:
+            hits = ls.search_after(args.query, args.k, after=after,
+                                   quantized=args.quantized, meta=meta)
         else:
             hits = ls.search(args.query, args.k,
                              quantized=args.quantized, meta=meta)
@@ -164,7 +187,11 @@ def main() -> None:
         elif mode == "bool":
             hits = s.search_bool(args.query, args.filter, args.must_not,
                                  args.k, meta=meta,
-                                 quantized=args.quantized)
+                                 quantized=args.quantized,
+                                 min_should_match=args.min_should_match)
+        elif after is not None:
+            hits = s.search_after(args.query, args.k, after=after,
+                                  quantized=args.quantized, meta=meta)
         else:
             hits = s.search(args.query, args.k, quantized=args.quantized,
                             meta=meta)

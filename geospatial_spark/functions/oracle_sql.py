@@ -61,6 +61,35 @@ LIMIT {k}
 """.strip()
 
 
+def bm25_topk_page_sql(query: str, k: int = 10, offset: int = 0,
+                       table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """Cursor-pagination oracle (IndexSearcher.search_after): the page
+    at ``offset`` of the full ranking. The page is CUT under the
+    engine's pagination contract — rounded score desc, then doc_id
+    STRING asc (catalog doc_ids are '<n>:0', whose string order equals
+    VARCHAR(n) order) — and EMITTED under the gate contract (rounded
+    desc, bigint doc_id asc)."""
+    per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "dft.df", "s.n")
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+qt AS ({_qterms_values(query)}),
+dft AS (SELECT term, count(*)::INT AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, SUM({per_term}) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+page AS (
+  SELECT doc_id, raw FROM scored
+  ORDER BY round(raw, {ORDER_DP}) DESC, CAST(doc_id AS VARCHAR) ASC
+  LIMIT {int(k)} OFFSET {int(offset)}
+)
+SELECT doc_id, round(raw, {ROUND_DP}) AS score FROM page
+ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC
+""".strip()
+
+
 def bm25_expansion_sql(term_pred_sql: str, k: int = 10,
                        max_expansions: int = 64,
                        table: str = "documents", id_col: str = "doc_id",
@@ -268,9 +297,11 @@ LIMIT {k}
 def bm25_bool_sql(should: str = "", filter_q: str = "", must_not: str = "",
                   k: int = 10, table: str = "documents",
                   id_col: str = "doc_id", text_col: str = "text",
-                  meta_pred: str | None = None) -> str:
+                  meta_pred: str | None = None, msm: int = 1) -> str:
     """Bool-query oracle mirroring IndexSearcher.search_bool: scored
-    should-OR (≥1 should term must match when given) ∩ filter-AND ∖
+    should-OR (a hit contains ≥ msm distinct should terms; msm=0 makes
+    the should clause optional — filter context decides matching and
+    present should terms only contribute score) ∩ filter-AND ∖
     must_not, hits score 0.0 in pure filter context.
 
     meta_pred: optional SQL predicate over the doc universe (alias `d`,
@@ -282,6 +313,7 @@ def bm25_bool_sql(should: str = "", filter_q: str = "", must_not: str = "",
     sh = sorted(set(tokenize_py(should)))
     fl = sorted(set(tokenize_py(filter_q)))
     mn = sorted(set(tokenize_py(must_not)))
+    msm = int(msm)
     # no positive clause: pure-NOT (or match-all) over the doc universe
 
     def in_list(terms):
@@ -298,10 +330,10 @@ def bm25_bool_sql(should: str = "", filter_q: str = "", must_not: str = "",
         parts.append(
             f"NOT EXISTS (SELECT 1 FROM tok t3 WHERE t3.doc_id = d.doc_id "
             f"AND t3.term IN ({in_list(mn)}))")
-    if sh:
+    if sh and msm > 0:
         parts.append(
-            f"EXISTS (SELECT 1 FROM tok t4 WHERE t4.doc_id = d.doc_id "
-            f"AND t4.term IN ({in_list(sh)}))")
+            f"(SELECT count(DISTINCT term) FROM tok t4 WHERE t4.doc_id = d.doc_id "
+            f"AND t4.term IN ({in_list(sh)})) >= {msm}")
     where = " AND ".join(parts) or "TRUE"
 
     if sh:
@@ -310,12 +342,15 @@ def bm25_bool_sql(should: str = "", filter_q: str = "", must_not: str = "",
 WITH {_tok_ctes(table, id_col, text_col)},
 dft AS (SELECT term, count(*)::INT AS df FROM tf WHERE term IN ({in_list(sh)}) GROUP BY 1),
 hits AS (SELECT DISTINCT d.doc_id FROM dl d WHERE {where}),
-scored AS (
+sums AS (
   SELECT tf.doc_id, SUM({per_term}) AS raw
   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
   WHERE tf.term IN ({in_list(sh)})
-    AND tf.doc_id IN (SELECT doc_id FROM hits)
   GROUP BY tf.doc_id
+),
+scored AS (
+  SELECT h.doc_id, COALESCE(m.raw, 0.0) AS raw
+  FROM hits h LEFT JOIN sums m USING (doc_id)
 )
 SELECT doc_id, round(raw, {ROUND_DP}) AS score FROM scored
 ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC LIMIT {k}
@@ -498,6 +533,53 @@ SELECT doc_id,
     len(list_filter(toks, t -> t IN {_STOP_SQL}))::DOUBLE / len(toks) >= 0.02
   THEN 'en' ELSE 'unk' END AS lang
 FROM docs
+""".strip()
+
+
+def repetition_sql(table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """Gopher-style repetition features (operators/analysis.py
+    with_repetition). The oracle counts the top n-gram the relational
+    way (unnest + GROUP BY + max); the engine's sorted run-scan must
+    produce the same multiplicity."""
+
+    def grams(m: int) -> str:
+        parts = " || ' ' || ".join(f"tk[i + {j}]" for j in range(m))
+        # range() end is exclusive: starts run 1 .. len - (m-1)
+        return (f"list_transform(range(1, len(tk) + {2 - m}), "
+                f"i -> {parts})")
+
+    def top(m: int, name: str) -> str:
+        return f"""
+g{m} AS (
+  SELECT doc_id, unnest({grams(m)}) AS gram
+  FROM d WHERE len(tk) >= {m}
+),
+{name} AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, gram, count(*) AS c FROM g{m} GROUP BY 1, 2
+  ) GROUP BY 1
+)""".strip()
+
+    toks = duckdb_tokens_sql(text_col)
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {toks} AS tk FROM {table}
+),
+{top(2, "t2")},
+{top(3, "t3")}
+SELECT d.doc_id,
+  len(tk)::INT AS n_tokens,
+  round(CASE WHEN len(tk) > 0
+        THEN len(list_distinct(tk))::DOUBLE / len(tk) ELSE 0.0 END,
+        {ROUND_DP}) AS distinct_ratio,
+  round(CASE WHEN len(tk) >= 2
+        THEN COALESCE(t2.top_c, 0)::DOUBLE / (len(tk) - 1) ELSE 0.0 END,
+        {ROUND_DP}) AS top_bigram_frac,
+  round(CASE WHEN len(tk) >= 3
+        THEN COALESCE(t3.top_c, 0)::DOUBLE / (len(tk) - 2) ELSE 0.0 END,
+        {ROUND_DP}) AS top_trigram_frac
+FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
 """.strip()
 
 

@@ -89,6 +89,63 @@ def with_langid(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     return df.select(F.col(id_col).alias("doc_id"), lang.alias("lang"))
 
 
+def _top_run_sql(arr_sql: str) -> str:
+    """Longest run of equal adjacent elements in a SORTED array —
+    i.e. the max multiplicity — in one O(n) aggregate pass (the naive
+    per-distinct count would be O(n²) per doc, quadratic in doc length
+    at crawl scale)."""
+    step = ("IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, "
+            "CAST(1 AS BIGINT))")
+    return (
+        f"aggregate({arr_sql}, "
+        "named_struct('prev', CAST(NULL AS STRING), "
+        "'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), "
+        f"(a, x) -> named_struct('prev', x, 'run', {step}, "
+        f"'best', GREATEST(a.best, {step})), "
+        "a -> a.best)")
+
+
+def with_repetition(df: DataFrame, id_col: str, text_col: str = "text",
+                    round_dp: int = 4) -> DataFrame:
+    """Gopher-style repetition features (Rae et al. 2021 §A1.1's
+    repetitious-text filters, re-expressed as pure Spark SQL
+    expressions — an embarrassingly parallel projection, no shuffle,
+    no Python):
+
+    n_tokens          — kept tokens
+    distinct_ratio    — distinct unigrams / tokens (1.0 = no repeats)
+    top_bigram_frac   — occurrences of the most frequent 2-gram / all
+                        2-grams (degenerate boilerplate → 1.0)
+    top_trigram_frac  — same for 3-grams
+    0.0 for docs too short to have the n-gram. The top-gram count runs
+    as sort + single-pass run-scan per doc (O(n log n)), never a
+    per-distinct rescan."""
+    toks = spark_tokens_col(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+    n = F.size(F.col("tk"))
+
+    def top_frac(m: int) -> Column:
+        grams = (f"array_sort(transform(sequence(0, size(tk) - {m}), "
+                 f"i -> concat_ws(' ', slice(tk, i + 1, {m}))))")
+        n_grams = n - (m - 1)
+        return F.when(
+            n >= m,
+            F.expr(_top_run_sql(grams)).cast("double")
+            / n_grams.cast("double")).otherwise(F.lit(0.0))
+
+    distinct_ratio = F.when(
+        n > 0,
+        F.size(F.array_distinct(F.col("tk"))).cast("double")
+        / n.cast("double")).otherwise(F.lit(0.0))
+    return base.select(
+        F.col("doc_id"),
+        n.cast("int").alias("n_tokens"),
+        F.round(distinct_ratio, round_dp).alias("distinct_ratio"),
+        F.round(top_frac(2), round_dp).alias("top_bigram_frac"),
+        F.round(top_frac(3), round_dp).alias("top_trigram_frac"),
+    )
+
+
 def with_fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 of normalized text (tokens joined by
     ' '), so case/punctuation/whitespace variants collide — the exact-dup

@@ -6,11 +6,17 @@ processor path builds filtered queries around the geometry predicate,
 index/query/xyshape/XYShapeQueryBuilder.java:62-71). Clause semantics
 (documented contract, shared with the DuckDB oracle):
 
-  should    — scored OR: a matching doc contains ≥1 should term
-              (minimum_should_match = 1 when any should terms are
-              given); score = Σ BM25 over the should terms present.
+  should    — scored OR: a matching doc contains ≥ minimum_should_match
+              DISTINCT should terms (default 1 when any should terms
+              are given); score = Σ BM25 over ALL should terms present
+              (not just the qualifying ones).
   filter    — unscored AND: every filter term must appear.
   must_not  — unscored NOT: no must_not term may appear.
+  minimum_should_match = 0 makes the should clause OPTIONAL (the
+              OpenSearch default when a filter/must context is
+              present): the filter clauses alone decide matching and
+              present should terms only contribute score (0.0 when
+              none appear).
   no should clauses → matching is filter/must_not only and every hit
               scores 0.0 (OpenSearch's constant-score filter context).
 
@@ -41,6 +47,7 @@ def bool_match_shard(
     k: int,
     allowed_init: np.ndarray | None = None,
     quantize: bool = False,
+    min_should_match: int = 1,
 ):
     """Score one shard. Returns (local_docs, scores) of the shard's
     top-k (score desc, doc asc; exact scores).
@@ -52,7 +59,13 @@ def bool_match_shard(
 
     quantize: score with log-quantized doc lengths (the opt-in
     quantized-norm mode, functions/bm25.quantize_dl) — same contract
-    as wand_shard(quantize=True)."""
+    as wand_shard(quantize=True).
+
+    min_should_match: distinct should terms a doc must contain to
+    match (``should`` is a distinct list, so per-term presence counts
+    once); 0 = optional-should (filter context decides matching). A
+    value above len(should) matches nothing, Lucene's behavior — the
+    driver short-circuits that case before any shard runs."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     if n_local_docs == 0:
         return empty
@@ -88,9 +101,10 @@ def bool_match_shard(
     if not allowed.any():
         return empty
 
+    msm = int(min_should_match)
     if should:
         scores = np.zeros(n_local_docs, dtype=np.float64)
-        hit = np.zeros(n_local_docs, dtype=bool)
+        nhit = np.zeros(n_local_docs, dtype=np.int32)
         for t in should:
             r = rows_by_term.get(t)
             if r is None:
@@ -106,8 +120,12 @@ def bool_match_shard(
             idf_t = idf(int(df_global[t]), n_docs)
             scores[docs] += idf_t * (
                 tff / (tff + K1 * (1.0 - B + B * (dlf / avgdl))))
-            hit[docs] = True
-        cand = np.flatnonzero(hit & allowed)
+            nhit[docs] += 1
+        if msm > 0:
+            cand = np.flatnonzero((nhit >= msm) & allowed)
+        else:
+            # optional should: filter context decides, should only scores
+            cand = np.flatnonzero(allowed)
         if len(cand) == 0:
             return empty
         cscores = scores[cand]

@@ -155,6 +155,44 @@ def _bm25_wand(query: str, k: int = 10, quantized: bool = False):
     return run
 
 
+def _bm25_page2(query: str, k: int = 10):
+    """Page 2 via the REAL cursor-pagination API: page 1 runs under the
+    engine's pagination contract (rounded score desc, doc_id string asc
+    — the catalog's '<n>:0' ids make string order ≡ VARCHAR(n) order),
+    its last hit becomes the (score, doc_id) cursor, and search_after
+    returns the next k. The oracle states the same page as LIMIT k
+    OFFSET k under the identical ordering (bm25_topk_page_sql)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        empty = (_docs(spark, sf_dir)
+                 .select("doc_id", F.lit(0.0).alias("score")).limit(0))
+        page1 = s.search_after(query, k, after=None)
+        if len(page1) < k:
+            return empty  # oracle's OFFSET k past the result set
+        last_doc, last_score = page1[-1]
+        # the page SET is cut by the list API under the string-ordering
+        # pagination contract (the oracle's VARCHAR-ordered OFFSET);
+        # only the k-row page itself crosses the driver
+        page2 = s.search_after(query, k, after=(last_score, last_doc))
+        if not page2:
+            return empty
+        pdf = spark.createDataFrame(
+            [(d, float(sc)) for d, sc in page2], "doc_id string, raw double")
+        return (
+            pdf.select(
+                F.substring_index("doc_id", ":", 1).cast("long").alias("doc_id"),
+                F.col("raw"))
+            .orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("doc_id"))
+            .select("doc_id", F.round("raw", ROUND_DP).alias("score"))
+        )
+
+    return run
+
+
 def _bm25_expansion(kind: str, q: str, k: int = 10):
     """Prefix/fuzzy rewrite through the REAL compressed index: bounded
     dictionary expansion (operators/expand.py) scored as a BM25
@@ -288,26 +326,28 @@ def _bm25_near(query: str, slop: int, k: int = 10):
 
 
 def _bm25_bool(should: str, filter_q: str, must_not: str, k: int = 10,
-               meta: dict | None = None):
+               meta: dict | None = None, msm: int = 1):
     """Bool query (should/filter/must_not) through the compressed
     index; same re-key and rounding contract as the wand entries.
     meta: structured docmap-metadata predicate (operators/metafilter)
     — the catalog index derives role/ts from doc_id so the oracle can
-    state the same predicate arithmetically (META_PRED_SQL)."""
+    state the same predicate arithmetically (META_PRED_SQL).
+    msm: minimum_should_match (0 = optional should)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
         s = IndexSearcher(spark, root)
-        probe = s.search_bool_df(should, filter_q, must_not, 1, meta=meta)
+        probe = s.search_bool_df(should, filter_q, must_not, 1, meta=meta,
+                                 min_should_match=msm)
         if probe is None or not probe.take(1):
             return (_docs(spark, sf_dir)
                     .select("doc_id", F.lit(0.0).alias("score")).limit(0))
         df = _adaptive_overfetch(
             spark,
             lambda m: s.search_bool_df(should, filter_q, must_not, m,
-                                       meta=meta),
+                                       meta=meta, min_should_match=msm),
             k, s.n_docs)
         return (
             df.select(
@@ -380,6 +420,8 @@ PHRASE_Q = "table scan"
 PHRASE_Q_RARE = "fast table scan"
 NEAR_SLOP = 3
 BOOL_Q = ("spark merge", "table", "vector")  # should, filter, must_not
+# three should terms so minimum_should_match=2 is a real constraint
+MSM_SHOULD = "spark merge deploy"
 # metadata-filter gate pinning: the catalog index derives role/ts from
 # doc_id (see _wand_index_root), so the engine-side structured predicate
 # and the oracle-side doc_id arithmetic below are the SAME set by
@@ -483,6 +525,12 @@ def _langid(spark, sf_dir):
     from geospatial_spark.operators.analysis import with_langid
 
     return with_langid(_docs(spark, sf_dir), "doc_id")
+
+
+def _repetition(spark, sf_dir):
+    from geospatial_spark.operators.analysis import with_repetition
+
+    return with_repetition(_docs(spark, sf_dir), "doc_id")
 
 
 def _fingerprint(spark, sf_dir):
@@ -835,6 +883,45 @@ def _embed_int8(spark, sf_dir):
     return embed_int8(_emb(spark, sf_dir))
 
 
+def _hll_cardinality(spark, sf_dir):
+    """Per-type HLL distinct-count estimates beside the exact count
+    (operators/sketch.py — the `cardinality` agg analogue, engineered
+    bit-reproducible so it sits under the DuckDB gate). approx_users
+    (150/type at sf0.01) exercises the linear-counting branch;
+    approx_events (20k/type at sf0.1) crosses into the raw harmonic
+    branch in the sf0.1 gate replica."""
+    from geospatial_spark.operators.sketch import hll_distinct
+
+    ev = _events(spark, sf_dir)
+    users = hll_distinct(ev, "user_id", ["event_type"], "u_raw")
+    events = hll_distinct(ev, "event_id", ["event_type"], "e_raw")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    return (users.join(events, "event_type").join(exact, "event_type")
+            .select("event_type",
+                    F.round("u_raw", 4).alias("approx_users"),
+                    F.round("e_raw", 4).alias("approx_events"),
+                    "exact_users")
+            .orderBy("event_type"))
+
+
+def _hll_cardinality_sql() -> str:
+    """DuckDB twin of _hll_cardinality (operators/sketch.py emits each
+    per-column sketch; the join/exact shell lives here)."""
+    from geospatial_spark.operators.sketch import hll_distinct_sql
+
+    u = hll_distinct_sql("events", "user_id", "event_type", "approx_users")
+    e = hll_distinct_sql("events", "event_id", "event_type", "approx_events")
+    return f"""
+SELECT u.event_type, u.approx_users, e.approx_events, x.exact_users
+FROM ({u}) u
+JOIN ({e}) e ON u.event_type = e.event_type
+JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1) x ON u.event_type = x.event_type
+ORDER BY u.event_type
+""".strip()
+
+
 def _retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-active day,
     counted on each later active day. Two user-keyed aggregations +
@@ -965,6 +1052,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_filtered": _ann_topk_filtered,
         # facet aggregation over a query's full match set
         "bm25_facet_role": _bm25_facet(BOOL_Q[0], BOOL_Q[1]),
+        # minimum_should_match variants of bm25_bool (same kernel, the
+        # msm knob changes only the candidate predicate): ≥2 distinct
+        # should terms required / msm=0 optional-should filter context
+        "bm25_bool_msm2": _bm25_bool(MSM_SHOULD, "", BOOL_Q[2], 10, msm=2),
+        "bm25_bool_msm0": _bm25_bool(BOOL_Q[0], BOOL_Q[1], "", 10, msm=0),
+        # cursor pagination: page 2 through the real search_after API,
+        # oracle = LIMIT k OFFSET k under the identical ordering
+        "bm25_topk_page2": _bm25_page2(BM25_Q_MULTI, 10),
+        # HLL cardinality sketch (deterministic md5 registers) beside
+        # the exact count — the `cardinality` agg analogue
+        "events_hll_cardinality": _hll_cardinality,
+        # Gopher-style repetition filters (top n-gram fraction via a
+        # per-doc sorted run-scan, not a quadratic per-distinct count)
+        "text_repetition": _repetition,
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1027,6 +1128,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_filtered": osql.ann_topk_sql(
             ANN_QUERY_IDS, 10, corpus_pred="nv.vec_id % 3 = 0"),
         "bm25_facet_role": osql.bm25_facet_sql(BOOL_Q[0], BOOL_Q[1]),
+        "bm25_bool_msm2": osql.bm25_bool_sql(MSM_SHOULD, "", BOOL_Q[2], 10,
+                                             msm=2),
+        "bm25_bool_msm0": osql.bm25_bool_sql(BOOL_Q[0], BOOL_Q[1], "", 10,
+                                             msm=0),
+        "bm25_topk_page2": osql.bm25_topk_page_sql(BM25_Q_MULTI, 10,
+                                                   offset=10),
+        "events_hll_cardinality": _hll_cardinality_sql(),
+        "text_repetition": osql.repetition_sql(),
         "enrich_region_stats": osql.enrich_region_stats_sql(),
         "multi_value_join": osql.multi_value_join_sql(),
         "stats_by_source": osql.stats_by_source_sql(),

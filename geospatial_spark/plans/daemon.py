@@ -45,6 +45,16 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
     qtype = req.get("type", "match")
     k = int(req.get("k", 10))
     if qtype == "match":
+        after = req.get("after")
+        if after is not None:
+            # cursor pagination: after = [score, doc_id] of the last
+            # hit of the previous page (LocalSearcher.search_after)
+            if (not isinstance(after, (list, tuple)) or len(after) != 2):
+                raise ValueError("after must be [score, doc_id]")
+            return searcher.search_after(
+                req["q"], k, after=(float(after[0]), str(after[1])),
+                quantized=bool(req.get("quantized", False)),
+                meta=req.get("meta"))
         return searcher.search(req["q"], k,
                                quantized=bool(req.get("quantized", False)),
                                meta=req.get("meta"))
@@ -75,10 +85,10 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
     if qtype == "near":
         return searcher.search_near(req["q"], int(req.get("slop", 2)), k)
     if qtype == "bool":
-        return searcher.search_bool(req.get("should", ""),
-                                    req.get("filter", ""),
-                                    req.get("must_not", ""), k,
-                                    meta=req.get("meta"))
+        return searcher.search_bool(
+            req.get("should", ""), req.get("filter", ""),
+            req.get("must_not", ""), k, meta=req.get("meta"),
+            min_should_match=int(req.get("minimum_should_match", 1)))
     if qtype == "facet":
         counts = searcher.facet_counts(req.get("should", ""),
                                        req.get("filter", ""),

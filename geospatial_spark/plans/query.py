@@ -230,6 +230,87 @@ class IndexSearcher:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
 
+    def search_after_df(self, query: str, k: int = 10,
+                        after: tuple[float, str] | None = None,
+                        quantized: bool = False,
+                        meta: dict | None = None) -> DataFrame | None:
+        """Cursor pagination (Lucene/OpenSearch ``search_after``): the
+        candidate hits STRICTLY AFTER ``after = (score, doc_id)`` in the
+        pagination ordering ``(round(score, ORDER_DP) desc, doc_id
+        asc)`` — the engine↔oracle ranking contract, NOT search()'s
+        (conv, turn) tie-break, so a cursor round-trips through any
+        client as two plain values. Returns an UNCOLLECTED DataFrame
+        holding at least the next k post-cursor hits (or every one of
+        them); the caller applies the final rounded re-rank + limit(k),
+        exactly like the catalog's _adaptive_overfetch contract.
+
+        Each page re-runs the top-m kernel with m adaptively sized to
+        the cursor depth: per-shard state stays O(m) and the block-max
+        pruning still applies — the same cost shape as Lucene's
+        ``from+size`` collector (deep pages cost O(depth)), while the
+        cursor keeps the page boundary exact across ties. None = no
+        possible match (same fast path as search_df)."""
+        from geospatial_spark.functions.oracle_sql import ORDER_DP
+
+        if after is None:
+            # page 1: cursor "before everything" — same loop, so the
+            # rank-k rounded-tie boundary is overfetched here too
+            cs, cd = float("inf"), ""
+            pred = F.lit(True)
+        else:
+            cs = round(float(after[0]), ORDER_DP)
+            cd = str(after[1])
+            rscore = F.round(F.col("score"), ORDER_DP)
+            pred = (rscore < F.lit(cs)) | (
+                (rscore == F.lit(cs)) & (F.col("doc_id") > F.lit(cd)))
+        kk = int(k)
+        m = max(2 * kk, kk + 50)
+        while True:
+            df = self.search_df(query, m, quantized=quantized, meta=meta)
+            if df is None:
+                return None
+            # bounded driver fetch (m rows) for boundary DETECTION only
+            rows = df.take(m)
+            post = [r for r in rows
+                    if round(float(r["score"]), ORDER_DP) < cs
+                    or (round(float(r["score"]), ORDER_DP) == cs
+                        and str(r["doc_id"]) > cd)]
+            exhausted = len(rows) < m or m >= self.n_docs
+            if exhausted:
+                break
+            if len(post) >= kk:
+                r_k = round(float(post[kk - 1]["score"]), ORDER_DP)
+                r_last = round(float(rows[-1]["score"]), ORDER_DP)
+                if r_k != r_last:
+                    break  # the page-boundary tie group is fully fetched
+                if r_last == 0.0:
+                    # corpus-wide 0.0 plateau (filter-context): resolve
+                    # DISTRIBUTED — full candidate frame, never collected
+                    return self.search_df(
+                        query, self.n_docs, quantized=quantized,
+                        meta=meta).where(pred)
+            m *= 4
+        return df.where(pred)
+
+    def search_after(self, query: str, k: int = 10,
+                     after: tuple[float, str] | None = None,
+                     quantized: bool = False,
+                     meta: dict | None = None) -> list[tuple[str, float]]:
+        """Next page of k hits after the cursor, ordered by the
+        pagination contract (rounded score desc, doc_id asc); scores
+        are raw (unrounded), as in search(). The cursor for the page
+        after this one is (score, doc_id) of the last row returned."""
+        from geospatial_spark.functions.oracle_sql import ORDER_DP
+
+        df = self.search_after_df(query, k, after=after,
+                                  quantized=quantized, meta=meta)
+        if df is None:
+            return []
+        out = (df.orderBy(F.round(F.col("score"), ORDER_DP).desc(),
+                          F.asc("doc_id"))
+               .limit(int(k)).collect())
+        return [(r["doc_id"], float(r["score"])) for r in out]
+
     def search_phrase_df(self, phrase: str, k: int = 10) -> DataFrame | None:
         """Exact-phrase top-k as a DataFrame (doc_id, score, phrase_tf).
 
@@ -511,11 +592,16 @@ class IndexSearcher:
     def search_bool_df(self, should: str = "", filter_q: str = "",
                        must_not: str = "", k: int = 10,
                        meta: dict | None = None,
-                       quantized: bool = False) -> DataFrame | None:
+                       quantized: bool = False,
+                       min_should_match: int = 1) -> DataFrame | None:
         """Boolean query (operators/boolquery.py): scored should-OR
-        (minimum_should_match=1 when should terms are given) restricted
-        by unscored filter-AND and must_not-NOT clauses; with no should
-        clause every hit scores 0.0 (filter context).
+        (a hit must contain ≥ min_should_match distinct should terms;
+        default 1) restricted by unscored filter-AND and must_not-NOT
+        clauses; with no should clause every hit scores 0.0 (filter
+        context). min_should_match=0 makes the should clause optional —
+        filter context decides matching and present should terms only
+        contribute score (the OpenSearch bool default when a filter
+        rides along).
 
         meta: optional structured-metadata predicate over the docmap
         side table (operators/metafilter.py — role equality, ts range,
@@ -536,18 +622,27 @@ class IndexSearcher:
         sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
         if self.n_docs == 0:
             return None
-        # pure-NOT / match-all / metadata-only: shards with ZERO matched
-        # segment rows still hold hits (every doc outside the must_not
-        # postings, or every mask-passing doc), so the kernel must run
-        # over a scaffold of ALL (gen, shard) pairs (driver metadata,
-        # bounded) instead of only the scanned groups
-        pure_not = not sh and not fl
+        msm = int(min_should_match)
+        if msm < 0:
+            raise ValueError("min_should_match must be >= 0")
+        # pure-NOT / match-all / metadata-only / optional-should: shards
+        # with ZERO matched segment rows still hold hits (every doc
+        # outside the must_not postings, every mask-passing doc, or
+        # every filter-context hit with no should term), so the kernel
+        # must run over a scaffold of ALL (gen, shard) pairs (driver
+        # metadata, bounded) instead of only the scanned groups
+        pure_not = (not sh or msm == 0) and not fl
         df_global = self._df_for(sorted(set(sh + fl + mn)))
         if any(t not in df_global for t in fl):
             return None  # a filter term absent from the corpus ⇒ no hits
         sh = [t for t in sh if t in df_global]
-        if should and not sh:
+        if should and not sh and msm > 0:
             return None  # should clause given but no term exists
+        if sh and msm > len(sh):
+            # more required matches than live should terms (Lucene:
+            # minimumNumberShouldMatch above the optional-clause count
+            # matches nothing)
+            return None
         mn = [t for t in mn if t in df_global]
 
         scan_terms = sorted(set(sh + fl + mn))
@@ -587,7 +682,7 @@ class IndexSearcher:
             local, scores = bool_match_shard(
                 sh, fl, mn, rows_by_term, shard_docs.get((gen, shard), 0),
                 base, df_global, n_docs, avgdl, kk, allowed_init=amask,
-                quantize=qz)
+                quantize=qz, min_should_match=msm)
             if len(local) == 0:
                 return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
                                      "score": pd.Series([], dtype="float64")})
@@ -605,9 +700,11 @@ class IndexSearcher:
     def search_bool(self, should: str = "", filter_q: str = "",
                     must_not: str = "", k: int = 10,
                     meta: dict | None = None,
-                    quantized: bool = False) -> list[tuple[str, float]]:
+                    quantized: bool = False,
+                    min_should_match: int = 1) -> list[tuple[str, float]]:
         df = self.search_bool_df(should, filter_q, must_not, k, meta=meta,
-                                 quantized=quantized)
+                                 quantized=quantized,
+                                 min_should_match=min_should_match)
         if df is None:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
@@ -981,7 +1078,10 @@ class IndexSearcher:
                              term: idf from phrase df, tf = occurrences)
           {"type": "near",   "q": text, "slop": int}
           {"type": "bool",   "should": text, "filter": text,
-                             "must_not": text}   (clauses optional)
+                             "must_not": text
+                             [, "minimum_should_match": int]}
+                             (clauses optional; msm 0 = optional
+                             should, default 1)
           {"type": "prefix" | "fuzzy" | "wildcard", "q": term
                              [, "max_expansions", "max_edits",
                               "prefix_length", "meta"]}  — rewritten
@@ -1037,7 +1137,11 @@ class IndexSearcher:
                      "filter": toks_set(spec.get("filter", "")),
                      "must_not": toks_set(spec.get("must_not", "")),
                      "meta": normalize_meta(spec.get("meta")),
-                     "quantized": bool(spec.get("quantized", False))}
+                     "quantized": bool(spec.get("quantized", False)),
+                     "msm": int(spec.get("minimum_should_match", 1))}
+                if p["msm"] < 0:
+                    raise ValueError(
+                        f"minimum_should_match must be >= 0 for {qid!r}")
                 self._check_meta_support(p["meta"])
                 p["terms"] = sorted(set(p["should"] + p["filter"]
                                         + p["must_not"]))
@@ -1061,16 +1165,20 @@ class IndexSearcher:
             else:
                 p["should"] = [x for x in p["should"] if x in df_global]
                 p["must_not"] = [x for x in p["must_not"] if x in df_global]
-                ok = (all(x in df_global for x in p["filter"])
-                      and not (queries[qid].get("should") and not p["should"]))
+                ok = all(x in df_global for x in p["filter"])
+                if ok and queries[qid].get("should") and p["msm"] > 0:
+                    # a required-should clause with too few live terms
+                    # can never match (Lucene msm-above-count rule)
+                    ok = bool(p["should"]) and p["msm"] <= len(p["should"])
             if ok:
                 live[qid] = p
         if not live:
             return out
-        # any pure-NOT (or metadata-only) bool in the batch forces the
-        # shard scaffold: its hits live in shards with zero matched
-        # segment rows
-        any_pure_not = any(p["type"] == "bool" and not p["should"]
+        # any pure-NOT (or metadata-only / optional-should) bool in the
+        # batch forces the shard scaffold: its hits live in shards with
+        # zero matched segment rows
+        any_pure_not = any(p["type"] == "bool"
+                           and (not p["should"] or p.get("msm", 1) == 0)
                            and not p["filter"] for p in live.values())
 
         scan_terms = sorted({t for p in live.values() for t in p["terms"]
@@ -1148,7 +1256,8 @@ class IndexSearcher:
                         p["should"], p["filter"], p["must_not"],
                         rows_by_term, n_local, base, df_global,
                         n_docs, avgdl, kk, allowed_init=amask,
-                        quantize=p.get("quantized", False))
+                        quantize=p.get("quantized", False),
+                        min_should_match=p.get("msm", 1))
                 if len(local) == 0:
                     continue
                 if docmap_col is None:

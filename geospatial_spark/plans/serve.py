@@ -459,6 +459,38 @@ class LocalSearcher:
                   "imp_tail_doc_blocks", "imp_tail_tf_blocks",
                   "imp_tail_dl_blocks")
 
+    def search_after(self, query: str, k: int = 10,
+                     after: tuple[float, str] | None = None,
+                     quantized: bool = False,
+                     meta: dict | None = None) -> list[tuple[str, float]]:
+        """Cursor pagination — same contract as
+        IndexSearcher.search_after: the next k hits STRICTLY AFTER
+        ``after = (score, doc_id)`` under the pagination ordering
+        (round(score, ORDER_DP) desc, doc_id asc); raw scores out.
+        Adaptive top-m re-run sized to cursor depth (Lucene from+size
+        cost shape), tie-exact at every page boundary."""
+        from geospatial_spark.functions.oracle_sql import ORDER_DP
+
+        if after is None:
+            cs, cd = float("inf"), ""
+        else:
+            cs, cd = round(float(after[0]), ORDER_DP), str(after[1])
+        kk = int(k)
+        m = max(2 * kk, kk + 50)
+        while True:
+            rows = self.search(query, m, quantized=quantized, meta=meta)
+            post = [(d, s) for d, s in rows
+                    if round(s, ORDER_DP) < cs
+                    or (round(s, ORDER_DP) == cs and d > cd)]
+            if len(rows) < m or m >= self.n_docs:
+                break
+            if len(post) >= kk and (round(post[kk - 1][1], ORDER_DP)
+                                    != round(rows[-1][1], ORDER_DP)):
+                break
+            m *= 4
+        post.sort(key=lambda h: (-round(h[1], ORDER_DP), h[0]))
+        return post[:kk]
+
     def search(self, query: str, k: int = 10,
                quantized: bool = False,
                meta: dict | None = None) -> list[tuple[str, float]]:
@@ -835,11 +867,14 @@ class LocalSearcher:
     def search_bool(self, should: str = "", filter_q: str = "",
                     must_not: str = "", k: int = 10,
                     meta: dict | None = None,
-                    quantized: bool = False
+                    quantized: bool = False,
+                    min_should_match: int = 1
                     ) -> list[tuple[str, float]]:
         """Bool query on the serving path — same contract as
         IndexSearcher.search_bool, including the metadata-filter
-        predicate (operators/metafilter.py)."""
+        predicate (operators/metafilter.py) and min_should_match
+        (0 = optional should, >1 = require that many distinct should
+        terms)."""
         import pyarrow.parquet as pq
 
         from geospatial_spark.operators.boolquery import bool_match_shard
@@ -854,12 +889,17 @@ class LocalSearcher:
         sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
         if self.n_docs == 0:
             return []
-        pure_not = not sh and not fl
+        msm = int(min_should_match)
+        if msm < 0:
+            raise ValueError("min_should_match must be >= 0")
+        pure_not = (not sh or msm == 0) and not fl
         df_global = self._df_for(sorted(set(sh + fl + mn)))
         if any(t not in df_global for t in fl):
             return []
         sh = [t for t in sh if t in df_global]
-        if should and not sh:
+        if should and not sh and msm > 0:
+            return []
+        if sh and msm > len(sh):
             return []
         mn = [t for t in mn if t in df_global]
         scan_terms = sorted(set(sh + fl + mn))
@@ -889,7 +929,7 @@ class LocalSearcher:
                     sh, fl, mn, rows_by_term,
                     self.shard_docs[(gen_id, shard)], base, df_global,
                     self.n_docs, self.avgdl, k, allowed_init=amask,
-                    quantize=quantized)
+                    quantize=quantized, min_should_match=msm)
                 if len(local) == 0:
                     continue
                 key = (gen_id, shard)

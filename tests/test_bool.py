@@ -33,7 +33,7 @@ def rows(small_transcripts_pd):
                     small_transcripts_pd["text"]))
 
 
-def _ref_bool(oracle, rows, should, filter_q, must_not, k=10):
+def _ref_bool(oracle, rows, should, filter_q, must_not, k=10, msm=1):
     from geospatial_spark.functions.bm25 import term_score
 
     sh = sorted(set(tokenize_py(should)))
@@ -46,17 +46,16 @@ def _ref_bool(oracle, rows, should, filter_q, must_not, k=10):
             continue
         if any(t in toks for t in mn):
             continue
+        doc_id = f"{conv}:{turn}"
         if sh:
             present = [t for t in sh if t in toks]
-            if not present:
+            if msm > 0 and len(present) < msm:
                 continue
-            doc_id = f"{conv}:{turn}"
             score = sum(
                 term_score(oracle.postings[t][doc_id], oracle.doclens[doc_id],
                            oracle.avgdl, len(oracle.postings[t]),
                            oracle.n_docs) for t in present)
         else:
-            doc_id = f"{conv}:{turn}"
             score = 0.0
         hits.append((doc_id, score))
     hits.sort(key=lambda h: (-h[1], oracle.doc_sort_key(h[0])))
@@ -86,6 +85,68 @@ def test_bool_matches_reference(searcher, small_oracle, rows,
         assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), gd
 
 
+MSM_CASES = [
+    # (should, filter, must_not, msm)
+    ("deploy spark the", "", "", 2),        # ≥2 of 3 distinct terms
+    ("deploy spark the", "", "job", 3),     # all three required
+    ("deploy spark", "the", "", 0),         # optional should: filter decides
+    ("deploy spark", "", "job", 2),
+    ("zzz-not-in-corpus spark", "the", "", 0),  # dead should term, msm=0
+]
+
+
+@pytest.mark.parametrize("should,filter_q,must_not,msm", MSM_CASES)
+def test_bool_min_should_match(searcher, small_oracle, rows,
+                               should, filter_q, must_not, msm):
+    got = searcher.search_bool(should, filter_q, must_not, 10,
+                               min_should_match=msm)
+    want = _ref_bool(small_oracle, rows, should, filter_q, must_not, 10,
+                     msm=msm)
+    assert [d for d, _ in got] == [d for d, _ in want], (should, msm)
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), gd
+
+
+def test_bool_msm_above_live_terms_matches_nothing(searcher):
+    """Lucene rule: minimumNumberShouldMatch above the number of live
+    optional clauses can never match."""
+    assert searcher.search_bool("deploy spark", "", "", 10,
+                                min_should_match=3) == []
+    # dead term does not count toward the live-clause budget
+    assert searcher.search_bool("deploy zzz-not-in-corpus", "", "", 10,
+                                min_should_match=2) == []
+
+
+def test_bool_msm0_scores_match_msm1_on_shared_hits(searcher):
+    """msm=0 widens the candidate set (filter context decides) but must
+    not change the score of any doc that also matches under msm=1."""
+    base = dict(searcher.search_bool("deploy spark", "the", "", 50))
+    opt = dict(searcher.search_bool("deploy spark", "the", "", 50,
+                                    min_should_match=0))
+    assert set(base) <= set(opt)
+    for d, s in base.items():
+        assert math.isclose(opt[d], s, rel_tol=1e-12), d
+
+
+def test_bool_msm_local_searcher_parity(built_index, searcher):
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    ls = LocalSearcher(built_index)
+    for should, filter_q, must_not, msm in MSM_CASES:
+        a = searcher.search_bool(should, filter_q, must_not, 10,
+                                 min_should_match=msm)
+        b = ls.search_bool(should, filter_q, must_not, 10,
+                           min_should_match=msm)
+        assert [d for d, _ in a] == [d for d, _ in b], (should, msm)
+        for (_, sa), (_, sb) in zip(a, b):
+            assert math.isclose(sa, sb, rel_tol=1e-12)
+
+
+def test_bool_msm_negative_rejected(searcher):
+    with pytest.raises(ValueError):
+        searcher.search_bool("deploy", "", "", 10, min_should_match=-1)
+
+
 def test_bool_pure_not_serves_complement(searcher, small_oracle, rows):
     """must_not-only queries serve via the docmap complement: hits are
     exactly the docs without any must_not term, score 0.0."""
@@ -108,6 +169,12 @@ def test_search_many_mixed_matches_individual(spark, searcher, small_oracle,
                "must_not": "job"},
         "b2": {"type": "bool", "filter": "the spark"},
         "b3": {"type": "bool", "must_not": "the"},
+        "b4": {"type": "bool", "should": "deploy spark the",
+               "minimum_should_match": 2},
+        "b5": {"type": "bool", "should": "deploy spark", "filter": "the",
+               "minimum_should_match": 0},
+        "b6": {"type": "bool", "should": "deploy spark",
+               "minimum_should_match": 3},
         "ps1": {"type": "phrase_scored", "q": "deploy the"},
         "ps2": {"type": "phrase_scored", "q": "zzz missing"},
     }
@@ -121,6 +188,11 @@ def test_search_many_mixed_matches_individual(spark, searcher, small_oracle,
         "b1": searcher.search_bool("deploy spark", "the", "job", 10),
         "b2": searcher.search_bool("", "the spark", "", 10),
         "b3": searcher.search_bool("", "", "the", 10),
+        "b4": searcher.search_bool("deploy spark the", "", "", 10,
+                                   min_should_match=2),
+        "b5": searcher.search_bool("deploy spark", "the", "", 10,
+                                   min_should_match=0),
+        "b6": [],
         "ps1": searcher.search_phrase_scored("deploy the", 10),
         "ps2": [],
     }

@@ -64,6 +64,13 @@ SIX = [
     {"type": "phrase_prefix", "q": "the sp"},
     {"type": "regexp", "q": "s[a-z]+k"},
     {"type": "prefix", "q": "sp", "meta": {"role": "assistant"}},
+    # minimum_should_match (required-2 / optional-should filter context)
+    {"type": "bool", "should": "the spark deploy",
+     "minimum_should_match": 2},
+    {"type": "bool", "should": "deploy spark", "filter": "the",
+     "minimum_should_match": 0},
+    # cursor pagination (search_after page boundary)
+    {"type": "match", "q": "the spark", "after": [0.5, "conv-00000100:0"]},
 ]
 
 
