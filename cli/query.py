@@ -71,6 +71,10 @@ def main() -> None:
                     help="bool: distinct should terms a hit must "
                          "contain (0 = should is optional and only "
                          "contributes score; default 1)")
+    ap.add_argument("--boost", action="append", default=None,
+                    metavar="TERM=WEIGHT",
+                    help="bool: per-should-term score multiplier "
+                         "(repeatable, e.g. --boost spark=2.5)")
     ap.add_argument("--after-score", dest="after_score", type=float,
                     default=None,
                     help="cursor pagination: score of the last hit of "
@@ -99,6 +103,17 @@ def main() -> None:
             if v is not None} or None
     if (args.after_score is None) != (args.after_doc is None):
         ap.error("--after-score and --after-doc must be given together")
+    boosts = None
+    if args.boost:
+        boosts = {}
+        for item in args.boost:
+            term, sep, w = item.partition("=")
+            if not sep or not term:
+                ap.error(f"--boost expects TERM=WEIGHT, got {item!r}")
+            try:
+                boosts[term] = float(w)
+            except ValueError:
+                ap.error(f"--boost weight must be a number, got {item!r}")
     after = ((args.after_score, args.after_doc)
              if args.after_doc is not None else None)
 
@@ -111,7 +126,7 @@ def main() -> None:
             "fuzzy" if args.fuzzy else
             "wildcard" if args.wildcard else
             "regexp" if args.regexp else
-            "bool" if (args.filter or args.must_not
+            "bool" if (args.filter or args.must_not or boosts
                        or args.min_should_match != 1) else "match")
     if meta and mode not in ("match", "bool", "prefix", "fuzzy",
                              "wildcard", "regexp"):
@@ -149,7 +164,8 @@ def main() -> None:
             hits = ls.search_bool(args.query, args.filter, args.must_not,
                                   args.k, meta=meta,
                                   quantized=args.quantized,
-                                  min_should_match=args.min_should_match)
+                                  min_should_match=args.min_should_match,
+                                  boosts=boosts)
         elif after is not None:
             hits = ls.search_after(args.query, args.k, after=after,
                                    quantized=args.quantized, meta=meta)
@@ -188,7 +204,8 @@ def main() -> None:
             hits = s.search_bool(args.query, args.filter, args.must_not,
                                  args.k, meta=meta,
                                  quantized=args.quantized,
-                                 min_should_match=args.min_should_match)
+                                 min_should_match=args.min_should_match,
+                                 boosts=boosts)
         elif after is not None:
             hits = s.search_after(args.query, args.k, after=after,
                                   quantized=args.quantized, meta=meta)

@@ -297,7 +297,8 @@ LIMIT {k}
 def bm25_bool_sql(should: str = "", filter_q: str = "", must_not: str = "",
                   k: int = 10, table: str = "documents",
                   id_col: str = "doc_id", text_col: str = "text",
-                  meta_pred: str | None = None, msm: int = 1) -> str:
+                  meta_pred: str | None = None, msm: int = 1,
+                  boosts: dict[str, float] | None = None) -> str:
     """Bool-query oracle mirroring IndexSearcher.search_bool: scored
     should-OR (a hit contains ≥ msm distinct should terms; msm=0 makes
     the should clause optional — filter context decides matching and
@@ -309,7 +310,15 @@ def bm25_bool_sql(should: str = "", filter_q: str = "", must_not: str = "",
     mask (operators/metafilter.py) — the catalog derives role/ts
     deterministically from doc_id, so the predicate is exact arithmetic
     on both sides. Scoring stats stay corpus-global, same as the
-    engine (filter context does not change idf)."""
+    engine (filter context does not change idf).
+
+    boosts: per-should-term multipliers (Lucene clause boosts) —
+    score = Σ per_term · boost, matching untouched, mirroring
+    bool_match_shard(boosts=). Keys are tokenized like the engine."""
+    bst: dict[str, float] = {}
+    for key, w in (boosts or {}).items():
+        for t in tokenize_py(str(key)):
+            bst[t] = float(w)
     sh = sorted(set(tokenize_py(should)))
     fl = sorted(set(tokenize_py(filter_q)))
     mn = sorted(set(tokenize_py(must_not)))
@@ -338,6 +347,12 @@ def bm25_bool_sql(should: str = "", filter_q: str = "", must_not: str = "",
 
     if sh:
         per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "dft.df", "s.n")
+        if any(bst.get(t, 1.0) != 1.0 for t in sh):
+            whens = " ".join(
+                f"WHEN '{t}' THEN {bst[t]!r}" for t in sh
+                if bst.get(t, 1.0) != 1.0)
+            per_term = (f"({per_term}) * (CASE tf.term {whens} "
+                        f"ELSE 1.0 END)")
         return f"""
 WITH {_tok_ctes(table, id_col, text_col)},
 dft AS (SELECT term, count(*)::INT AS df FROM tf WHERE term IN ({in_list(sh)}) GROUP BY 1),

@@ -48,6 +48,7 @@ def bool_match_shard(
     allowed_init: np.ndarray | None = None,
     quantize: bool = False,
     min_should_match: int = 1,
+    boosts: dict[str, float] | None = None,
 ):
     """Score one shard. Returns (local_docs, scores) of the shard's
     top-k (score desc, doc asc; exact scores).
@@ -65,7 +66,14 @@ def bool_match_shard(
     match (``should`` is a distinct list, so per-term presence counts
     once); 0 = optional-should (filter context decides matching). A
     value above len(should) matches nothing, Lucene's behavior — the
-    driver short-circuits that case before any shard runs."""
+    driver short-circuits that case before any shard runs.
+
+    boosts: optional per-should-term score multipliers (Lucene clause
+    boosts, `term^2`): scoring becomes Σ boost_t · BM25_t over present
+    should terms. Matching (msm hit counts, filter semantics) is
+    UNAFFECTED — a boost-0 term still matches, exactly Lucene. The
+    multiply is applied LAST per term so boost=1.0 is bit-identical to
+    the unboosted path (and to the oracle's `per_term * boost`)."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     if n_local_docs == 0:
         return empty
@@ -118,8 +126,13 @@ def bool_match_shard(
             tff = tfs.astype(np.float64)
             dlf = dls.astype(np.float64)
             idf_t = idf(int(df_global[t]), n_docs)
-            scores[docs] += idf_t * (
+            contrib = idf_t * (
                 tff / (tff + K1 * (1.0 - B + B * (dlf / avgdl))))
+            if boosts is not None:
+                w = float(boosts.get(t, 1.0))
+                if w != 1.0:
+                    contrib = contrib * w
+            scores[docs] += contrib
             nhit[docs] += 1
         if msm > 0:
             cand = np.flatnonzero((nhit >= msm) & allowed)

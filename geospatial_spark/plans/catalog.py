@@ -326,7 +326,8 @@ def _bm25_near(query: str, slop: int, k: int = 10):
 
 
 def _bm25_bool(should: str, filter_q: str, must_not: str, k: int = 10,
-               meta: dict | None = None, msm: int = 1):
+               meta: dict | None = None, msm: int = 1,
+               boosts: dict | None = None):
     """Bool query (should/filter/must_not) through the compressed
     index; same re-key and rounding contract as the wand entries.
     meta: structured docmap-metadata predicate (operators/metafilter)
@@ -340,14 +341,15 @@ def _bm25_bool(should: str, filter_q: str, must_not: str, k: int = 10,
         root = _wand_index_root(spark, sf_dir)
         s = IndexSearcher(spark, root)
         probe = s.search_bool_df(should, filter_q, must_not, 1, meta=meta,
-                                 min_should_match=msm)
+                                 min_should_match=msm, boosts=boosts)
         if probe is None or not probe.take(1):
             return (_docs(spark, sf_dir)
                     .select("doc_id", F.lit(0.0).alias("score")).limit(0))
         df = _adaptive_overfetch(
             spark,
             lambda m: s.search_bool_df(should, filter_q, must_not, m,
-                                       meta=meta, min_should_match=msm),
+                                       meta=meta, min_should_match=msm,
+                                       boosts=boosts),
             k, s.n_docs)
         return (
             df.select(
@@ -422,6 +424,8 @@ NEAR_SLOP = 3
 BOOL_Q = ("spark merge", "table", "vector")  # should, filter, must_not
 # three should terms so minimum_should_match=2 is a real constraint
 MSM_SHOULD = "spark merge deploy"
+# clause boosts over the same should terms (one up, one down, one unit)
+BOOSTS = {"spark": 2.5, "deploy": 0.5}
 # metadata-filter gate pinning: the catalog index derives role/ts from
 # doc_id (see _wand_index_root), so the engine-side structured predicate
 # and the oracle-side doc_id arithmetic below are the SAME set by
@@ -1066,6 +1070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher-style repetition filters (top n-gram fraction via a
         # per-doc sorted run-scan, not a quadratic per-distinct count)
         "text_repetition": _repetition,
+        # per-should-term clause boosts (Lucene term^w): score = Σ w·BM25
+        "bm25_bool_boosted": _bm25_bool(MSM_SHOULD, "", "", 10,
+                                        boosts=BOOSTS),
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1136,6 +1143,8 @@ def oracle_sql() -> dict[str, str]:
                                                    offset=10),
         "events_hll_cardinality": _hll_cardinality_sql(),
         "text_repetition": osql.repetition_sql(),
+        "bm25_bool_boosted": osql.bm25_bool_sql(MSM_SHOULD, "", "", 10,
+                                                boosts=BOOSTS),
         "enrich_region_stats": osql.enrich_region_stats_sql(),
         "multi_value_join": osql.multi_value_join_sql(),
         "stats_by_source": osql.stats_by_source_sql(),

@@ -88,7 +88,8 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
         return searcher.search_bool(
             req.get("should", ""), req.get("filter", ""),
             req.get("must_not", ""), k, meta=req.get("meta"),
-            min_should_match=int(req.get("minimum_should_match", 1)))
+            min_should_match=int(req.get("minimum_should_match", 1)),
+            boosts=req.get("boosts"))
     if qtype == "facet":
         counts = searcher.facet_counts(req.get("should", ""),
                                        req.get("filter", ""),

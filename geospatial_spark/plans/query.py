@@ -593,7 +593,9 @@ class IndexSearcher:
                        must_not: str = "", k: int = 10,
                        meta: dict | None = None,
                        quantized: bool = False,
-                       min_should_match: int = 1) -> DataFrame | None:
+                       min_should_match: int = 1,
+                       boosts: dict[str, float] | None = None
+                       ) -> DataFrame | None:
         """Boolean query (operators/boolquery.py): scored should-OR
         (a hit must contain ≥ min_should_match distinct should terms;
         default 1) restricted by unscored filter-AND and must_not-NOT
@@ -609,7 +611,12 @@ class IndexSearcher:
         (XYPointQueryVisitor.java:165-178). Resolved per shard to a
         local-ordinal mask inside the kernel: no shuffle, no postings
         read, scoring stats stay corpus-global (filter context does
-        not change idf)."""
+        not change idf).
+
+        boosts: optional per-should-term multipliers (Lucene clause
+        boosts): score = Σ boost_t · BM25_t over present should terms;
+        matching semantics (msm, filter context) are unaffected. Keys
+        run through the same tokenizer/normalizer as the clauses."""
         from geospatial_spark.operators.metafilter import normalize_meta
 
         meta = normalize_meta(meta)
@@ -618,6 +625,14 @@ class IndexSearcher:
 
         def toks(text: str) -> list[str]:
             return sorted({norm.get(t, t) for t in tokenize_py(text)})
+
+        bst = None
+        if boosts:
+            bst = {}
+            for key, w in boosts.items():
+                for t in toks(str(key)):
+                    bst[t] = float(w)
+            bst = bst or None
 
         sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
         if self.n_docs == 0:
@@ -682,7 +697,7 @@ class IndexSearcher:
             local, scores = bool_match_shard(
                 sh, fl, mn, rows_by_term, shard_docs.get((gen, shard), 0),
                 base, df_global, n_docs, avgdl, kk, allowed_init=amask,
-                quantize=qz, min_should_match=msm)
+                quantize=qz, min_should_match=msm, boosts=bst)
             if len(local) == 0:
                 return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
                                      "score": pd.Series([], dtype="float64")})
@@ -701,8 +716,11 @@ class IndexSearcher:
                     must_not: str = "", k: int = 10,
                     meta: dict | None = None,
                     quantized: bool = False,
-                    min_should_match: int = 1) -> list[tuple[str, float]]:
+                    min_should_match: int = 1,
+                    boosts: dict[str, float] | None = None
+                    ) -> list[tuple[str, float]]:
         df = self.search_bool_df(should, filter_q, must_not, k, meta=meta,
+                                 boosts=boosts,
                                  quantized=quantized,
                                  min_should_match=min_should_match)
         if df is None:
@@ -1142,6 +1160,9 @@ class IndexSearcher:
                 if p["msm"] < 0:
                     raise ValueError(
                         f"minimum_should_match must be >= 0 for {qid!r}")
+                raw_boosts = spec.get("boosts") or {}
+                p["boosts"] = {t: float(w) for key, w in raw_boosts.items()
+                               for t in toks_set(str(key))} or None
                 self._check_meta_support(p["meta"])
                 p["terms"] = sorted(set(p["should"] + p["filter"]
                                         + p["must_not"]))
@@ -1257,7 +1278,8 @@ class IndexSearcher:
                         rows_by_term, n_local, base, df_global,
                         n_docs, avgdl, kk, allowed_init=amask,
                         quantize=p.get("quantized", False),
-                        min_should_match=p.get("msm", 1))
+                        min_should_match=p.get("msm", 1),
+                        boosts=p.get("boosts"))
                 if len(local) == 0:
                     continue
                 if docmap_col is None:

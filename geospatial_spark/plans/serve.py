@@ -868,13 +868,14 @@ class LocalSearcher:
                     must_not: str = "", k: int = 10,
                     meta: dict | None = None,
                     quantized: bool = False,
-                    min_should_match: int = 1
+                    min_should_match: int = 1,
+                    boosts: dict[str, float] | None = None
                     ) -> list[tuple[str, float]]:
         """Bool query on the serving path — same contract as
         IndexSearcher.search_bool, including the metadata-filter
-        predicate (operators/metafilter.py) and min_should_match
+        predicate (operators/metafilter.py), min_should_match
         (0 = optional should, >1 = require that many distinct should
-        terms)."""
+        terms) and per-should-term boosts."""
         import pyarrow.parquet as pq
 
         from geospatial_spark.operators.boolquery import bool_match_shard
@@ -885,6 +886,11 @@ class LocalSearcher:
 
         def toks(text: str) -> list[str]:
             return sorted({norm.get(t, t) for t in tokenize_py(text)})
+
+        bst = None
+        if boosts:
+            bst = {t: float(w) for key, w in boosts.items()
+                   for t in toks(str(key))} or None
 
         sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
         if self.n_docs == 0:
@@ -929,7 +935,7 @@ class LocalSearcher:
                     sh, fl, mn, rows_by_term,
                     self.shard_docs[(gen_id, shard)], base, df_global,
                     self.n_docs, self.avgdl, k, allowed_init=amask,
-                    quantize=quantized, min_should_match=msm)
+                    quantize=quantized, min_should_match=msm, boosts=bst)
                 if len(local) == 0:
                     continue
                 key = (gen_id, shard)

@@ -33,7 +33,8 @@ def rows(small_transcripts_pd):
                     small_transcripts_pd["text"]))
 
 
-def _ref_bool(oracle, rows, should, filter_q, must_not, k=10, msm=1):
+def _ref_bool(oracle, rows, should, filter_q, must_not, k=10, msm=1,
+              boosts=None):
     from geospatial_spark.functions.bm25 import term_score
 
     sh = sorted(set(tokenize_py(should)))
@@ -54,7 +55,9 @@ def _ref_bool(oracle, rows, should, filter_q, must_not, k=10, msm=1):
             score = sum(
                 term_score(oracle.postings[t][doc_id], oracle.doclens[doc_id],
                            oracle.avgdl, len(oracle.postings[t]),
-                           oracle.n_docs) for t in present)
+                           oracle.n_docs)
+                * (1.0 if not boosts else boosts.get(t, 1.0))
+                for t in present)
         else:
             score = 0.0
         hits.append((doc_id, score))
@@ -142,6 +145,48 @@ def test_bool_msm_local_searcher_parity(built_index, searcher):
             assert math.isclose(sa, sb, rel_tol=1e-12)
 
 
+BOOST_CASES = [
+    ({"spark": 3.0}, "deploy spark the", "", "", 1),
+    ({"spark": 0.25, "deploy": 4.0}, "deploy spark", "the", "", 1),
+    ({"the": 2.0}, "deploy spark the", "", "job", 2),   # boosts ∘ msm
+    ({"spark": 0.0}, "deploy spark", "", "", 1),        # boost-0 still matches
+]
+
+
+@pytest.mark.parametrize("boosts,should,filter_q,must_not,msm", BOOST_CASES)
+def test_bool_boosts(searcher, small_oracle, rows,
+                     boosts, should, filter_q, must_not, msm):
+    got = searcher.search_bool(should, filter_q, must_not, 10,
+                               min_should_match=msm, boosts=boosts)
+    want = _ref_bool(small_oracle, rows, should, filter_q, must_not, 10,
+                     msm=msm, boosts=boosts)
+    assert [d for d, _ in got] == [d for d, _ in want], (boosts, should)
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), gd
+
+
+def test_bool_boosts_serve_parity(built_index, searcher):
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    ls = LocalSearcher(built_index)
+    for boosts, should, filter_q, must_not, msm in BOOST_CASES:
+        a = searcher.search_bool(should, filter_q, must_not, 10,
+                                 min_should_match=msm, boosts=boosts)
+        b = ls.search_bool(should, filter_q, must_not, 10,
+                           min_should_match=msm, boosts=boosts)
+        assert [d for d, _ in a] == [d for d, _ in b], boosts
+        for (_, sa), (_, sb) in zip(a, b):
+            assert math.isclose(sa, sb, rel_tol=1e-12)
+
+
+def test_bool_unit_boost_bit_identical(searcher):
+    """boost=1.0 must be the SAME bits as no boost at all."""
+    a = searcher.search_bool("deploy spark", "the", "", 10)
+    b = searcher.search_bool("deploy spark", "the", "", 10,
+                             boosts={"deploy": 1.0, "spark": 1.0})
+    assert a == b
+
+
 def test_bool_msm_negative_rejected(searcher):
     with pytest.raises(ValueError):
         searcher.search_bool("deploy", "", "", 10, min_should_match=-1)
@@ -175,6 +220,8 @@ def test_search_many_mixed_matches_individual(spark, searcher, small_oracle,
                "minimum_should_match": 0},
         "b6": {"type": "bool", "should": "deploy spark",
                "minimum_should_match": 3},
+        "b7": {"type": "bool", "should": "deploy spark the",
+               "boosts": {"spark": 2.0, "the": 0.1}},
         "ps1": {"type": "phrase_scored", "q": "deploy the"},
         "ps2": {"type": "phrase_scored", "q": "zzz missing"},
     }
@@ -193,6 +240,8 @@ def test_search_many_mixed_matches_individual(spark, searcher, small_oracle,
         "b5": searcher.search_bool("deploy spark", "the", "", 10,
                                    min_should_match=0),
         "b6": [],
+        "b7": searcher.search_bool("deploy spark the", "", "", 10,
+                                   boosts={"spark": 2.0, "the": 0.1}),
         "ps1": searcher.search_phrase_scored("deploy the", 10),
         "ps2": [],
     }

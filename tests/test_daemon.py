@@ -71,6 +71,9 @@ SIX = [
      "minimum_should_match": 0},
     # cursor pagination (search_after page boundary)
     {"type": "match", "q": "the spark", "after": [0.5, "conv-00000100:0"]},
+    # per-should-term clause boosts
+    {"type": "bool", "should": "the spark deploy",
+     "boosts": {"spark": 2.0, "the": 0.1}},
 ]
 
 
