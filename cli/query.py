@@ -71,6 +71,10 @@ def main() -> None:
                     help="bool: distinct should terms a hit must "
                          "contain (0 = should is optional and only "
                          "contributes score; default 1)")
+    ap.add_argument("--collapse", default=None, metavar="FIELD",
+                    help="field collapsing: at most one hit per value "
+                         "of this docmap field (e.g. role); query text "
+                         "becomes the bool should clause")
     ap.add_argument("--boost", action="append", default=None,
                     metavar="TERM=WEIGHT",
                     help="bool: per-should-term score multiplier "
@@ -118,7 +122,8 @@ def main() -> None:
              if args.after_doc is not None else None)
 
 
-    mode = ("phrase_scored" if args.phrase_scored else
+    mode = ("collapse" if args.collapse else
+            "phrase_scored" if args.phrase_scored else
             "phrase" if args.phrase else
             "near" if args.slop is not None else
             "phrase_prefix" if args.phrase_prefix else
@@ -138,7 +143,11 @@ def main() -> None:
         from geospatial_spark.plans.serve import LocalSearcher
 
         ls = LocalSearcher(args.index)
-        if mode == "phrase_scored":
+        if mode == "collapse":
+            hits = ls.search_collapsed(args.query, args.filter,
+                                       args.must_not, args.k, meta=meta,
+                                       field=args.collapse)
+        elif mode == "phrase_scored":
             hits = ls.search_phrase_scored(args.query, args.k)
         elif mode == "phrase":
             hits = ls.search_phrase(args.query, args.k)
@@ -178,7 +187,11 @@ def main() -> None:
 
         spark = get_spark("cli-query", cores=args.cores)
         s = IndexSearcher(spark, args.index)
-        if mode == "phrase_scored":
+        if mode == "collapse":
+            hits = s.search_collapsed(args.query, args.filter,
+                                      args.must_not, args.k, meta=meta,
+                                      field=args.collapse)
+        elif mode == "phrase_scored":
             hits = s.search_phrase_scored(args.query, args.k)
         elif mode == "phrase":
             hits = s.search_phrase(args.query, args.k)
@@ -212,11 +225,13 @@ def main() -> None:
         else:
             hits = s.search(args.query, args.k, quantized=args.quantized,
                             meta=meta)
-    print(json.dumps({
-        "query": args.query, "k": args.k,
-        "hits": [{"doc_id": d, "score": sc, "rank": i + 1}
-                 for i, (d, sc) in enumerate(hits)],
-    }))
+    if mode == "collapse":
+        out_hits = [{"collapse": v, "doc_id": d, "score": sc, "rank": i + 1}
+                    for i, (v, d, sc) in enumerate(hits)]
+    else:
+        out_hits = [{"doc_id": d, "score": sc, "rank": i + 1}
+                    for i, (d, sc) in enumerate(hits)]
+    print(json.dumps({"query": args.query, "k": args.k, "hits": out_hits}))
 
 
 if __name__ == "__main__":

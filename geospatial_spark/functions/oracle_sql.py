@@ -378,6 +378,41 @@ ORDER BY doc_id ASC LIMIT {k}
 """.strip()
 
 
+def bm25_collapse_sql(should: str, field_expr: str, k: int = 10,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """Field-collapse oracle (IndexSearcher.search_collapsed): best hit
+    per value of ``field_expr`` (SQL over column doc_id — the catalog
+    index derives role deterministically from doc_id), top-k values.
+    Per-value best under (round(raw, ORDER_DP) DESC, doc_id STRING asc)
+    — the engine's '<n>:0' ids make string order ≡ VARCHAR(n) order —
+    emitted under the gate contract (bigint doc_id tie-break)."""
+    sh = sorted(set(tokenize_py(should)))
+    per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "dft.df", "s.n")
+    in_sh = ", ".join(f"'{t}'" for t in sh)
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+dft AS (SELECT term, count(*)::INT AS df FROM tf WHERE term IN ({in_sh}) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, SUM({per_term}) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ({in_sh})
+  GROUP BY tf.doc_id
+),
+w AS (
+  SELECT doc_id, raw, {field_expr} AS collapse,
+         row_number() OVER (
+           PARTITION BY {field_expr}
+           ORDER BY round(raw, {ORDER_DP}) DESC,
+                    CAST(doc_id AS VARCHAR) ASC) AS rn
+  FROM scored
+)
+SELECT collapse, doc_id, round(raw, {ROUND_DP}) AS score
+FROM w WHERE rn = 1
+ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC LIMIT {int(k)}
+""".strip()
+
+
 def bm25_facet_sql(should: str = "", filter_q: str = "",
                    must_not: str = "",
                    facet_expr: str = ("CASE d.doc_id % 3 WHEN 0 THEN "

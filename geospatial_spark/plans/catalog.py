@@ -193,6 +193,39 @@ def _bm25_page2(query: str, k: int = 10):
     return run
 
 
+ROLE_EXPR_SQL = ("CASE doc_id % 3 WHEN 0 THEN 'assistant' "
+                 "WHEN 1 THEN 'user' ELSE 'system' END")
+
+
+def _bm25_collapse(should: str, k: int = 10):
+    """Field-collapsed top-k through the REAL index (best hit per
+    docmap role value) — the oracle derives role from doc_id
+    arithmetic, same derivation the catalog index was built with."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        df = s.search_collapsed_df(should, k=k, field="role")
+        if df is None:
+            return (_docs(spark, sf_dir)
+                    .select(F.lit("").alias("collapse"),
+                            F.col("doc_id"),
+                            F.lit(0.0).alias("score")).limit(0))
+        return (
+            df.select(
+                "collapse",
+                F.substring_index("doc_id", ":", 1).cast("long").alias("doc_id"),
+                F.col("score").alias("raw"))
+            .orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("doc_id"))
+            .select("collapse", "doc_id",
+                    F.round("raw", ROUND_DP).alias("score"))
+        )
+
+    return run
+
+
 def _bm25_expansion(kind: str, q: str, k: int = 10):
     """Prefix/fuzzy rewrite through the REAL compressed index: bounded
     dictionary expansion (operators/expand.py) scored as a BM25
@@ -1073,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-should-term clause boosts (Lucene term^w): score = Σ w·BM25
         "bm25_bool_boosted": _bm25_bool(MSM_SHOULD, "", "", 10,
                                         boosts=BOOSTS),
+        # field collapsing: best hit per docmap role value
+        "bm25_collapse_role": _bm25_collapse(BOOL_Q[0], 10),
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1145,6 +1180,8 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": osql.repetition_sql(),
         "bm25_bool_boosted": osql.bm25_bool_sql(MSM_SHOULD, "", "", 10,
                                                 boosts=BOOSTS),
+        "bm25_collapse_role": osql.bm25_collapse_sql(
+            BOOL_Q[0], ROLE_EXPR_SQL, 10),
         "enrich_region_stats": osql.enrich_region_stats_sql(),
         "multi_value_join": osql.multi_value_join_sql(),
         "stats_by_source": osql.stats_by_source_sql(),

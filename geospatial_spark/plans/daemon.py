@@ -90,6 +90,12 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
             req.get("must_not", ""), k, meta=req.get("meta"),
             min_should_match=int(req.get("minimum_should_match", 1)),
             boosts=req.get("boosts"))
+    if qtype == "collapse":
+        # field-collapsed top-k: hits are (field_value, doc_id, score)
+        return searcher.search_collapsed(
+            req.get("should", ""), req.get("filter", ""),
+            req.get("must_not", ""), k, meta=req.get("meta"),
+            field=req.get("field", "role"))
     if qtype == "facet":
         counts = searcher.facet_counts(req.get("should", ""),
                                        req.get("filter", ""),

@@ -997,6 +997,134 @@ class IndexSearcher:
             return {}
         return {r["facet"]: int(r["n"]) for r in df.collect()}
 
+    def search_collapsed_df(self, should: str = "", filter_q: str = "",
+                            must_not: str = "", k: int = 10,
+                            meta: dict | None = None,
+                            field: str = "role") -> DataFrame | None:
+        """Field-collapsed top-k (the OpenSearch `collapse` clause): at
+        most ONE hit per distinct value of a docmap metadata field —
+        the best-scoring doc per value — then the top-k values by that
+        best hit. Returns (field value as `collapse`, doc_id, score).
+
+        Per-value best is chosen under the rounded-ordering contract
+        (round(score, ORDER_DP) desc, doc_id asc); NULL field values
+        are dropped (the missing bucket, same as facets).
+
+        Scale shape: the per-shard kernel resolves its FULL local match
+        set (collapse must see every match — a shard's 11th-best can be
+        a rare value's best), maps ordinals to its own docmap column
+        (local file, no shuffle), and emits ONE row per distinct value;
+        the global reduce is a window over tiny per-shard partials."""
+        from pyspark.sql import Window
+
+        from geospatial_spark.functions.oracle_sql import ORDER_DP
+        from geospatial_spark.operators.metafilter import normalize_meta
+
+        if field not in ("role",):
+            raise ValueError(f"unsupported collapse field {field!r} "
+                             "(docmap metadata fields only)")
+        meta = normalize_meta(meta)
+        self._check_meta_support(meta)
+        self._check_meta_support({"role": ["x"]})  # field itself needs v2
+        norm = self.manifest.get("normalization") or {}
+
+        def toks(text: str) -> list[str]:
+            return sorted({norm.get(t, t) for t in tokenize_py(text)})
+
+        sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
+        if self.n_docs == 0:
+            return None
+        pure_not = not sh and not fl
+        df_global = self._df_for(sorted(set(sh + fl + mn)))
+        if any(t not in df_global for t in fl):
+            return None
+        sh = [t for t in sh if t in df_global]
+        if should and not sh:
+            return None
+        mn = [t for t in mn if t in df_global]
+
+        scan_terms = sorted(set(sh + fl + mn))
+        matched = (self._segments().where(F.col("term").isin(scan_terms))
+                   .drop("pos_blocks", *_IMP_COLS))
+        if pure_not:
+            shards_df = self.spark.createDataFrame(
+                [(g, s) for (g, s) in sorted(self.shard_docs)],
+                "gen string, shard int")
+            matched = shards_df.join(matched, ["gen", "shard"], "left")
+        n_docs, avgdl = self.n_docs, self.avgdl
+        shard_docs, gdirs = self.shard_docs, self.gdirs
+        dm_files = self.docmap_files
+        fld = field
+        odp = ORDER_DP
+
+        def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from pathlib import Path as _P
+
+            import pyarrow.parquet as pq
+
+            from geospatial_spark.operators.boolquery import bool_match_shard
+            from geospatial_spark.operators.metafilter import (
+                meta_mask_from_docmap,
+            )
+
+            empty = pd.DataFrame({"collapse": pd.Series([], dtype=object),
+                                  "doc_id": pd.Series([], dtype=object),
+                                  "score": pd.Series([], dtype="float64")})
+            gen, shard = str(key[0]), int(key[1])
+            base = shard << ORD_SHARD_SHIFT
+            n_local = shard_docs.get((gen, shard), 0)
+            rows_by_term = {rec["term"]: rec
+                            for rec in pdf.to_dict("records")
+                            if isinstance(rec.get("term"), str)}
+            dm_path = _P(gdirs[gen]) / dm_files[(gen, shard)]
+            amask = (meta_mask_from_docmap(dm_path, meta)
+                     if meta is not None else None)
+            # k = n_local: collapse must see the FULL match set
+            local, scores = bool_match_shard(
+                sh, fl, mn, rows_by_term, n_local, base, df_global,
+                n_docs, avgdl, max(n_local, 1), allowed_init=amask)
+            if len(local) == 0:
+                return empty
+            tbl = pq.read_table(dm_path, columns=[fld, "doc_id"])
+            vals = tbl.column(fld).take(local.tolist()).to_pandas()
+            ids = tbl.column("doc_id").take(local.tolist()).to_pandas()
+            part = pd.DataFrame({"collapse": vals, "doc_id": ids,
+                                 "score": scores.astype(np.float64)})
+            part = part.dropna(subset=["collapse"])
+            if part.empty:
+                return empty
+            # local best per value under the rounded contract
+            part["r"] = part["score"].round(odp)
+            part = (part.sort_values(["collapse", "r", "doc_id"],
+                                     ascending=[True, False, True])
+                    .drop_duplicates("collapse", keep="first")
+                    .drop(columns="r"))
+            return part
+
+        per_shard = matched.groupBy("gen", "shard").applyInPandas(
+            run_shard, schema="collapse string, doc_id string, score double"
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("collapse")
+            .orderBy(F.round(F.col("score"), odp).desc(), F.asc("doc_id")))
+        return (per_shard.withColumn("rn", rn).where(F.col("rn") == 1)
+                .drop("rn")
+                .orderBy(F.round(F.col("score"), odp).desc(),
+                         F.asc("doc_id"))
+                .limit(int(k)))
+
+    def search_collapsed(self, should: str = "", filter_q: str = "",
+                         must_not: str = "", k: int = 10,
+                         meta: dict | None = None, field: str = "role"
+                         ) -> list[tuple[str, str, float]]:
+        """Collapsed top-k as (field_value, doc_id, score) tuples."""
+        df = self.search_collapsed_df(should, filter_q, must_not, k,
+                                      meta=meta, field=field)
+        if df is None:
+            return []
+        return [(r["collapse"], r["doc_id"], float(r["score"]))
+                for r in df.collect()]
+
     def search_many(self, queries: dict[str, str], k: int = 10,
                     quantized: bool = False
                     ) -> dict[str, list[tuple[str, float]]]:

@@ -864,6 +864,15 @@ class LocalSearcher:
         return _facet_counts_local(self, should, filter_q, must_not,
                                    meta, field)
 
+    def search_collapsed(self, should: str = "", filter_q: str = "",
+                         must_not: str = "", k: int = 10,
+                         meta: dict | None = None, field: str = "role"
+                         ) -> list[tuple[str, str, float]]:
+        """Field-collapsed top-k (field_value, doc_id, score) — the
+        serving-path twin of IndexSearcher.search_collapsed."""
+        return _search_collapsed_local(self, should, filter_q, must_not,
+                                       k, meta, field)
+
     def search_bool(self, should: str = "", filter_q: str = "",
                     must_not: str = "", k: int = 10,
                     meta: dict | None = None,
@@ -950,6 +959,81 @@ class LocalSearcher:
                     candidates.append((-float(sc), conv, int(turn), doc_id))
         candidates.sort()
         return [(d, -neg) for neg, _, _, d in candidates[:k]]
+
+
+def _search_collapsed_local(searcher: "LocalSearcher", should: str,
+                            filter_q: str, must_not: str, k: int,
+                            meta: dict | None, field: str
+                            ) -> list[tuple[str, str, float]]:
+    """Serving-path field collapse — same contract as
+    IndexSearcher.search_collapsed: best hit per docmap field value
+    under (round(score, ORDER_DP) desc, doc_id asc), top-k values."""
+    import pyarrow.parquet as pq
+
+    from geospatial_spark.functions.oracle_sql import ORDER_DP
+    from geospatial_spark.operators.boolquery import bool_match_shard
+    from geospatial_spark.operators.metafilter import normalize_meta
+
+    if field not in ("role",):
+        raise ValueError(f"unsupported collapse field {field!r}")
+    meta = normalize_meta(meta)
+    s = searcher
+    norm = s.manifest.get("normalization") or {}
+
+    def toks(text: str) -> list[str]:
+        return sorted({norm.get(t, t) for t in tokenize_py(text)})
+
+    sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
+    if s.n_docs == 0:
+        return []
+    pure_not = not sh and not fl
+    df_global = s._df_for(sorted(set(sh + fl + mn)))
+    if any(t not in df_global for t in fl):
+        return []
+    sh = [t for t in sh if t in df_global]
+    if should and not sh:
+        return []
+    mn = [t for t in mn if t in df_global]
+    scan_terms = sorted(set(sh + fl + mn))
+
+    # value -> (-rounded, doc_id, raw): merge keeps the contract-best
+    best: dict[str, tuple[float, str, float]] = {}
+    for g in s.gens:
+        gen_id = g["id"]
+        reader = s._reader(gen_id)
+        cols = [c for c in reader.schema_names
+                if not c.startswith("imp_") and c != "pos_blocks"]
+        by_shard: dict[int, dict[str, dict]] = {}
+        for r in s._cached_rows(gen_id, reader, scan_terms, cols, "b"):
+            by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
+        if pure_not:
+            for (g_id, shard) in s.shard_docs:
+                if g_id == gen_id:
+                    by_shard.setdefault(shard, {})
+        for shard, rows_by_term in by_shard.items():
+            base = shard << ORD_SHARD_SHIFT
+            n_local = s.shard_docs[(gen_id, shard)]
+            amask = (s._meta_mask(gen_id, shard, meta)
+                     if meta is not None else None)
+            local, sc = bool_match_shard(
+                sh, fl, mn, rows_by_term, n_local, base, df_global,
+                s.n_docs, s.avgdl, max(n_local, 1), allowed_init=amask)
+            if len(local) == 0:
+                continue
+            path = s.gdirs[gen_id] / s.docmap_files[(gen_id, shard)]
+            tbl = pq.read_table(path, columns=[field, "doc_id"])
+            vals = tbl.column(field).take(local.tolist()).to_pylist()
+            ids = tbl.column("doc_id").take(local.tolist()).to_pylist()
+            for v, d, raw in zip(vals, ids, sc):
+                if v is None:
+                    continue
+                cand = (-round(float(raw), ORDER_DP), d, float(raw))
+                cur = best.get(v)
+                if cur is None or cand[:2] < cur[:2]:
+                    best[v] = cand
+    ranked = sorted(((key[0], key[1], v, key[2])
+                     for v, key in best.items()))
+    return [(v, d, raw) for _, d, v, raw in ranked[:int(k)]]
 
 
 def _facet_counts_local(searcher: "LocalSearcher", should: str,
