@@ -99,6 +99,14 @@ def main() -> None:
                     help="metadata filter: ts <= ISO timestamp")
     ap.add_argument("--conv-prefix", dest="conv_prefix", default=None,
                     help="metadata filter: conv_id prefix")
+    ap.add_argument("--highlight", action="store_true",
+                    help="attach best-window snippets to match hits "
+                         "(requires --docstore)")
+    ap.add_argument("--docstore", default=None,
+                    help="transcripts parquet path for --highlight "
+                         "(doc text is not stored in the index)")
+    ap.add_argument("--window", type=int, default=12,
+                    help="--highlight snippet window in tokens")
     args = ap.parse_args()
     meta = {k: v for k, v in (("role", args.role),
                               ("ts_min", args.ts_min),
@@ -122,7 +130,8 @@ def main() -> None:
              if args.after_doc is not None else None)
 
 
-    mode = ("collapse" if args.collapse else
+    mode = ("highlight" if args.highlight else
+            "collapse" if args.collapse else
             "phrase_scored" if args.phrase_scored else
             "phrase" if args.phrase else
             "near" if args.slop is not None else
@@ -133,8 +142,11 @@ def main() -> None:
             "regexp" if args.regexp else
             "bool" if (args.filter or args.must_not or boosts
                        or args.min_should_match != 1) else "match")
+    if mode == "highlight" and not args.docstore:
+        ap.error("--highlight requires --docstore (doc text is not "
+                 "stored in the index)")
     if meta and mode not in ("match", "bool", "prefix", "fuzzy",
-                             "wildcard", "regexp"):
+                             "wildcard", "regexp", "highlight"):
         ap.error("--role/--ts-min/--ts-max/--conv-prefix apply to match, "
                  "bool and expansion queries only")
     if after is not None and mode != "match":
@@ -142,8 +154,11 @@ def main() -> None:
     if args.local:
         from geospatial_spark.plans.serve import LocalSearcher
 
-        ls = LocalSearcher(args.index)
-        if mode == "collapse":
+        ls = LocalSearcher(args.index, docstore=args.docstore)
+        if mode == "highlight":
+            hits = ls.highlight(args.query, args.k, args.window,
+                                quantized=args.quantized, meta=meta)
+        elif mode == "collapse":
             hits = ls.search_collapsed(args.query, args.filter,
                                        args.must_not, args.k, meta=meta,
                                        field=args.collapse)
@@ -187,7 +202,14 @@ def main() -> None:
 
         spark = get_spark("cli-query", cores=args.cores)
         s = IndexSearcher(spark, args.index)
-        if mode == "collapse":
+        if mode == "highlight":
+            from geospatial_spark.sources.transcripts import read_transcripts
+
+            hits = s.highlight(args.query,
+                               read_transcripts(spark, args.docstore),
+                               args.k, args.window,
+                               quantized=args.quantized, meta=meta)
+        elif mode == "collapse":
             hits = s.search_collapsed(args.query, args.filter,
                                       args.must_not, args.k, meta=meta,
                                       field=args.collapse)
@@ -225,7 +247,11 @@ def main() -> None:
         else:
             hits = s.search(args.query, args.k, quantized=args.quantized,
                             meta=meta)
-    if mode == "collapse":
+    if mode == "highlight":
+        out_hits = [{"doc_id": d, "score": sc, "snippet": sn,
+                     "n_hit": nh, "rank": i + 1}
+                    for i, (d, sc, sn, nh) in enumerate(hits)]
+    elif mode == "collapse":
         out_hits = [{"collapse": v, "doc_id": d, "score": sc, "rank": i + 1}
                     for i, (v, d, sc) in enumerate(hits)]
     else:

@@ -33,12 +33,17 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--check-interval", type=float, default=0.25,
                     help="seconds between manifest change checks")
+    ap.add_argument("--docstore", default=None,
+                    help="transcripts parquet path enabling "
+                         '{"type": "highlight"} requests (snippets '
+                         "re-join doc text; it is not in the index)")
     args = ap.parse_args()
 
     from geospatial_spark.plans.daemon import make_server
 
     srv = make_server(args.index, args.host, args.port,
-                      check_interval=args.check_interval)
+                      check_interval=args.check_interval,
+                      docstore=args.docstore)
     print(json.dumps({"serving": args.index,
                       "addr": list(srv.server_address)}), flush=True)
     try:

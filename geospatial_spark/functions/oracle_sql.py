@@ -378,6 +378,42 @@ ORDER BY doc_id ASC LIMIT {k}
 """.strip()
 
 
+def bm25_highlight_sql(query: str, k: int = 10, window: int = 12,
+                       table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """Highlighted top-k oracle (catalog _bm25_highlight): the BM25
+    page joined to its docs' token lists, snippet/n_hit from the SAME
+    best-window rule as the engine (operators/highlight.snippet_sql)."""
+    from geospatial_spark.operators.highlight import snippet_sql
+
+    sh = sorted(set(tokenize_py(query)))
+    per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "dft.df", "s.n")
+    in_sh = ", ".join(f"'{t}'" for t in sh)
+    snippet, n_hit = snippet_sql(sh, window)
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+dft AS (SELECT term, count(*)::INT AS df FROM tf WHERE term IN ({in_sh}) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, SUM({per_term}) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ({in_sh})
+  GROUP BY tf.doc_id
+),
+top AS (
+  SELECT doc_id, raw FROM scored
+  ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC LIMIT {int(k)}
+),
+dtk AS (
+  SELECT {id_col} AS doc_id, {duckdb_tokens_sql(text_col)} AS tk
+  FROM {table}
+)
+SELECT t.doc_id, round(t.raw, {ROUND_DP}) AS score,
+       {snippet} AS snippet, {n_hit} AS n_hit
+FROM top t JOIN dtk USING (doc_id)
+ORDER BY round(t.raw, {ROUND_DP}) DESC, t.doc_id ASC
+""".strip()
+
+
 def bm25_collapse_sql(should: str, field_expr: str, k: int = 10,
                       table: str = "documents", id_col: str = "doc_id",
                       text_col: str = "text") -> str:

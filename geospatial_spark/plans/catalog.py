@@ -83,6 +83,39 @@ def _bm25(query: str, k: int = 10):
     return run
 
 
+def _bm25_highlight(query: str, k: int = 10, window: int = 12):
+    """Top-k with snippets: the relational scorer's page joined back to
+    the documents table, snippet = the window-token span holding the
+    most distinct query terms (operators/highlight.py — pure Catalyst
+    expressions, the window scan never leaves codegen)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.functions.tokenize import (spark_tokens_col,
+                                                         tokenize_py)
+        from geospatial_spark.operators.highlight import snippet_cols
+
+        post, dl, n, avgdl = _doc_index(spark, sf_dir)
+        hits = _adaptive_overfetch(
+            spark, lambda m: bm25_topk(spark, post, dl, n, avgdl, query, m),
+            k, n)
+        top = (hits.select("doc_id", F.col("score").alias("raw"))
+               .orderBy(F.round(F.col("raw"), ORDER_DP).desc(),
+                        F.asc("doc_id"))
+               .limit(k))
+        qterms = sorted(set(tokenize_py(query)))
+        snippet, n_hit = snippet_cols(qterms, window)
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", spark_tokens_col("text").alias("tk"))
+        return (top.join(docs, "doc_id")
+                .select("doc_id",
+                        F.round("raw", ROUND_DP).alias("score"),
+                        snippet.alias("snippet"),
+                        n_hit.alias("n_hit"))
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+
+    return run
+
+
 _WAND_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1108,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                         boosts=BOOSTS),
         # field collapsing: best hit per docmap role value
         "bm25_collapse_role": _bm25_collapse(BOOL_Q[0], 10),
+        # highlighted top-k: best-window snippet per hit
+        "bm25_highlight": _bm25_highlight(BM25_Q_MULTI, 5, 12),
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1182,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
                                                 boosts=BOOSTS),
         "bm25_collapse_role": osql.bm25_collapse_sql(
             BOOL_Q[0], ROLE_EXPR_SQL, 10),
+        "bm25_highlight": osql.bm25_highlight_sql(BM25_Q_MULTI, 5, 12),
         "enrich_region_stats": osql.enrich_region_stats_sql(),
         "multi_value_join": osql.multi_value_join_sql(),
         "stats_by_source": osql.stats_by_source_sql(),

@@ -39,6 +39,20 @@ from geospatial_spark.plans.serve import LocalSearcher
 WARM_QUERY = "the"  # loads dictionary + readers before a swap publishes
 
 
+def _plain(v):
+    """JSON-safe scalar: numpy ints/floats → python, strings/bools/None
+    pass through."""
+    import numbers
+
+    if isinstance(v, (str, bool)) or v is None:
+        return v
+    if isinstance(v, numbers.Integral):
+        return int(v)
+    if isinstance(v, numbers.Real):
+        return float(v)
+    return v
+
+
 def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
     """One request → one LocalSearcher call. Same request shape as
     IndexSearcher.search_many_mixed entries."""
@@ -96,6 +110,13 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
             req.get("should", ""), req.get("filter", ""),
             req.get("must_not", ""), k, meta=req.get("meta"),
             field=req.get("field", "role"))
+    if qtype == "highlight":
+        # (doc_id, score, snippet, n_hit) — requires the service to be
+        # constructed with a docstore (text is not stored in the index)
+        return searcher.highlight(
+            req["q"], k, int(req.get("window", 12)),
+            quantized=bool(req.get("quantized", False)),
+            meta=req.get("meta"))
     if qtype == "facet":
         counts = searcher.facet_counts(req.get("should", ""),
                                        req.get("filter", ""),
@@ -118,8 +139,10 @@ class IndexService:
 
     def __init__(self, index_root: str, check_interval: float = 0.25,
                  preload_docmaps: bool = True,
-                 request_cache_size: int = 256):
+                 request_cache_size: int = 256,
+                 docstore: str | None = None):
         self.root = index_root
+        self.docstore = docstore
         self.check_interval = check_interval
         self.preload = preload_docmaps
         self.query_lock = threading.Lock()
@@ -142,7 +165,8 @@ class IndexService:
         self.cache_misses = 0
 
     def _fresh(self) -> LocalSearcher:
-        s = LocalSearcher(self.root, preload_docmaps=self.preload)
+        s = LocalSearcher(self.root, preload_docmaps=self.preload,
+                          docstore=self.docstore)
         s.search(WARM_QUERY, 1)  # populate lazy caches off the hot path
         s.warm_hot_terms()  # saturated terms' light rows pre-read, so a
         # first query never pays their parquet read (swap-time warm-up)
@@ -187,7 +211,10 @@ class IndexService:
                 return hit
             self.cache_misses += 1
         with self.query_lock:
-            out = [[d, float(sc)] for d, sc in dispatch(s, req)]
+            # rows vary in width by query type: (doc, score) matches,
+            # (value, doc, score) collapse, (doc, score, snippet, n_hit)
+            # highlight — serialize generically (numpy scalars → plain)
+            out = [[_plain(v) for v in row] for row in dispatch(s, req)]
         if key is not None:
             self._req_cache[key] = out
             while len(self._req_cache) > self.request_cache_size:
@@ -261,10 +288,12 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(index_root: str, host: str = "127.0.0.1", port: int = 0,
-                check_interval: float = 0.25) -> ThreadingHTTPServer:
+                check_interval: float = 0.25,
+                docstore: str | None = None) -> ThreadingHTTPServer:
     """Bound server (port=0 → ephemeral, read server.server_address).
     Caller runs serve_forever(), typically in a thread."""
-    service = IndexService(index_root, check_interval=check_interval)
+    service = IndexService(index_root, check_interval=check_interval,
+                           docstore=docstore)
     handler = type("Handler", (_Handler,), {"service": service})
     srv = ThreadingHTTPServer((host, port), handler)
     srv.service = service  # for tests / introspection

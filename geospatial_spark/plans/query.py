@@ -1474,6 +1474,39 @@ class IndexSearcher:
                                       .select("text").limit(1).collect()
         return row[0]["text"] if row else None
 
+    def highlight(self, query: str, transcripts: DataFrame, k: int = 10,
+                  window: int = 12,
+                  quantized: bool = False,
+                  meta: dict | None = None
+                  ) -> list[tuple[str, float, str, int]]:
+        """Top-k with snippets (the unified-highlighter analogue):
+        (doc_id, score, snippet, n_hit) where the snippet is the
+        ``window``-token span holding the most DISTINCT query terms
+        (earliest on ties — operators/highlight.py) and n_hit is that
+        distinct count. Text is not stored in the index, so hits are
+        re-joined against the transcripts source in ONE bounded lookup
+        (k ids), then the O(n) two-pointer kernel snippets each text
+        driver-side — k texts, never the corpus."""
+        from geospatial_spark.operators.highlight import highlight_text_py
+        from geospatial_spark.sources.transcripts import with_doc_id
+
+        hits = self.search(query, k, quantized=quantized, meta=meta)
+        if not hits:
+            return []
+        ids = [d for d, _ in hits]
+        norm = self.manifest.get("normalization") or {}
+        qterms = sorted({norm.get(t, t) for t in tokenize_py(query)})
+        texts = {r["doc_id"]: r["text"] for r in
+                 with_doc_id(transcripts)
+                 .where(F.col("doc_id").isin(ids))
+                 .select("doc_id", "text").collect()}
+        out = []
+        for d, s in hits:
+            snippet, n_hit = highlight_text_py(texts.get(d, ""), qterms,
+                                               window)
+            out.append((d, s, snippet, n_hit))
+        return out
+
     def search_by_doc(self, doc_id: str, transcripts: DataFrame,
                       k: int = 10) -> list[tuple[str, float]]:
         """Query-by-indexed-doc (more-like-this): two-phase fetch-then-

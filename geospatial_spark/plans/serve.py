@@ -42,7 +42,8 @@ class LocalSearcher:
 
     def __init__(self, index_root: str, max_age_seconds: float | None = None,
                  preload_docmaps: bool = False,
-                 dict_cache_max: int | None = None):
+                 dict_cache_max: int | None = None,
+                 docstore: str | None = None):
         self.root = index_root
         m = lc.read_manifest(index_root)
         if not m or m.get("state") != lc.STATE_AVAILABLE:
@@ -107,6 +108,13 @@ class LocalSearcher:
         self._term_cache_total = 0
         if dict_cache_max is not None:
             self.DICT_CACHE_MAX = int(dict_cache_max)
+        # optional doc-text source for highlight(): transcripts parquet
+        # (text is NOT stored in the index — by design, the index holds
+        # postings + docmap only; snippets re-join the source)
+        self.docstore = docstore
+        self._docstore_ds = None
+        self._text_cache: "OrderedDict[str, str]" = OrderedDict()
+        self.text_cache_max = 4096
         self._dict_small = (
             sum(int(g.get("n_terms", 0)) for g in self.gens)
             <= self.DICT_CACHE_MAX)
@@ -872,6 +880,76 @@ class LocalSearcher:
         serving-path twin of IndexSearcher.search_collapsed."""
         return _search_collapsed_local(self, should, filter_q, must_not,
                                        k, meta, field)
+
+    def _texts_for(self, ids: list[str]) -> dict[str, str]:
+        """doc_id → text for a bounded id set via the configured
+        docstore parquet (the transcripts source itself). A production
+        deployment fronts a KV doc store; this is its parquet analogue:
+        a conv_id IN (...) predicate pushed into the scan (row-group
+        statistics prune when the store is laid out by conversation),
+        then exact (conv, turn) selection. Never more than the page's
+        conversations are read; hot texts ride a small LRU."""
+        if self.docstore is None:
+            raise ValueError(
+                "no docstore configured — pass docstore= (transcripts "
+                "parquet path) to LocalSearcher, or supply text_of=")
+        out: dict[str, str] = {}
+        miss: list[tuple[str, int, str]] = []
+        for d in ids:
+            cached = self._text_cache.get(d)
+            if cached is not None:
+                self._text_cache.move_to_end(d)
+                out[d] = cached
+            else:
+                conv, _, turn = d.rpartition(":")
+                miss.append((conv, int(turn), d))
+        if miss:
+            import pyarrow.dataset as pads
+
+            if self._docstore_ds is None:
+                self._docstore_ds = pads.dataset(self.docstore,
+                                                 format="parquet")
+            convs = sorted({c for c, _, _ in miss})
+            t = self._docstore_ds.to_table(
+                columns=["conv_id", "turn_idx", "text"],
+                filter=pads.field("conv_id").isin(convs))
+            want = {(c, i): d for c, i, d in miss}
+            for c, i, x in zip(t.column("conv_id").to_pylist(),
+                               t.column("turn_idx").to_pylist(),
+                               t.column("text").to_pylist()):
+                d = want.get((c, int(i)))
+                if d is not None:
+                    out[d] = x
+                    self._text_cache[d] = x
+            while len(self._text_cache) > self.text_cache_max:
+                self._text_cache.popitem(last=False)
+        return out
+
+    def highlight(self, query: str, k: int = 10, window: int = 12,
+                  quantized: bool = False, meta: dict | None = None,
+                  text_of=None) -> list[tuple[str, float, str, int]]:
+        """Top-k with snippets on the serving path — the twin of
+        IndexSearcher.highlight: (doc_id, score, snippet, n_hit) under
+        the best-window rule (operators/highlight.py). Texts come from
+        ``text_of`` (a dict or callable) when given, else the
+        constructor's docstore parquet — either way the fetch is
+        bounded to the k hit ids, never the corpus."""
+        from geospatial_spark.operators.highlight import highlight_text_py
+
+        hits = self.search(query, k, quantized=quantized, meta=meta)
+        if not hits:
+            return []
+        ids = [d for d, _ in hits]
+        if text_of is None:
+            texts = self._texts_for(ids)
+        elif callable(text_of):
+            texts = {d: text_of(d) or "" for d in ids}
+        else:
+            texts = {d: text_of.get(d, "") for d in ids}
+        norm = self.manifest.get("normalization") or {}
+        qterms = sorted({norm.get(t, t) for t in tokenize_py(query)})
+        return [(d, s, *highlight_text_py(texts.get(d, ""), qterms, window))
+                for d, s in hits]
 
     def search_bool(self, should: str = "", filter_q: str = "",
                     must_not: str = "", k: int = 10,

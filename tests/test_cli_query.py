@@ -61,3 +61,26 @@ def test_meta_rejected_for_phrase(cli_index):
                "--phrase", "--role", "assistant")
     assert out.returncode == 2
     assert "apply to match" in out.stderr
+
+
+def test_local_highlight(cli_index, small_transcripts_pd, tmp_path):
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    store = tmp_path / "store.parquet"
+    small_transcripts_pd.to_parquet(store, index=False)
+    out = _run("--index", cli_index, "--query", "deploy the spark",
+               "--local", "--highlight", "--docstore", str(store),
+               "--window", "8", "--k", "5")
+    assert out.returncode == 0, out.stderr[-500:]
+    d = json.loads(out.stdout.strip().splitlines()[-1])
+    want = LocalSearcher(cli_index, docstore=str(store)).highlight(
+        "deploy the spark", k=5, window=8)
+    assert [(h["doc_id"], h["snippet"], h["n_hit"]) for h in d["hits"]] \
+        == [(doc, sn, nh) for doc, _, sn, nh in want]
+
+
+def test_highlight_requires_docstore(cli_index):
+    out = _run("--index", cli_index, "--query", "x", "--local",
+               "--highlight")
+    assert out.returncode == 2
+    assert "--docstore" in out.stderr
