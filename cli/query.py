@@ -99,6 +99,10 @@ def main() -> None:
                     help="metadata filter: ts <= ISO timestamp")
     ap.add_argument("--conv-prefix", dest="conv_prefix", default=None,
                     help="metadata filter: conv_id prefix")
+    ap.add_argument("--explain", default=None, metavar="DOC_ID",
+                    help="score explanation: per-term (tf, dl, df, idf, "
+                         "contribution) decomposition of --query against "
+                         "this indexed doc")
     ap.add_argument("--highlight", action="store_true",
                     help="attach best-window snippets to match hits "
                          "(requires --docstore)")
@@ -130,7 +134,8 @@ def main() -> None:
              if args.after_doc is not None else None)
 
 
-    mode = ("highlight" if args.highlight else
+    mode = ("explain" if args.explain else
+            "highlight" if args.highlight else
             "collapse" if args.collapse else
             "phrase_scored" if args.phrase_scored else
             "phrase" if args.phrase else
@@ -155,7 +160,10 @@ def main() -> None:
         from geospatial_spark.plans.serve import LocalSearcher
 
         ls = LocalSearcher(args.index, docstore=args.docstore)
-        if mode == "highlight":
+        if mode == "explain":
+            ex = ls.explain(args.query, args.explain,
+                            quantized=args.quantized)
+        elif mode == "highlight":
             hits = ls.highlight(args.query, args.k, args.window,
                                 quantized=args.quantized, meta=meta)
         elif mode == "collapse":
@@ -202,7 +210,10 @@ def main() -> None:
 
         spark = get_spark("cli-query", cores=args.cores)
         s = IndexSearcher(spark, args.index)
-        if mode == "highlight":
+        if mode == "explain":
+            ex = s.explain(args.query, args.explain,
+                           quantized=args.quantized)
+        elif mode == "highlight":
             from geospatial_spark.sources.transcripts import read_transcripts
 
             hits = s.highlight(args.query,
@@ -247,6 +258,10 @@ def main() -> None:
         else:
             hits = s.search(args.query, args.k, quantized=args.quantized,
                             meta=meta)
+    if mode == "explain":
+        print(json.dumps({"query": args.query, "doc_id": args.explain,
+                          "explanation": ex}))
+        return
     if mode == "highlight":
         out_hits = [{"doc_id": d, "score": sc, "snippet": sn,
                      "n_hit": nh, "rank": i + 1}

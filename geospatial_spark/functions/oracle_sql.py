@@ -9,7 +9,8 @@ the driver value-hashes results; ordering ties are broken by doc_id.
 
 from __future__ import annotations
 
-from geospatial_spark.functions.bm25 import quantize_dl_sql, score_sql
+from geospatial_spark.functions.bm25 import (idf_sql, quantize_dl_sql,
+                                             score_sql)
 from geospatial_spark.functions.tokenize import duckdb_tokens_sql, tokenize_py
 
 ROUND_DP = 4          # emitted score precision (both engines)
@@ -411,6 +412,38 @@ SELECT t.doc_id, round(t.raw, {ROUND_DP}) AS score,
        {snippet} AS snippet, {n_hit} AS n_hit
 FROM top t JOIN dtk USING (doc_id)
 ORDER BY round(t.raw, {ROUND_DP}) DESC, t.doc_id ASC
+""".strip()
+
+
+def bm25_explain_sql(query: str, table: str = "documents",
+                     id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Score-explanation oracle (IndexSearcher.explain / catalog
+    _bm25_explain): the top-1 doc under the gate ordering, decomposed
+    into one row per query term the doc contains — (doc_id, term, tf,
+    dl, df, idf, contrib), where contrib is the term's BM25 summand and
+    Σ contrib over the rows is exactly the doc's top-k score."""
+    per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "dft.df", "s.n")
+    idf_e = idf_sql("dft.df", "s.n")
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+qt AS ({_qterms_values(query)}),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, SUM({per_term}) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+top1 AS (
+  SELECT doc_id FROM scored
+  ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC LIMIT 1
+)
+SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, dl.dl::BIGINT AS dl,
+       dft.df,
+       round({idf_e}, {ROUND_DP}) AS idf,
+       round({per_term}, {ROUND_DP}) AS contrib
+FROM tf JOIN top1 USING (doc_id) JOIN dft USING (term)
+     JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+ORDER BY tf.term ASC
 """.strip()
 
 

@@ -116,6 +116,38 @@ def _bm25_highlight(query: str, k: int = 10, window: int = 12):
     return run
 
 
+def _bm25_explain(query: str):
+    """Score explanation through the REAL index: the gate-contract
+    top-1 doc of ``query``, decomposed by IndexSearcher.explain into
+    per-term (tf, dl, df, idf, contribution) rows decoded from the
+    doc's own posting blocks (operators/explain.py). The oracle states
+    the same decomposition from the raw documents table — so the
+    index's stored tf/dl and the scoring recombination are both gated,
+    term by term."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        schema = ("doc_id long, term string, tf long, dl long, df long, "
+                  "idf double, contrib double")
+        top = _bm25_wand(query, 1)(spark, sf_dir).first()
+        if top is None:
+            return spark.createDataFrame([], schema)
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        ex = s.explain(query, f"{top['doc_id']}:0")
+        rows = [(int(top["doc_id"]), e["term"], e["tf"], e["dl"], e["df"],
+                 float(e["idf"]), float(e["contribution"]))
+                for e in ex["entries"]]
+        return (spark.createDataFrame(rows, schema)
+                .select("doc_id", "term", "tf", "dl", "df",
+                        F.round("idf", ROUND_DP).alias("idf"),
+                        F.round("contrib", ROUND_DP).alias("contrib"))
+                .orderBy(F.asc("term")))
+
+    return run
+
+
 _WAND_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1143,6 +1175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_collapse_role": _bm25_collapse(BOOL_Q[0], 10),
         # highlighted top-k: best-window snippet per hit
         "bm25_highlight": _bm25_highlight(BM25_Q_MULTI, 5, 12),
+        # the _explain analogue: top-1 doc decomposed per term through
+        # the real index (tf/dl decoded from the doc's posting blocks)
+        "bm25_explain": _bm25_explain(BM25_Q_MULTI),
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1218,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_collapse_role": osql.bm25_collapse_sql(
             BOOL_Q[0], ROLE_EXPR_SQL, 10),
         "bm25_highlight": osql.bm25_highlight_sql(BM25_Q_MULTI, 5, 12),
+        "bm25_explain": osql.bm25_explain_sql(BM25_Q_MULTI),
         "enrich_region_stats": osql.enrich_region_stats_sql(),
         "multi_value_join": osql.multi_value_join_sql(),
         "stats_by_source": osql.stats_by_source_sql(),

@@ -117,6 +117,16 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
             req["q"], k, int(req.get("window", 12)),
             quantized=bool(req.get("quantized", False)),
             meta=req.get("meta"))
+    if qtype == "explain":
+        # per-term score decomposition rows (term, tf, dl, df, idf,
+        # contribution) — Σ contribution is the doc's search() score;
+        # an unindexed doc is a client error (400)
+        ex = searcher.explain(req["q"], req["doc_id"],
+                              quantized=bool(req.get("quantized", False)))
+        if ex is None:
+            raise ValueError(f"doc not indexed: {req['doc_id']!r}")
+        return [[e["term"], e["tf"], e["dl"], e["df"], e["idf"],
+                 e["contribution"]] for e in ex["entries"]]
     if qtype == "facet":
         counts = searcher.facet_counts(req.get("should", ""),
                                        req.get("filter", ""),

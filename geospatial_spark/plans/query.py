@@ -1507,6 +1507,84 @@ class IndexSearcher:
             out.append((d, s, snippet, n_hit))
         return out
 
+    def locate_doc(self, doc_id: str) -> tuple[str, int, int] | None:
+        """(generation id, shard, shard-local ordinal) of a doc, or None.
+
+        Fast path: fresh builds assign shard = xxhash64(conv, turn) mod
+        n_shards (plans/build.py), so ONE docmap's doc_id column is
+        probed (O(n_docs / n_shards) driver read — the same column the
+        point-lookup serving tier caches per shard). Fallback: merged /
+        resharded generations may not preserve the hash assignment, so
+        the remaining shards are probed in order. A point diagnostic
+        API — never a Spark job over postings."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pathlib import Path as _P
+
+        conv, _, turn = doc_id.rpartition(":")
+        ns_set = sorted({int(g["n_shards"]) for g in self.gens})
+        hashed = {}
+        if ns_set and turn.lstrip("-").isdigit():
+            row = self.spark.range(1).select(*[
+                F.pmod(F.xxhash64(F.lit(conv).cast("string"),
+                                  F.lit(int(turn)).cast("int")),
+                       F.lit(ns)).cast("int").alias(f"s{ns}")
+                for ns in ns_set]).first()
+            hashed = {ns: int(row[f"s{ns}"]) for ns in ns_set}
+
+        def probe(gen_id: str, shard: int) -> int:
+            name = self.docmap_files.get((gen_id, shard))
+            if name is None:
+                return -1
+            col = pq.read_table(_P(self.gdirs[gen_id]) / name,
+                                columns=["doc_id"]).column("doc_id")
+            return pc.index(col, pa.scalar(doc_id)).as_py()
+
+        for g in self.gens:
+            first = hashed.get(int(g["n_shards"]), -1)
+            order = ([first] if first >= 0 else []) + [
+                int(s["shard"]) for s in g["shards"]
+                if int(s["shard"]) != first]
+            for sh in order:
+                ordn = probe(g["id"], sh)
+                if ordn >= 0:
+                    return g["id"], sh, int(ordn)
+        return None
+
+    def explain(self, query: str, doc_id: str,
+                quantized: bool = False) -> dict | None:
+        """Score explanation for one (query, doc) pair — the _explain
+        API analogue (operators/explain.py): per-term
+        {term, tf, dl, df, idf, contribution} decoded from the doc's own
+        (generation, shard) index rows, plus the exact total. None when
+        the doc isn't indexed. sum(contribution) equals search()'s score
+        for the doc (or 0.0 when no query term matches it)."""
+        from geospatial_spark.operators.explain import explain_entries
+
+        norm = self.manifest.get("normalization") or {}
+        terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
+        loc = self.locate_doc(doc_id)
+        if loc is None:
+            return None
+        gen_id, shard, ordn = loc
+        entries: list[dict] = []
+        df_global = self._df_for(terms) if terms else {}
+        if df_global:
+            rows = [r.asDict() for r in (
+                self._segments()
+                .where((F.col("gen") == gen_id) & (F.col("shard") == shard)
+                       & F.col("term").isin(list(df_global)))
+                .select("term", "doc_blocks", "tf_blocks", "dl_blocks",
+                        "block_last_doc")
+                .collect())]  # bounded: ≤ |query terms| rows
+            entries = explain_entries(
+                rows, (shard << ORD_SHARD_SHIFT) + ordn, df_global,
+                self.n_docs, self.avgdl, quantized=quantized)
+        return {"doc_id": doc_id, "generation": gen_id, "shard": shard,
+                "ordinal": ordn, "entries": entries,
+                "score": float(sum(e["contribution"] for e in entries))}
+
     def search_by_doc(self, doc_id: str, transcripts: DataFrame,
                       k: int = 10) -> list[tuple[str, float]]:
         """Query-by-indexed-doc (more-like-this): two-phase fetch-then-

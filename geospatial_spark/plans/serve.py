@@ -951,6 +951,72 @@ class LocalSearcher:
         return [(d, s, *highlight_text_py(texts.get(d, ""), qterms, window))
                 for d, s in hits]
 
+    def _docmap_col(self, gen_id: str, shard: int):
+        """The (gen, shard) docmap's doc_id column, via the same cache
+        the scoring path fills (search() resolves kernel ordinals from
+        it) — an explain probe on a warm shard costs no read."""
+        import pyarrow.parquet as pq
+
+        key = (gen_id, shard)
+        col = self._docmap_cache.get(key)
+        if col is None:
+            col = pq.read_table(
+                self.gdirs[gen_id] / self.docmap_files[key],
+                columns=["doc_id"]).column("doc_id").combine_chunks()
+            self._docmap_cache[key] = col
+        return col
+
+    def locate_doc(self, doc_id: str) -> tuple[str, int, int] | None:
+        """(generation, shard, shard-local ordinal) of a doc, or None.
+        Probes docmap doc_id columns shard by shard through the serving
+        docmap cache — the serving tier's normal per-shard working set
+        (the Spark tier's IndexSearcher.locate_doc additionally
+        hash-routes fresh builds to one shard)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for g in self.gens:
+            for s in g["shards"]:
+                sh = int(s["shard"])
+                if (g["id"], sh) not in self.docmap_files:
+                    continue
+                idx = pc.index(self._docmap_col(g["id"], sh),
+                               pa.scalar(doc_id)).as_py()
+                if idx >= 0:
+                    return g["id"], sh, int(idx)
+        return None
+
+    def explain(self, query: str, doc_id: str,
+                quantized: bool = False) -> dict | None:
+        """Score explanation for one (query, doc) pair on the serving
+        path — the twin of IndexSearcher.explain (operators/explain.py):
+        per-term {term, tf, dl, df, idf, contribution} decoded from the
+        doc's own (generation, shard) term rows (one posting block per
+        term), plus the exact total. None when the doc isn't indexed."""
+        from geospatial_spark.operators.explain import explain_entries
+
+        norm = self.manifest.get("normalization") or {}
+        terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
+        loc = self.locate_doc(doc_id)
+        if loc is None:
+            return None
+        gen_id, shard, ordn = loc
+        entries: list[dict] = []
+        df_global = self._df_for(terms) if terms else {}
+        if df_global:
+            reader = self._reader(gen_id)
+            cols = ["shard", "term", "doc_blocks", "tf_blocks",
+                    "dl_blocks", "block_last_doc"]
+            rows = [r for r in reader._read_file(
+                        reader._shard_file[shard], list(df_global), cols)
+                    if int(r["shard"]) == shard]
+            entries = explain_entries(
+                rows, (shard << ORD_SHARD_SHIFT) + ordn, df_global,
+                self.n_docs, self.avgdl, quantized=quantized)
+        return {"doc_id": doc_id, "generation": gen_id, "shard": shard,
+                "ordinal": ordn, "entries": entries,
+                "score": float(sum(e["contribution"] for e in entries))}
+
     def search_bool(self, should: str = "", filter_q: str = "",
                     must_not: str = "", k: int = 10,
                     meta: dict | None = None,
