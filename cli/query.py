@@ -99,6 +99,14 @@ def main() -> None:
                     help="metadata filter: ts <= ISO timestamp")
     ap.add_argument("--conv-prefix", dest="conv_prefix", default=None,
                     help="metadata filter: conv_id prefix")
+    ap.add_argument("--more-like-this", dest="mlt", default=None,
+                    metavar="DOC_ID",
+                    help="more_like_this: query with the top tf·idf "
+                         "terms of this indexed doc (requires "
+                         "--docstore; source doc excluded from hits)")
+    ap.add_argument("--max-query-terms", dest="max_query_terms",
+                    type=int, default=25,
+                    help="--more-like-this: selected-term cap")
     ap.add_argument("--explain", default=None, metavar="DOC_ID",
                     help="score explanation: per-term (tf, dl, df, idf, "
                          "contribution) decomposition of --query against "
@@ -135,6 +143,7 @@ def main() -> None:
 
 
     mode = ("explain" if args.explain else
+            "mlt" if args.mlt else
             "highlight" if args.highlight else
             "collapse" if args.collapse else
             "phrase_scored" if args.phrase_scored else
@@ -147,9 +156,9 @@ def main() -> None:
             "regexp" if args.regexp else
             "bool" if (args.filter or args.must_not or boosts
                        or args.min_should_match != 1) else "match")
-    if mode == "highlight" and not args.docstore:
-        ap.error("--highlight requires --docstore (doc text is not "
-                 "stored in the index)")
+    if mode in ("highlight", "mlt") and not args.docstore:
+        ap.error(f"--{'highlight' if mode == 'highlight' else 'more-like-this'} "
+                 "requires --docstore (doc text is not stored in the index)")
     if meta and mode not in ("match", "bool", "prefix", "fuzzy",
                              "wildcard", "regexp", "highlight"):
         ap.error("--role/--ts-min/--ts-max/--conv-prefix apply to match, "
@@ -163,6 +172,9 @@ def main() -> None:
         if mode == "explain":
             ex = ls.explain(args.query, args.explain,
                             quantized=args.quantized)
+        elif mode == "mlt":
+            hits = ls.more_like_this(args.mlt, args.k,
+                                     args.max_query_terms)
         elif mode == "highlight":
             hits = ls.highlight(args.query, args.k, args.window,
                                 quantized=args.quantized, meta=meta)
@@ -213,6 +225,12 @@ def main() -> None:
         if mode == "explain":
             ex = s.explain(args.query, args.explain,
                            quantized=args.quantized)
+        elif mode == "mlt":
+            from geospatial_spark.sources.transcripts import read_transcripts
+
+            hits = s.more_like_this(args.mlt,
+                                    read_transcripts(spark, args.docstore),
+                                    args.k, args.max_query_terms)
         elif mode == "highlight":
             from geospatial_spark.sources.transcripts import read_transcripts
 

@@ -447,6 +447,52 @@ ORDER BY tf.term ASC
 """.strip()
 
 
+def bm25_mlt_sql(seed_query: str, k: int = 10, max_query_terms: int = 25,
+                 min_term_freq: int = 1, min_doc_freq: int = 2,
+                 table: str = "documents", id_col: str = "doc_id",
+                 text_col: str = "text") -> str:
+    """more_like_this oracle (IndexSearcher.more_like_this): the source
+    doc is the gate-contract top-1 of ``seed_query``; its terms with
+    tf ≥ min_term_freq and corpus df ≥ min_doc_freq rank by tf·idf
+    ROUNDED to ORDER_DP (ties term-asc — the pinned selection contract,
+    operators/expand.select_mlt_terms), the top max_query_terms score
+    as a plain BM25 should-OR, and the source doc itself is excluded."""
+    seed_score = score_sql("tf.tf", "dl.dl", "s.avgdl", "sdft.df", "s.n")
+    per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "dft.df", "s.n")
+    sel = f"round(st.tf * {idf_sql('v.df', 's.n')}, {ORDER_DP})"
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+seed AS ({_qterms_values(seed_query)}),
+sdft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM seed) GROUP BY 1),
+sscored AS (
+  SELECT tf.doc_id, SUM({seed_score}) AS raw
+  FROM tf JOIN sdft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+src AS (SELECT doc_id FROM sscored ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC LIMIT 1),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (
+  SELECT st.term
+  FROM tf st JOIN src USING (doc_id) JOIN vocab v ON v.term = st.term
+  CROSS JOIN stats s
+  WHERE st.tf >= {int(min_term_freq)} AND v.df >= {int(min_doc_freq)}
+  ORDER BY {sel} DESC, st.term ASC
+  LIMIT {int(max_query_terms)}
+),
+dft AS (SELECT term, df FROM vocab WHERE term IN (SELECT term FROM qt)),
+scored AS (
+  SELECT tf.doc_id, SUM({per_term}) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.doc_id != (SELECT doc_id FROM src)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, {ROUND_DP}) AS score
+FROM scored
+ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC
+LIMIT {int(k)}
+""".strip()
+
+
 def bm25_collapse_sql(should: str, field_expr: str, k: int = 10,
                       table: str = "documents", id_col: str = "doc_id",
                       text_col: str = "text") -> str:

@@ -57,6 +57,32 @@ def pick_top_py(df_by_term: dict[str, int], max_expansions: int) -> list[str]:
     return sorted(t for t, _ in ranked[:int(max_expansions)])
 
 
+def select_mlt_terms(term_tf: dict[str, int], df_by_term: dict[str, int],
+                     n_docs: int, max_query_terms: int = 25,
+                     min_term_freq: int = 1,
+                     min_doc_freq: int = 2) -> list[str]:
+    """more_like_this term selection (the Lucene MoreLikeThis
+    ``interestingTerms`` analogue): candidate terms of the source doc
+    with tf ≥ min_term_freq and corpus df ≥ min_doc_freq, ranked by
+    tf·idf — the selection score is ROUNDED to ORDER_DP before ranking
+    (ties broken term-asc) so the engine and the DuckDB oracle cut the
+    same top ``max_query_terms`` set even when two products differ by
+    an ulp between ln implementations."""
+    from geospatial_spark.functions.bm25 import idf
+    from geospatial_spark.functions.oracle_sql import ORDER_DP
+
+    scored = []
+    for t, tf_v in term_tf.items():
+        if tf_v < min_term_freq:
+            continue
+        d = df_by_term.get(t, 0)
+        if d < min_doc_freq:
+            continue
+        scored.append((round(tf_v * idf(d, n_docs), ORDER_DP), t))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return sorted(t for _, t in scored[:int(max_query_terms)])
+
+
 def _top_terms(matches: DataFrame, max_expansions: int) -> list[str]:
     """Deterministic bounded expansion: global df per term, then the
     max_expansions highest-df terms (df desc, term asc)."""

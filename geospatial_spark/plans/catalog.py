@@ -148,6 +148,47 @@ def _bm25_explain(query: str):
     return run
 
 
+def _bm25_mlt(seed_query: str, k: int = 10, max_query_terms: int = 25):
+    """more_like_this through the REAL index: source doc = the
+    gate-contract top-1 of ``seed_query`` (same pick as the oracle's
+    src CTE), its top tf·idf dictionary terms re-queried as a scored
+    should-OR, source excluded — the full two-phase MLT path
+    (IndexSearcher.more_like_this) under the DuckDB gate."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        empty = (_docs(spark, sf_dir)
+                 .select("doc_id", F.lit(0.0).alias("score")).limit(0))
+        top = _bm25_wand(seed_query, 1)(spark, sf_dir).first()
+        if top is None:
+            return empty
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        tx = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.col("text"))
+        src = f"{top['doc_id']}:0"
+
+        def fetch(m: int) -> DataFrame:
+            df = s.more_like_this_df(src, tx, m,
+                                     max_query_terms=max_query_terms)
+            return df if df is not None else empty
+
+        df = _adaptive_overfetch(spark, fetch, k, s.n_docs)
+        return (
+            df.select(
+                F.substring_index("doc_id", ":", 1).cast("long").alias("doc_id"),
+                F.col("score").alias("raw"))
+            .orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("doc_id"))
+            .select("doc_id", F.round("raw", ROUND_DP).alias("score"))
+            .limit(k)
+        )
+
+    return run
+
+
 _WAND_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1178,6 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the _explain analogue: top-1 doc decomposed per term through
         # the real index (tf/dl decoded from the doc's posting blocks)
         "bm25_explain": _bm25_explain(BM25_Q_MULTI),
+        # more_like_this: fetch-then-query from the seed's top-1 doc
+        "bm25_mlt": _bm25_mlt(BM25_Q_MULTI, 10),
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1254,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
             BOOL_Q[0], ROLE_EXPR_SQL, 10),
         "bm25_highlight": osql.bm25_highlight_sql(BM25_Q_MULTI, 5, 12),
         "bm25_explain": osql.bm25_explain_sql(BM25_Q_MULTI),
+        "bm25_mlt": osql.bm25_mlt_sql(BM25_Q_MULTI, 10),
         "enrich_region_stats": osql.enrich_region_stats_sql(),
         "multi_value_join": osql.multi_value_join_sql(),
         "stats_by_source": osql.stats_by_source_sql(),

@@ -117,6 +117,16 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
             req["q"], k, int(req.get("window", 12)),
             quantized=bool(req.get("quantized", False)),
             meta=req.get("meta"))
+    if qtype == "more_like_this":
+        # requires the service to be constructed with a docstore (the
+        # source doc's text is fetched, then its top tf·idf terms are
+        # scored as a should-OR) — no docstore raises ValueError (400)
+        return searcher.more_like_this(
+            req["doc_id"], k,
+            int(req.get("max_query_terms", 25)),
+            int(req.get("min_term_freq", 1)),
+            int(req.get("min_doc_freq", 2)),
+            include=bool(req.get("include", False)))
     if qtype == "explain":
         # per-term score decomposition rows (term, tf, dl, df, idf,
         # contribution) — Σ contribution is the doc's search() score;

@@ -164,7 +164,8 @@ class IndexSearcher:
 
     def search_df(self, query: str, k: int = 10,
                   quantized: bool = False,
-                  meta: dict | None = None) -> DataFrame | None:
+                  meta: dict | None = None,
+                  terms: list[str] | None = None) -> DataFrame | None:
         """Top-k as a DataFrame (doc_id, score); None for the empty fast
         path. quantized=True scores with log-quantized doc lengths (the
         opt-in Lucene norm-compression analogue,
@@ -175,12 +176,20 @@ class IndexSearcher:
         filtered match query IS a scored should-OR restricted by the
         mask (identical terms, scores, tie-break), so it delegates to
         the bool path, whose kernel decodes exactly the mask-surviving
-        postings."""
+        postings.
+
+        terms: pre-normalized index terms to score instead of
+        tokenizing ``query`` — the term-list entry point rewrite
+        queries use (more_like_this hands the index's own dictionary
+        terms straight back; re-tokenizing could split them)."""
         if meta is not None:
             return self.search_bool_df(should=query, k=k, meta=meta,
                                        quantized=quantized)
         norm = self.manifest.get("normalization") or {}
-        terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
+        if terms is None:
+            terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
+        else:
+            terms = sorted(set(terms))
         if not terms or self.n_docs == 0:
             return None
         df_global = self._df_for(terms)
@@ -1595,3 +1604,56 @@ class IndexSearcher:
         if text is None:
             return []
         return self.search(text, k)
+
+    def mlt_terms(self, text: str, max_query_terms: int = 25,
+                  min_term_freq: int = 1,
+                  min_doc_freq: int = 2) -> list[str]:
+        """The more_like_this rewrite's selected terms for a source
+        text: top max_query_terms by rounded tf·idf
+        (operators/expand.select_mlt_terms), df from the index
+        dictionary."""
+        from collections import Counter
+
+        from geospatial_spark.operators.expand import select_mlt_terms
+
+        norm = self.manifest.get("normalization") or {}
+        tf = Counter(norm.get(t, t) for t in tokenize_py(text))
+        dfg = self._df_for(sorted(tf))
+        return select_mlt_terms(tf, dfg, self.n_docs, max_query_terms,
+                                min_term_freq, min_doc_freq)
+
+    def more_like_this_df(self, doc_id: str, transcripts: DataFrame,
+                          k: int = 10, max_query_terms: int = 25,
+                          min_term_freq: int = 1, min_doc_freq: int = 2,
+                          include: bool = False) -> DataFrame | None:
+        """more_like_this (the MLT query analogue; reference two-phase
+        shape: fetch the stored doc by id, then query with it —
+        XYShapeQueryBuilder.java:49-51, :105-115): the source doc's top
+        tf·idf terms (mlt_terms) scored as a plain BM25 should-OR;
+        include=False (the default) drops the source doc itself from
+        the page. Returns ≥k candidate rows UNCOLLECTED (k+1 fetched
+        when excluding); None = unknown doc or no selectable terms."""
+        text = self.fetch_doc_text(doc_id, transcripts)
+        if text is None:
+            return None
+        terms = self.mlt_terms(text, max_query_terms, min_term_freq,
+                               min_doc_freq)
+        if not terms:
+            return None
+        df = self.search_df("", k if include else k + 1, terms=terms)
+        if df is None:
+            return None
+        return df if include else df.where(F.col("doc_id") != doc_id)
+
+    def more_like_this(self, doc_id: str, transcripts: DataFrame,
+                       k: int = 10, max_query_terms: int = 25,
+                       min_term_freq: int = 1, min_doc_freq: int = 2,
+                       include: bool = False) -> list[tuple[str, float]]:
+        df = self.more_like_this_df(doc_id, transcripts, k,
+                                    max_query_terms, min_term_freq,
+                                    min_doc_freq, include)
+        if df is None:
+            return []
+        out = df.orderBy(F.desc("score"), *merge_tie_break()) \
+                .limit(int(k)).collect()
+        return [(r["doc_id"], float(r["score"])) for r in out]

@@ -501,7 +501,8 @@ class LocalSearcher:
 
     def search(self, query: str, k: int = 10,
                quantized: bool = False,
-               meta: dict | None = None) -> list[tuple[str, float]]:
+               meta: dict | None = None,
+               terms: list[str] | None = None) -> list[tuple[str, float]]:
         import pyarrow.parquet as pq
 
         if meta is not None:
@@ -510,7 +511,12 @@ class LocalSearcher:
             return self.search_bool(should=query, k=k, meta=meta,
                                     quantized=quantized)
         norm = self.manifest.get("normalization") or {}
-        terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
+        if terms is None:
+            terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
+        else:
+            # pre-normalized index terms (rewrite queries: more_like_this
+            # hands dictionary terms back — re-tokenizing could split them)
+            terms = sorted(set(terms))
         if not terms or self.n_docs == 0:
             return []
         df_global = self._df_for(terms)
@@ -950,6 +956,46 @@ class LocalSearcher:
         qterms = sorted({norm.get(t, t) for t in tokenize_py(query)})
         return [(d, s, *highlight_text_py(texts.get(d, ""), qterms, window))
                 for d, s in hits]
+
+    def mlt_terms(self, text: str, max_query_terms: int = 25,
+                  min_term_freq: int = 1,
+                  min_doc_freq: int = 2) -> list[str]:
+        """Serving twin of IndexSearcher.mlt_terms (same pinned
+        selection: operators/expand.select_mlt_terms)."""
+        from collections import Counter
+
+        from geospatial_spark.operators.expand import select_mlt_terms
+
+        norm = self.manifest.get("normalization") or {}
+        tf = Counter(norm.get(t, t) for t in tokenize_py(text))
+        dfg = self._df_for(sorted(tf))
+        return select_mlt_terms(tf, dfg, self.n_docs, max_query_terms,
+                                min_term_freq, min_doc_freq)
+
+    def more_like_this(self, doc_id: str, k: int = 10,
+                       max_query_terms: int = 25, min_term_freq: int = 1,
+                       min_doc_freq: int = 2, include: bool = False,
+                       text_of=None) -> list[tuple[str, float]]:
+        """more_like_this on the serving path — the twin of
+        IndexSearcher.more_like_this: source text from ``text_of`` (dict
+        or callable) or the constructor's docstore, top tf·idf terms,
+        plain BM25 should-OR, source doc dropped unless include."""
+        if text_of is None:
+            text = self._texts_for([doc_id]).get(doc_id)
+        elif callable(text_of):
+            text = text_of(doc_id)
+        else:
+            text = text_of.get(doc_id)
+        if text is None:
+            return []
+        terms = self.mlt_terms(text, max_query_terms, min_term_freq,
+                               min_doc_freq)
+        if not terms:
+            return []
+        hits = self.search("", k if include else k + 1, terms=terms)
+        if not include:
+            hits = [h for h in hits if h[0] != doc_id][:int(k)]
+        return hits
 
     def _docmap_col(self, gen_id: str, shard: int):
         """The (gen, shard) docmap's doc_id column, via the same cache
