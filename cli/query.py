@@ -99,6 +99,14 @@ def main() -> None:
                     help="metadata filter: ts <= ISO timestamp")
     ap.add_argument("--conv-prefix", dest="conv_prefix", default=None,
                     help="metadata filter: conv_id prefix")
+    ap.add_argument("--decay-half-life", dest="decay_half_life",
+                    type=float, default=None, metavar="SECONDS",
+                    help="recency decay: score = BM25 * 0.5^(age / "
+                         "half-life), age from each doc's indexed ts")
+    ap.add_argument("--origin-us", dest="origin_us", type=int,
+                    default=None,
+                    help="decay origin in epoch microseconds "
+                         "(default: now)")
     ap.add_argument("--more-like-this", dest="mlt", default=None,
                     metavar="DOC_ID",
                     help="more_like_this: query with the top tf·idf "
@@ -144,6 +152,7 @@ def main() -> None:
 
     mode = ("explain" if args.explain else
             "mlt" if args.mlt else
+            "decay" if args.decay_half_life is not None else
             "highlight" if args.highlight else
             "collapse" if args.collapse else
             "phrase_scored" if args.phrase_scored else
@@ -175,6 +184,12 @@ def main() -> None:
         elif mode == "mlt":
             hits = ls.more_like_this(args.mlt, args.k,
                                      args.max_query_terms)
+        elif mode == "decay":
+            import time as _t
+
+            hits = ls.search_decayed(
+                args.query, args.k, args.decay_half_life,
+                args.origin_us or int(_t.time() * 1e6))
         elif mode == "highlight":
             hits = ls.highlight(args.query, args.k, args.window,
                                 quantized=args.quantized, meta=meta)
@@ -231,6 +246,12 @@ def main() -> None:
             hits = s.more_like_this(args.mlt,
                                     read_transcripts(spark, args.docstore),
                                     args.k, args.max_query_terms)
+        elif mode == "decay":
+            import time as _t
+
+            hits = s.search_decayed(
+                args.query, args.k, args.decay_half_life,
+                args.origin_us or int(_t.time() * 1e6))
         elif mode == "highlight":
             from geospatial_spark.sources.transcripts import read_transcripts
 

@@ -447,6 +447,35 @@ ORDER BY tf.term ASC
 """.strip()
 
 
+def bm25_recency_sql(query: str, k: int = 10,
+                     half_life_s: float = 604_800.0,
+                     table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """Recency-decay oracle (IndexSearcher.search_decayed): the catalog
+    index derives ts = META_EPOCH + doc_id minutes and the decay origin
+    is the newest doc's ts, so the multiplier is pure doc_id arithmetic:
+    0.5^((max_id − doc_id)·60 / half_life). The age product and the
+    division are exact in doubles (integer-valued < 2^53), so both
+    engines feed the same exponent to pow."""
+    per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "dft.df", "s.n")
+    mult = (f"power(0.5, ((SELECT max({id_col}) FROM {table}) - "
+            f"scored.doc_id) * 60.0 / {float(half_life_s)!r})")
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+qt AS ({_qterms_values(query)}),
+dft AS (SELECT term, count(*)::INT AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, SUM({per_term}) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw * {mult}, {ROUND_DP}) AS score
+FROM scored
+ORDER BY round(raw * {mult}, {ORDER_DP}) DESC, doc_id ASC
+LIMIT {int(k)}
+""".strip()
+
+
 def bm25_mlt_sql(seed_query: str, k: int = 10, max_query_terms: int = 25,
                  min_term_freq: int = 1, min_doc_freq: int = 2,
                  table: str = "documents", id_col: str = "doc_id",

@@ -148,6 +148,42 @@ def _bm25_explain(query: str):
     return run
 
 
+def _bm25_recency(query: str, k: int = 10,
+                  half_life_s: float = 604_800.0):
+    """Recency-decayed top-k through the REAL index: the decay reads
+    each hit's docmap ts_us inside the per-shard kernel pass (the
+    catalog index derives ts = META_EPOCH + doc_id minutes, so the
+    oracle's multiplier is doc_id arithmetic — bm25_recency_sql)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        empty = (_docs(spark, sf_dir)
+                 .select("doc_id", F.lit(0.0).alias("score")).limit(0))
+        max_id = _docs(spark, sf_dir).agg(F.max("doc_id")).first()[0]
+        if max_id is None:
+            return empty
+        origin_us = (META_EPOCH_S + 60 * int(max_id)) * 1_000_000
+
+        def fetch(m: int) -> DataFrame:
+            df = s.search_decayed_df(query, m, half_life_s, origin_us)
+            return df if df is not None else empty
+
+        df = _adaptive_overfetch(spark, fetch, k, s.n_docs)
+        return (
+            df.select(
+                F.substring_index("doc_id", ":", 1).cast("long").alias("doc_id"),
+                F.col("score").alias("raw"))
+            .orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("doc_id"))
+            .select("doc_id", F.round("raw", ROUND_DP).alias("score"))
+            .limit(k)
+        )
+
+    return run
+
+
 def _bm25_mlt(seed_query: str, k: int = 10, max_query_terms: int = 25):
     """more_like_this through the REAL index: source doc = the
     gate-contract top-1 of ``seed_query`` (same pick as the oracle's
@@ -1221,6 +1257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain": _bm25_explain(BM25_Q_MULTI),
         # more_like_this: fetch-then-query from the seed's top-1 doc
         "bm25_mlt": _bm25_mlt(BM25_Q_MULTI, 10),
+        # function_score recency decay over docmap ts (exact multiply)
+        "bm25_recency": _bm25_recency(BM25_Q_MULTI, 10),
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1298,6 +1336,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_highlight": osql.bm25_highlight_sql(BM25_Q_MULTI, 5, 12),
         "bm25_explain": osql.bm25_explain_sql(BM25_Q_MULTI),
         "bm25_mlt": osql.bm25_mlt_sql(BM25_Q_MULTI, 10),
+        "bm25_recency": osql.bm25_recency_sql(BM25_Q_MULTI, 10),
         "enrich_region_stats": osql.enrich_region_stats_sql(),
         "multi_value_join": osql.multi_value_join_sql(),
         "stats_by_source": osql.stats_by_source_sql(),

@@ -117,6 +117,12 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
             req["q"], k, int(req.get("window", 12)),
             quantized=bool(req.get("quantized", False)),
             meta=req.get("meta"))
+    if qtype == "decay":
+        # recency-decayed match (function_score exponential decay);
+        # origin_us is required — a serving client passes "now"
+        return searcher.search_decayed(
+            req["q"], k, float(req.get("half_life_s", 604_800.0)),
+            int(req["origin_us"]))
     if qtype == "more_like_this":
         # requires the service to be constructed with a docstore (the
         # source doc's text is fetched, then its top tf·idf terms are

@@ -239,6 +239,94 @@ class IndexSearcher:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
 
+    def search_decayed_df(self, query: str, k: int = 10,
+                          half_life_s: float = 604_800.0,
+                          origin_us: int | None = None) -> DataFrame | None:
+        """Recency-decayed top-k (the function_score exponential-decay
+        analogue, score_mode=multiply):
+
+            score' = BM25 · 0.5^(max(0, origin − ts) / half_life)
+
+        with ts from the doc's docmap ts_us (format v2); docs with no
+        timestamp keep their raw score (multiplier 1 — the pinned
+        missing-value rule). EXACT like the reference's function_score:
+        every matching doc is scored (per-shard cost O(matched
+        postings) — an arbitrary per-doc multiplier defeats WAND
+        pruning; bound-aware pruning with the multiplier's ≤1 cap would
+        stay sound but is deliberately not applied), the decay runs
+        where the shard's docmap is local, and only per-shard top-k
+        rows cross the merge. origin_us is the decay origin in epoch
+        micros (callers pass "now" or the corpus max ts)."""
+        norm = self.manifest.get("normalization") or {}
+        terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
+        if not terms or self.n_docs == 0:
+            return None
+        df_global = self._df_for(terms)
+        if not df_global:
+            return None
+        if origin_us is None:
+            raise ValueError("search_decayed requires origin_us (the "
+                             "decay origin in epoch microseconds)")
+
+        matched = (self._segments().where(F.col("term").isin(list(df_global)))
+                   .drop("pos_blocks"))
+        n_docs, avgdl = self.n_docs, self.avgdl
+        shard_docs, gdirs = self.shard_docs, self.gdirs
+        dm_files = self.docmap_files
+        kk, hl, org = int(k), float(half_life_s), int(origin_us)
+
+        def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from pathlib import Path as _P
+
+            import pyarrow.parquet as pq
+
+            gen, shard = str(key[0]), int(key[1])
+            n_local = shard_docs.get((gen, shard), 0)
+            base = shard << ORD_SHARD_SHIFT
+            # k = n_local: score EVERY matching doc in the shard
+            local, scores = wand_shard(
+                pdf.to_dict("records"), n_local, base,
+                df_global, n_docs, avgdl, max(n_local, 1),
+            )
+            empty = pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                                  "score": pd.Series([], dtype="float64")})
+            if len(local) == 0:
+                return empty
+            dm = pq.read_table(_P(gdirs[gen]) / dm_files[(gen, shard)])
+            ids = dm.column("doc_id").take(local.tolist()).to_pylist()
+            if "ts_us" in dm.column_names:
+                ts = dm.column("ts_us").take(local.tolist()) \
+                       .to_numpy(zero_copy_only=False).astype("float64")
+            else:  # v1 docmap: no timestamps → multiplier 1 everywhere
+                ts = np.full(len(local), np.nan)
+            age_s = np.maximum(0.0, (org - ts) / 1e6)
+            mult = np.where(np.isnan(ts), 1.0,
+                            np.power(0.5, age_s / hl))
+            dec = scores.astype(np.float64) * mult
+            # per-shard cut under the engine's TOTAL order (decayed
+            # score desc, conv asc, turn asc) — the same order the
+            # global merge applies, so shard-local top-k composes into
+            # the exact global top-k even across tie groups
+            parts = [i.rpartition(":") for i in ids]
+            top = sorted(range(len(ids)),
+                         key=lambda i: (-dec[i], parts[i][0],
+                                        int(parts[i][2])))[:kk]
+            return pd.DataFrame({"doc_id": [ids[i] for i in top],
+                                 "score": dec[top]})
+
+        per_shard = matched.groupBy("gen", "shard").applyInPandas(
+            run_shard, schema="doc_id string, score double")
+        return per_shard.orderBy(F.desc("score"), *merge_tie_break()).limit(kk)
+
+    def search_decayed(self, query: str, k: int = 10,
+                       half_life_s: float = 604_800.0,
+                       origin_us: int | None = None
+                       ) -> list[tuple[str, float]]:
+        df = self.search_decayed_df(query, k, half_life_s, origin_us)
+        if df is None:
+            return []
+        return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
     def search_after_df(self, query: str, k: int = 10,
                         after: tuple[float, str] | None = None,
                         quantized: bool = False,

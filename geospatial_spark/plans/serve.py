@@ -120,6 +120,7 @@ class LocalSearcher:
             <= self.DICT_CACHE_MAX)
         # (gen, shard, cols) → docmap metadata columns (metafilter path)
         self._meta_col_cache: dict[tuple, object] = {}
+        self._ts_cache: dict[str, int | None] | None = None  # decay path
         self._kernel_pool = None  # lazy ThreadPoolExecutor (see _pool)
         if preload_docmaps:
             import pyarrow.parquet as pq
@@ -956,6 +957,58 @@ class LocalSearcher:
         qterms = sorted({norm.get(t, t) for t in tokenize_py(query)})
         return [(d, s, *highlight_text_py(texts.get(d, ""), qterms, window))
                 for d, s in hits]
+
+    def _ts_lookup(self) -> dict[str, int | None]:
+        """doc_id → ts_us over every generation's docmap (lazy, built
+        once — the serving tier's docmap-sized working set; v1 docmaps
+        without ts_us contribute None)."""
+        if self._ts_cache is None:
+            import pyarrow.parquet as pq
+
+            m: dict[str, int | None] = {}
+            for g in self.gens:
+                for s in g["shards"]:
+                    key = (g["id"], int(s["shard"]))
+                    if key not in self.docmap_files:
+                        continue
+                    pf = pq.ParquetFile(
+                        self.gdirs[g["id"]] / self.docmap_files[key])
+                    names = pf.schema_arrow.names
+                    cols = ["doc_id"] + (["ts_us"] if "ts_us" in names else [])
+                    t = pf.read(columns=cols)
+                    ids = t.column("doc_id").to_pylist()
+                    ts = (t.column("ts_us").to_pylist()
+                          if "ts_us" in cols else [None] * len(ids))
+                    m.update(zip(ids, ts))
+            self._ts_cache = m
+        return self._ts_cache
+
+    def search_decayed(self, query: str, k: int = 10,
+                       half_life_s: float = 604_800.0,
+                       origin_us: int | None = None
+                       ) -> list[tuple[str, float]]:
+        """Recency-decayed top-k on the serving path — the twin of
+        IndexSearcher.search_decayed: score' = BM25 · 0.5^(max(0,
+        origin − ts)/half_life), ts from docmap ts_us, missing ts →
+        multiplier 1. Exact (every matching doc scored, the
+        function_score contract)."""
+        if origin_us is None:
+            raise ValueError("search_decayed requires origin_us (the "
+                             "decay origin in epoch microseconds)")
+        hits = self.search(query, max(self.n_docs, 1))  # ALL matches
+        if not hits:
+            return []
+        tsm = self._ts_lookup()
+        hl, org = float(half_life_s), int(origin_us)
+        out = []
+        for d, s in hits:
+            t = tsm.get(d)
+            mult = (1.0 if t is None
+                    else 0.5 ** (max(0.0, (org - t) / 1e6) / hl))
+            conv, _, turn = d.rpartition(":")
+            out.append((-s * mult, conv, int(turn), d))
+        out.sort()
+        return [(d, -neg) for neg, _, _, d in out[:int(k)]]
 
     def mlt_terms(self, text: str, max_query_terms: int = 25,
                   min_term_freq: int = 1,
