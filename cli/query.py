@@ -99,6 +99,12 @@ def main() -> None:
                     help="metadata filter: ts <= ISO timestamp")
     ap.add_argument("--conv-prefix", dest="conv_prefix", default=None,
                     help="metadata filter: conv_id prefix")
+    ap.add_argument("--suggest", action="store_true",
+                    help="did-you-mean: rank dictionary corrections of "
+                         "--query within --max-edits (term, df, "
+                         "distance)")
+    ap.add_argument("--suggest-size", dest="suggest_size", type=int,
+                    default=5, help="--suggest: corrections returned")
     ap.add_argument("--decay-half-life", dest="decay_half_life",
                     type=float, default=None, metavar="SECONDS",
                     help="recency decay: score = BM25 * 0.5^(age / "
@@ -152,6 +158,7 @@ def main() -> None:
 
     mode = ("explain" if args.explain else
             "mlt" if args.mlt else
+            "suggest" if args.suggest else
             "decay" if args.decay_half_life is not None else
             "highlight" if args.highlight else
             "collapse" if args.collapse else
@@ -184,6 +191,9 @@ def main() -> None:
         elif mode == "mlt":
             hits = ls.more_like_this(args.mlt, args.k,
                                      args.max_query_terms)
+        elif mode == "suggest":
+            sug = ls.suggest(args.query, args.suggest_size,
+                             args.max_edits)
         elif mode == "decay":
             import time as _t
 
@@ -246,6 +256,9 @@ def main() -> None:
             hits = s.more_like_this(args.mlt,
                                     read_transcripts(spark, args.docstore),
                                     args.k, args.max_query_terms)
+        elif mode == "suggest":
+            sug = s.suggest(args.query, args.suggest_size,
+                            args.max_edits)
         elif mode == "decay":
             import time as _t
 
@@ -300,6 +313,10 @@ def main() -> None:
     if mode == "explain":
         print(json.dumps({"query": args.query, "doc_id": args.explain,
                           "explanation": ex}))
+        return
+    if mode == "suggest":
+        print(json.dumps({"query": args.query, "suggestions": [
+            {"term": t, "df": df, "distance": d} for t, df, d in sug]}))
         return
     if mode == "highlight":
         out_hits = [{"doc_id": d, "score": sc, "snippet": sn,

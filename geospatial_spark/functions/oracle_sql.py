@@ -447,6 +447,26 @@ ORDER BY tf.term ASC
 """.strip()
 
 
+def suggest_sql(term: str, size: int = 5, max_edits: int = 2,
+                table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """Term-suggester oracle (IndexSearcher.suggest): vocabulary terms
+    within max_edits Levenshtein of the input (input excluded), ranked
+    (distance asc, df desc, term asc)."""
+    t = term.lower().replace("'", "''")
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT term, df, levenshtein(term, '{t}')::BIGINT AS distance
+FROM vocab
+WHERE term != '{t}'
+  AND abs(length(term) - {len(term)}) <= {int(max_edits)}
+  AND levenshtein(term, '{t}') <= {int(max_edits)}
+ORDER BY distance ASC, df DESC, term ASC
+LIMIT {int(size)}
+""".strip()
+
+
 def bm25_recency_sql(query: str, k: int = 10,
                      half_life_s: float = 604_800.0,
                      table: str = "documents", id_col: str = "doc_id",

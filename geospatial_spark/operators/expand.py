@@ -57,6 +57,17 @@ def pick_top_py(df_by_term: dict[str, int], max_expansions: int) -> list[str]:
     return sorted(t for t, _ in ranked[:int(max_expansions)])
 
 
+def rank_suggestions(df_by_term: dict[str, int], input_term: str,
+                     size: int) -> list[tuple[str, int, int]]:
+    """Did-you-mean ranking (the term-suggester analogue), pinned:
+    (edit distance asc, df desc, term asc), top ``size`` →
+    [(term, df, distance)]. Candidates are assumed pre-filtered to the
+    edit-distance band."""
+    ranked = sorted((levenshtein_py(t, input_term), -int(df), t)
+                    for t, df in df_by_term.items())
+    return [(t, -negdf, d) for d, negdf, t in ranked[:int(size)]]
+
+
 def select_mlt_terms(term_tf: dict[str, int], df_by_term: dict[str, int],
                      n_docs: int, max_query_terms: int = 25,
                      min_term_freq: int = 1,

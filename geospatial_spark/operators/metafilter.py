@@ -29,6 +29,33 @@ import numpy as np
 # to serve metadata-filtered queries
 META_COLS = ("role", "ts_us")
 
+# derived facet fields (the date_histogram agg analogue): UTC calendar
+# buckets of the docmap timestamp, emitted as sortable strings
+FACET_TIME_FIELDS = {"ts_day": "%Y-%m-%d", "ts_hour": "%Y-%m-%dT%H"}
+FACET_FIELDS = ("role",) + tuple(FACET_TIME_FIELDS)
+
+
+def facet_values(dm_path, field: str, ordinals: list[int]) -> list:
+    """The facet value per shard-local ordinal, from the shard's own
+    docmap file: stored fields read directly, time-bucket fields
+    derived from ts_us (UTC, second floor — µs never move a calendar
+    bucket). None = missing (excluded by the facet contract)."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    fmt = FACET_TIME_FIELDS.get(field)
+    col_name = "ts_us" if fmt else field
+    col = pq.read_table(dm_path, columns=[col_name]).column(col_name)
+    vals = col.take(list(ordinals)).to_pylist()
+    if fmt is None:
+        return vals
+    utc = _dt.timezone.utc
+    return [None if v is None else
+            _dt.datetime.fromtimestamp(int(v) // 1_000_000, tz=utc)
+            .strftime(fmt)
+            for v in vals]
+
 
 def _ts_us(v) -> int:
     """Accept datetime / ISO string / int microseconds → int µs."""

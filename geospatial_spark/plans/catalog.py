@@ -184,6 +184,26 @@ def _bm25_recency(query: str, k: int = 10,
     return run
 
 
+def _suggest(term: str, size: int = 5, max_edits: int = 2):
+    """Did-you-mean over the REAL index dictionary (term-suggester
+    analogue): corrections within max_edits of a misspelled input,
+    distance-first ranked. Oracle = the same band + ranking over the
+    tokenized vocabulary (suggest_sql)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        df = s.suggest_df(term, size, max_edits)
+        if df is None:
+            return spark.createDataFrame(
+                [], "term string, df long, distance long")
+        return df
+
+    return run
+
+
 def _bm25_mlt(seed_query: str, k: int = 10, max_query_terms: int = 25):
     """more_like_this through the REAL index: source doc = the
     gate-contract top-1 of ``seed_query`` (same pick as the oracle's
@@ -636,19 +656,20 @@ RANGE_TIERS = [(0.0, 1000.0, "low"), (1000.0, 5000.0, "mid"),
                (5000.0, 9000.0, "high")]
 
 
-def _bm25_facet(should: str, filter_q: str = ""):
+def _bm25_facet(should: str, filter_q: str = "", field: str = "role"):
     """Facet aggregation over a bool query's full match set (the
     aggs-inside-a-query-context shape: the reference's grid agg runs
     within arbitrary filtered queries). Facet = the index's derived
-    role metadata; the oracle states the same facet as doc_id
-    arithmetic."""
+    role metadata, or a ts time bucket (field="ts_day"/"ts_hour" — the
+    date_histogram agg analogue); the oracle states the same facet as
+    doc_id arithmetic."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
         s = IndexSearcher(spark, root)
-        df = s.facet_counts_df(should, filter_q, "")
+        df = s.facet_counts_df(should, filter_q, "", field=field)
         if df is None:
             return spark.createDataFrame([], "facet string, n long")
         return df.select("facet", F.col("n"))
@@ -1259,6 +1280,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_mlt": _bm25_mlt(BM25_Q_MULTI, 10),
         # function_score recency decay over docmap ts (exact multiply)
         "bm25_recency": _bm25_recency(BM25_Q_MULTI, 10),
+        # date_histogram facet: UTC hour buckets of docmap ts over a
+        # bool query's full match set (hour, not day: the catalog ts
+        # spans hours at gate sf — day buckets would degenerate to one)
+        "bm25_facet_hour": _bm25_facet(BOOL_Q[0], BOOL_Q[1],
+                                       field="ts_hour"),
+        # term suggester (did-you-mean) over the index dictionary
+        "suggest_term": _suggest("tble", 5, 2),
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1337,6 +1365,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_explain": osql.bm25_explain_sql(BM25_Q_MULTI),
         "bm25_mlt": osql.bm25_mlt_sql(BM25_Q_MULTI, 10),
         "bm25_recency": osql.bm25_recency_sql(BM25_Q_MULTI, 10),
+        "suggest_term": osql.suggest_sql("tble", 5, 2),
+        "bm25_facet_hour": osql.bm25_facet_sql(
+            BOOL_Q[0], BOOL_Q[1],
+            facet_expr=("strftime(make_timestamp((" + str(META_EPOCH_S) +
+                        "::BIGINT + d.doc_id::BIGINT * 60) * 1000000), "
+                        "'%Y-%m-%dT%H')")),
         "enrich_region_stats": osql.enrich_region_stats_sql(),
         "multi_value_join": osql.multi_value_join_sql(),
         "stats_by_source": osql.stats_by_source_sql(),

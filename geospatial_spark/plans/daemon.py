@@ -117,6 +117,11 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
             req["q"], k, int(req.get("window", 12)),
             quantized=bool(req.get("quantized", False)),
             meta=req.get("meta"))
+    if qtype == "suggest":
+        # did-you-mean rows (term, df, distance), distance-first ranked
+        return [list(s) for s in searcher.suggest(
+            req["q"], int(req.get("size", 5)),
+            int(req.get("max_edits", 2)))]
     if qtype == "decay":
         # recency-decayed match (function_score exponential decay);
         # origin_us is required — a serving client passes "now"

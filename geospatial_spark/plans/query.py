@@ -938,6 +938,44 @@ class IndexSearcher:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
 
+    def suggest_df(self, term: str, size: int = 5,
+                   max_edits: int = 2) -> DataFrame | None:
+        """Did-you-mean (the term-suggester analogue): dictionary terms
+        within ``max_edits`` Levenshtein of the input, the input itself
+        excluded, ranked (distance asc, df desc, term asc) — corrections
+        a user most plausibly meant, most-common first within each
+        distance ring. Returns (term, df, distance); None for an empty
+        input.
+
+        Plan shape: a distributed dictionary scan — the length band
+        |len(t) − len(q)| ≤ max_edits prunes before the O(len²)
+        Levenshtein kernel runs JVM-side; only ``size`` rows reach the
+        driver."""
+        norm = self.manifest.get("normalization") or {}
+        t = norm.get((term or "").lower(), (term or "").lower())
+        if not t:
+            return None
+        me = int(max_edits)
+        dd = self._dict_df().groupBy("term").agg(
+            F.sum("df").cast("long").alias("df"))
+        return (
+            dd.where(F.length("term").between(len(t) - me, len(t) + me)
+                     & (F.col("term") != t))
+            .withColumn("distance",
+                        F.levenshtein(F.col("term"), F.lit(t)).cast("long"))
+            .where(F.col("distance") <= me)
+            .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+            .limit(int(size))
+        )
+
+    def suggest(self, term: str, size: int = 5,
+                max_edits: int = 2) -> list[tuple[str, int, int]]:
+        df = self.suggest_df(term, size, max_edits)
+        if df is None:
+            return []
+        return [(r["term"], int(r["df"]), int(r["distance"]))
+                for r in df.collect()]
+
     def _rewrite_expansion_spec(self, spec: dict) -> dict:
         """Prefix/fuzzy/wildcard batch entries rewrite driver-side into
         the expanded match spec (or bool, when a metadata filter rides
@@ -1010,11 +1048,13 @@ class IndexSearcher:
         and emits ≤ |distinct values| rows; the driver-side agg sums
         tiny per-shard partials. No per-doc row ever leaves the
         kernel."""
-        from geospatial_spark.operators.metafilter import normalize_meta
+        from geospatial_spark.operators.metafilter import (FACET_FIELDS,
+                                                           normalize_meta)
 
-        if field not in ("role",):
+        if field not in FACET_FIELDS:
             raise ValueError(f"unsupported facet field {field!r} "
-                             "(docmap metadata fields only)")
+                             "(docmap metadata fields / time buckets "
+                             f"only: {FACET_FIELDS})")
         meta = normalize_meta(meta)
         self._check_meta_support(meta)
         self._check_meta_support({"role": ["x"]})  # field itself needs v2
@@ -1074,8 +1114,9 @@ class IndexSearcher:
             if len(local) == 0:
                 return pd.DataFrame({"facet": pd.Series([], dtype=object),
                                      "n": pd.Series([], dtype="int64")})
-            col = pq.read_table(dm_path, columns=[fld]).column(fld)
-            vals = col.take(local.tolist()).to_pandas()
+            from geospatial_spark.operators.metafilter import facet_values
+
+            vals = pd.Series(facet_values(dm_path, fld, local.tolist()))
             counts = vals.dropna().value_counts()
             return pd.DataFrame({"facet": counts.index.astype(object),
                                  "n": counts.to_numpy(dtype="int64")})

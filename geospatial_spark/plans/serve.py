@@ -211,6 +211,13 @@ class LocalSearcher:
         stays O(matching terms), never O(vocabulary)."""
         from geospatial_spark.operators.expand import pick_top_py
 
+        return pick_top_py(self._expand_candidates(match, arrow_filter),
+                           max_expansions)
+
+    def _expand_candidates(self, match, arrow_filter=None) -> dict[str, int]:
+        """Merged-df dictionary candidates passing ``match`` (the
+        uncapped half of _expand — the suggester ranks these by its own
+        distance-first contract instead of the df cap)."""
         self._load_dict()
         acc: dict[str, int] = {}
         if self._dict is not None:
@@ -226,7 +233,29 @@ class LocalSearcher:
                                         batch.column("df").to_pylist()):
                         if match(term):
                             acc[term] = acc.get(term, 0) + int(df)
-        return pick_top_py(acc, max_expansions)
+        return acc
+
+    def suggest(self, term: str, size: int = 5,
+                max_edits: int = 2) -> list[tuple[str, int, int]]:
+        """Did-you-mean on the serving path — the twin of
+        IndexSearcher.suggest: dictionary terms within max_edits of the
+        input (input excluded), ranked (distance asc, df desc, term
+        asc) → [(term, df, distance)]."""
+        from geospatial_spark.operators.expand import (levenshtein_py,
+                                                       rank_suggestions)
+
+        norm = self.manifest.get("normalization") or {}
+        t = norm.get((term or "").lower(), (term or "").lower())
+        if not t:
+            return []
+        me = int(max_edits)
+
+        def match(x: str) -> bool:
+            return (x != t and abs(len(x) - len(t)) <= me
+                    and levenshtein_py(x, t) <= me)
+
+        return rank_suggestions(self._expand_candidates(match), t,
+                                int(size))
 
     def expand_prefix(self, prefix: str, max_expansions: int = 64) -> list[str]:
         import pyarrow.compute as pc
@@ -1285,12 +1314,12 @@ def _facet_counts_local(searcher: "LocalSearcher", should: str,
     """Serving-path facet aggregation — same contract as
     IndexSearcher.facet_counts (full match set per shard → ordinal →
     docmap field → summed counts; NULL values excluded)."""
-    import pyarrow.parquet as pq
-
     from geospatial_spark.operators.boolquery import bool_match_shard
-    from geospatial_spark.operators.metafilter import normalize_meta
+    from geospatial_spark.operators.metafilter import (FACET_FIELDS,
+                                                       facet_values,
+                                                       normalize_meta)
 
-    if field not in ("role",):
+    if field not in FACET_FIELDS:
         raise ValueError(f"unsupported facet field {field!r}")
     meta = normalize_meta(meta)
     s = searcher
@@ -1336,8 +1365,7 @@ def _facet_counts_local(searcher: "LocalSearcher", should: str,
             if len(local) == 0:
                 continue
             path = s.gdirs[gen_id] / s.docmap_files[(gen_id, shard)]
-            col = pq.read_table(path, columns=[field]).column(field)
-            for v in col.take(local.tolist()).to_pylist():
+            for v in facet_values(path, field, local.tolist()):
                 if v is not None:
                     out[v] = out.get(v, 0) + 1
     return out
