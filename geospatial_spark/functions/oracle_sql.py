@@ -447,6 +447,75 @@ ORDER BY tf.term ASC
 """.strip()
 
 
+def match_stats_sql(should: str, filter_q: str = "", must_not: str = "",
+                    epoch_s: int = 1_767_225_600,
+                    table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """Match-set stats oracle (IndexSearcher.match_stats_df): one row
+    (n_matched, sum_dl, min_ts_us, max_ts_us) over the bool match set;
+    ts derives from doc_id arithmetic (the catalog index's pinned
+    ts = epoch + doc_id minutes)."""
+    sh = sorted(set(tokenize_py(should)))
+    fl = sorted(set(tokenize_py(filter_q)))
+    mn = sorted(set(tokenize_py(must_not)))
+    preds = []
+    if sh:
+        in_sh = ", ".join(f"'{t}'" for t in sh)
+        preds.append(f"doc_id IN (SELECT doc_id FROM tf WHERE term IN ({in_sh}))")
+    if fl:
+        in_fl = ", ".join(f"'{t}'" for t in fl)
+        preds.append(f"doc_id IN (SELECT doc_id FROM tf WHERE term IN ({in_fl}) "
+                     f"GROUP BY doc_id HAVING count(*) = {len(fl)})")
+    if mn:
+        in_mn = ", ".join(f"'{t}'" for t in mn)
+        preds.append(f"doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({in_mn}))")
+    where = " AND ".join(preds) if preds else "TRUE"
+    ts = f"({epoch_s}::BIGINT + doc_id::BIGINT * 60) * 1000000"
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+m AS (SELECT doc_id FROM dl WHERE {where})
+SELECT count(*)::BIGINT AS n_matched,
+       sum(dl.dl)::BIGINT AS sum_dl,
+       min({ts})::BIGINT AS min_ts_us,
+       max({ts})::BIGINT AS max_ts_us
+FROM m JOIN dl USING (doc_id)
+""".strip()
+
+
+def significant_terms_sql(should: str, filter_q: str = "", size: int = 10,
+                          min_fg: int = 3, table: str = "documents",
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """Significant-terms oracle (operators/postings.significant_terms):
+    match set = docs with ANY should term AND ALL filter terms;
+    lift = (fg/|M|)/(bg/N), min_fg noise floor, top size by
+    (lift rounded to ORDER_DP desc, term asc)."""
+    sh = sorted(set(tokenize_py(should)))
+    fl = sorted(set(tokenize_py(filter_q)))
+    in_sh = ", ".join(f"'{t}'" for t in sh)
+    fl_pred = ""
+    if fl:
+        in_fl = ", ".join(f"'{t}'" for t in fl)
+        fl_pred = (f" AND doc_id IN (SELECT doc_id FROM tf "
+                   f"WHERE term IN ({in_fl}) GROUP BY doc_id "
+                   f"HAVING count(*) = {len(fl)})")
+    lift = "(fg.fg::DOUBLE / mc.c) / (bg.bg::DOUBLE / s.n)"
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({in_sh}){fl_pred}),
+mc AS (SELECT count(*)::DOUBLE AS c FROM m),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg FROM tf JOIN m USING (doc_id)
+  GROUP BY 1 HAVING count(*) >= {int(min_fg)}
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg FROM tf GROUP BY 1)
+SELECT fg.term, fg.fg, bg.bg, round({lift}, {ROUND_DP}) AS lift
+FROM fg JOIN bg USING (term) CROSS JOIN mc CROSS JOIN stats s
+ORDER BY round({lift}, {ORDER_DP}) DESC, fg.term ASC
+LIMIT {int(size)}
+""".strip()
+
+
 def suggest_sql(term: str, size: int = 5, max_edits: int = 2,
                 table: str = "documents", id_col: str = "doc_id",
                 text_col: str = "text") -> str:

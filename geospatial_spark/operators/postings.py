@@ -98,6 +98,34 @@ def posting_union(postings: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+def significant_terms(postings: DataFrame, match: DataFrame, n_docs: int,
+                      m_docs: int, size: int = 10, min_fg: int = 3,
+                      order_dp: int = 6) -> DataFrame:
+    """Significant-terms aggregation (the significant_terms agg
+    analogue): terms over-represented in a query's match set vs the
+    corpus background. fg = match-set df, bg = corpus df,
+    lift = (fg/|M|) / (bg/N); terms below ``min_fg`` foreground docs
+    are noise-filtered (the min_doc_count analogue). Top ``size`` by
+    (lift rounded to order_dp desc, term asc).
+
+    Plan: fg is one join of postings against the match-set ids (small
+    side broadcastable) + a term agg; bg is the dictionary agg — both
+    map-side-combined by Catalyst. No per-doc data reaches the driver.
+    """
+    fg = (postings.join(match.select("doc_id"), "doc_id")
+          .groupBy("term")
+          .agg(F.count(F.lit(1)).cast("long").alias("fg"))
+          .where(F.col("fg") >= int(min_fg)))
+    bg = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("bg"))
+    out = fg.join(bg, "term").withColumn(
+        "lift",
+        (F.col("fg").cast("double") / F.lit(float(m_docs)))
+        / (F.col("bg").cast("double") / F.lit(float(n_docs))))
+    return (out.orderBy(F.round("lift", order_dp).desc(), F.asc("term"))
+            .limit(int(size)))
+
+
 def corpus_stats(dl: DataFrame) -> tuple[int, float]:
     """(N, avgdl) — one tiny driver-side row (never a full collect)."""
     row = dl.agg(

@@ -184,6 +184,53 @@ def _bm25_recency(query: str, k: int = 10,
     return run
 
 
+def _bm25_match_stats(should: str, filter_q: str = "", must_not: str = ""):
+    """Metric agg over a bool query's full match set through the REAL
+    index: per-shard kernels fold their local match set to one partial
+    row (count/sum/min/max over docmap dl and ts), the driver agg
+    combines — the stats-agg-inside-a-query-context shape."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        df = s.match_stats_df(should, filter_q, must_not)
+        if df is None:
+            return spark.createDataFrame(
+                [(0, None, None, None)],
+                "n_matched long, sum_dl long, min_ts_us long, max_ts_us long")
+        return df
+
+    return run
+
+
+def _significant_terms(should: str, filter_q: str = "", size: int = 10,
+                       min_fg: int = 3):
+    """Significant-terms agg over a bool match set (relational path:
+    one postings join + two term aggs, map-side combined)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.functions.tokenize import tokenize_py
+
+        post, dl, n, avgdl = _doc_index(spark, sf_dir)
+        sh = sorted(set(tokenize_py(should)))
+        fl = sorted(set(tokenize_py(filter_q)))
+        m = P.posting_union(post, sh)
+        if fl:
+            m = m.join(P.posting_intersection(post, fl), "doc_id")
+        m_docs = m.count()
+        if m_docs == 0:
+            return spark.createDataFrame(
+                [], "term string, fg long, bg long, lift double")
+        out = P.significant_terms(post, m, n, m_docs, size, min_fg,
+                                  order_dp=ORDER_DP)
+        return out.select("term", "fg", "bg",
+                          F.round("lift", ROUND_DP).alias("lift"))
+
+    return run
+
+
 def _suggest(term: str, size: int = 5, max_edits: int = 2):
     """Did-you-mean over the REAL index dictionary (term-suggester
     analogue): corrections within max_edits of a misspelled input,
@@ -1287,6 +1334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                        field="ts_hour"),
         # term suggester (did-you-mean) over the index dictionary
         "suggest_term": _suggest("tble", 5, 2),
+        # significant-terms agg: foreground (match set) vs background
+        "significant_terms": _significant_terms(BOOL_Q[0], BOOL_Q[1],
+                                                10, 3),
+        # stats agg inside a query context (docmap dl/ts per shard)
+        "bm25_match_stats": _bm25_match_stats(*BOOL_Q),
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1366,6 +1418,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_mlt": osql.bm25_mlt_sql(BM25_Q_MULTI, 10),
         "bm25_recency": osql.bm25_recency_sql(BM25_Q_MULTI, 10),
         "suggest_term": osql.suggest_sql("tble", 5, 2),
+        "significant_terms": osql.significant_terms_sql(
+            BOOL_Q[0], BOOL_Q[1], 10, 3),
+        "bm25_match_stats": osql.match_stats_sql(*BOOL_Q,
+                                                 epoch_s=META_EPOCH_S),
         "bm25_facet_hour": osql.bm25_facet_sql(
             BOOL_Q[0], BOOL_Q[1],
             facet_expr=("strftime(make_timestamp((" + str(META_EPOCH_S) +

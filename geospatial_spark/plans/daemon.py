@@ -117,6 +117,12 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
             req["q"], k, int(req.get("window", 12)),
             quantized=bool(req.get("quantized", False)),
             meta=req.get("meta"))
+    if qtype == "match_stats":
+        st = searcher.match_stats(
+            req.get("should", ""), req.get("filter", ""),
+            req.get("must_not", ""), meta=req.get("meta"))
+        return [[st["n_matched"], st["sum_dl"], st["min_ts_us"],
+                 st["max_ts_us"]]]
     if qtype == "suggest":
         # did-you-mean rows (term, df, distance), distance-first ranked
         return [list(s) for s in searcher.suggest(

@@ -1127,6 +1127,104 @@ class IndexSearcher:
                 .agg(F.sum("n").cast("long").alias("n"))
                 .orderBy(F.desc("n"), F.asc("facet")))
 
+    def match_stats_df(self, should: str = "", filter_q: str = "",
+                       must_not: str = "",
+                       meta: dict | None = None) -> DataFrame | None:
+        """Metric aggregation over a query's FULL match set (the
+        stats/min/max-agg-inside-a-query-context shape): one row
+        (n_matched, sum_dl, min_ts_us, max_ts_us) — dl and ts from each
+        shard's own docmap. Same kernel plan as facet_counts_df: the
+        per-shard kernel resolves its local match set, folds it to ONE
+        partial row against local docmap columns, and the driver-side
+        agg combines shard partials (count/sum/min/max are all
+        associative). ts nulls are excluded from min/max (SQL
+        semantics); None = structurally empty query."""
+        from geospatial_spark.operators.metafilter import normalize_meta
+
+        meta = normalize_meta(meta)
+        self._check_meta_support(meta)
+        norm = self.manifest.get("normalization") or {}
+
+        def toks(text: str) -> list[str]:
+            return sorted({norm.get(t, t) for t in tokenize_py(text)})
+
+        sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
+        if self.n_docs == 0:
+            return None
+        pure_not = not sh and not fl
+        df_global = self._df_for(sorted(set(sh + fl + mn)))
+        if any(t not in df_global for t in fl):
+            return None
+        sh = [t for t in sh if t in df_global]
+        if should and not sh:
+            return None
+        mn = [t for t in mn if t in df_global]
+
+        scan_terms = sorted(set(sh + fl + mn))
+        matched = (self._segments().where(F.col("term").isin(scan_terms))
+                   .drop("pos_blocks", *_IMP_COLS))
+        if pure_not:
+            shards_df = self.spark.createDataFrame(
+                [(g, s) for (g, s) in sorted(self.shard_docs)],
+                "gen string, shard int")
+            matched = shards_df.join(matched, ["gen", "shard"], "left")
+        n_docs, avgdl = self.n_docs, self.avgdl
+        shard_docs, gdirs = self.shard_docs, self.gdirs
+        dm_files = self.docmap_files
+
+        def run_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from pathlib import Path as _P
+
+            import pyarrow.parquet as pq
+
+            from geospatial_spark.operators.boolquery import bool_match_shard
+            from geospatial_spark.operators.metafilter import (
+                meta_mask_from_docmap,
+            )
+
+            gen, shard = str(key[0]), int(key[1])
+            base = shard << ORD_SHARD_SHIFT
+            n_local = shard_docs.get((gen, shard), 0)
+            rows_by_term = {rec["term"]: rec
+                            for rec in pdf.to_dict("records")
+                            if isinstance(rec.get("term"), str)}
+            dm_path = _P(gdirs[gen]) / dm_files[(gen, shard)]
+            amask = (meta_mask_from_docmap(dm_path, meta)
+                     if meta is not None else None)
+            local, _sc = bool_match_shard(
+                sh, fl, mn, rows_by_term, n_local, base, df_global,
+                n_docs, avgdl, max(n_local, 1), allowed_init=amask)
+            empty = pd.DataFrame(
+                {"n": pd.Series([], dtype="int64"),
+                 "sum_dl": pd.Series([], dtype="int64"),
+                 "min_ts": pd.Series([], dtype="Int64"),
+                 "max_ts": pd.Series([], dtype="Int64")})
+            if len(local) == 0:
+                return empty
+            dm = pq.read_table(dm_path)
+            idx = local.tolist()
+            dls = dm.column("dl").take(idx).to_numpy(zero_copy_only=False)
+            if "ts_us" in dm.column_names:
+                ts = pd.array(
+                    dm.column("ts_us").take(idx).to_pylist(), dtype="Int64")
+            else:
+                ts = pd.array([None] * len(idx), dtype="Int64")
+            tmin, tmax = ts.min(), ts.max()
+            return pd.DataFrame(
+                {"n": [len(idx)],
+                 "sum_dl": [int(dls.sum())],
+                 "min_ts": pd.array([tmin], dtype="Int64"),
+                 "max_ts": pd.array([tmax], dtype="Int64")})
+
+        per_shard = matched.groupBy("gen", "shard").applyInPandas(
+            run_shard,
+            schema="n long, sum_dl long, min_ts long, max_ts long")
+        return per_shard.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_matched"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+            F.min("min_ts").cast("long").alias("min_ts_us"),
+            F.max("max_ts").cast("long").alias("max_ts_us"))
+
     def facet_counts(self, should: str = "", filter_q: str = "",
                      must_not: str = "", meta: dict | None = None,
                      field: str = "role") -> dict[str, int]:

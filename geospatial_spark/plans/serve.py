@@ -908,6 +908,80 @@ class LocalSearcher:
         return _facet_counts_local(self, should, filter_q, must_not,
                                    meta, field)
 
+    def match_stats(self, should: str = "", filter_q: str = "",
+                    must_not: str = "",
+                    meta: dict | None = None) -> dict:
+        """Match-set stats on the serving path — the twin of
+        IndexSearcher.match_stats_df: {n_matched, sum_dl, min_ts_us,
+        max_ts_us} over the bool match set (docmap dl/ts per shard,
+        nulls excluded from min/max)."""
+        import pyarrow.parquet as pq
+
+        from geospatial_spark.operators.boolquery import bool_match_shard
+        from geospatial_spark.operators.metafilter import normalize_meta
+
+        meta = normalize_meta(meta)
+        s = self
+        norm = s.manifest.get("normalization") or {}
+
+        def toks(text: str) -> list[str]:
+            return sorted({norm.get(t, t) for t in tokenize_py(text)})
+
+        sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
+        out = {"n_matched": 0, "sum_dl": 0,
+               "min_ts_us": None, "max_ts_us": None}
+        if s.n_docs == 0:
+            return out
+        pure_not = not sh and not fl
+        df_global = s._df_for(sorted(set(sh + fl + mn)))
+        if any(t not in df_global for t in fl):
+            return out
+        sh = [t for t in sh if t in df_global]
+        if should and not sh:
+            return out
+        mn = [t for t in mn if t in df_global]
+        scan_terms = sorted(set(sh + fl + mn))
+
+        for g in s.gens:
+            gen_id = g["id"]
+            reader = s._reader(gen_id)
+            cols = [c for c in reader.schema_names
+                    if not c.startswith("imp_") and c != "pos_blocks"]
+            by_shard: dict[int, dict[str, dict]] = {}
+            for r in s._cached_rows(gen_id, reader, scan_terms, cols, "b"):
+                by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
+            if pure_not:
+                for (g_id, shard) in s.shard_docs:
+                    if g_id == gen_id:
+                        by_shard.setdefault(shard, {})
+            for shard, rows_by_term in by_shard.items():
+                base = shard << ORD_SHARD_SHIFT
+                n_local = s.shard_docs[(gen_id, shard)]
+                amask = (s._meta_mask(gen_id, shard, meta)
+                         if meta is not None else None)
+                local, _sc = bool_match_shard(
+                    sh, fl, mn, rows_by_term, n_local, base, df_global,
+                    s.n_docs, s.avgdl, max(n_local, 1), allowed_init=amask)
+                if len(local) == 0:
+                    continue
+                path = s.gdirs[gen_id] / s.docmap_files[(gen_id, shard)]
+                dm = pq.read_table(path)
+                idx = local.tolist()
+                out["n_matched"] += len(idx)
+                out["sum_dl"] += int(sum(
+                    dm.column("dl").take(idx).to_pylist()))
+                if "ts_us" in dm.column_names:
+                    ts = [t for t in
+                          dm.column("ts_us").take(idx).to_pylist()
+                          if t is not None]
+                    if ts:
+                        lo, hi = min(ts), max(ts)
+                        out["min_ts_us"] = (lo if out["min_ts_us"] is None
+                                            else min(out["min_ts_us"], lo))
+                        out["max_ts_us"] = (hi if out["max_ts_us"] is None
+                                            else max(out["max_ts_us"], hi))
+        return out
+
     def search_collapsed(self, should: str = "", filter_q: str = "",
                          must_not: str = "", k: int = 10,
                          meta: dict | None = None, field: str = "role"
