@@ -447,6 +447,54 @@ ORDER BY tf.term ASC
 """.strip()
 
 
+def bm25_rescore_sql(query: str, rescore_query: str, k: int = 10,
+                     window: int = 50, query_weight: float = 1.0,
+                     rescore_weight: float = 1.0,
+                     table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """Rescore-window oracle (IndexSearcher.search_rescored): window =
+    top ``window`` of the base ranking under (rounded score desc,
+    engine doc_id string asc — stated here as CAST||':0' so the cut is
+    bit-identical to the engine's '<n>:0' ids), then
+    score' = qw·base + rw·COALESCE(secondary, 0) over the window, top-k
+    under the same ordering, emitted under the gate contract."""
+    per1 = score_sql("tf.tf", "dl.dl", "s.avgdl", "d1.df", "s.n")
+    per2 = score_sql("tf.tf", "dl.dl", "s.avgdl", "d2.df", "s.n")
+    sid = "CAST(doc_id AS VARCHAR) || ':0'"
+    qw, rw = float(query_weight), float(rescore_weight)
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+q1 AS ({_qterms_values(query)}),
+q2 AS ({_qterms_values(rescore_query)}),
+d1 AS (SELECT term, count(*)::INT AS df FROM tf WHERE term IN (SELECT term FROM q1) GROUP BY 1),
+d2 AS (SELECT term, count(*)::INT AS df FROM tf WHERE term IN (SELECT term FROM q2) GROUP BY 1),
+s1 AS (
+  SELECT tf.doc_id, SUM({per1}) AS raw
+  FROM tf JOIN d1 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+s2 AS (
+  SELECT tf.doc_id, SUM({per2}) AS raw
+  FROM tf JOIN d2 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+win AS (
+  SELECT doc_id, raw FROM s1
+  ORDER BY round(raw, {ORDER_DP}) DESC, {sid} ASC LIMIT {int(window)}
+),
+comb AS (
+  SELECT w.doc_id, {qw!r} * w.raw + {rw!r} * COALESCE(s2.raw, 0.0) AS raw
+  FROM win w LEFT JOIN s2 ON s2.doc_id = w.doc_id
+),
+page AS (
+  SELECT doc_id, raw FROM comb
+  ORDER BY round(raw, {ORDER_DP}) DESC, {sid} ASC LIMIT {int(k)}
+)
+SELECT doc_id, round(raw, {ROUND_DP}) AS score FROM page
+ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC
+""".strip()
+
+
 def match_stats_sql(should: str, filter_q: str = "", must_not: str = "",
                     epoch_s: int = 1_767_225_600,
                     table: str = "documents", id_col: str = "doc_id",

@@ -184,6 +184,33 @@ def _bm25_recency(query: str, k: int = 10,
     return run
 
 
+def _bm25_rescore(query: str, rescore_query: str, k: int = 10,
+                  window: int = 50, qw: float = 1.0, rw: float = 2.0):
+    """Rescore window through the REAL index (rescore API analogue):
+    top-window of the base ranking re-ranked by qw·base + rw·secondary
+    — same pinned window-cut ordering as the oracle."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        empty = (_docs(spark, sf_dir)
+                 .select("doc_id", F.lit(0.0).alias("score")).limit(0))
+        df = s.search_rescored_df(query, rescore_query, k, window, qw, rw)
+        if df is None:
+            return empty
+        return (
+            df.select(
+                F.substring_index("doc_id", ":", 1).cast("long").alias("doc_id"),
+                F.col("score").alias("raw"))
+            .orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("doc_id"))
+            .select("doc_id", F.round("raw", ROUND_DP).alias("score"))
+        )
+
+    return run
+
+
 def _bm25_match_stats(should: str, filter_q: str = "", must_not: str = ""):
     """Metric agg over a bool query's full match set through the REAL
     index: per-shard kernels fold their local match set to one partial
@@ -1339,6 +1366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                 10, 3),
         # stats agg inside a query context (docmap dl/ts per shard)
         "bm25_match_stats": _bm25_match_stats(*BOOL_Q),
+        # rescore window: top-20 re-ranked by base + 2x secondary BM25
+        "bm25_rescore": _bm25_rescore(BM25_Q_MULTI, BM25_Q_SINGLE,
+                                      10, 20, 1.0, 2.0),
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1422,6 +1452,8 @@ def oracle_sql() -> dict[str, str]:
             BOOL_Q[0], BOOL_Q[1], 10, 3),
         "bm25_match_stats": osql.match_stats_sql(*BOOL_Q,
                                                  epoch_s=META_EPOCH_S),
+        "bm25_rescore": osql.bm25_rescore_sql(BM25_Q_MULTI, BM25_Q_SINGLE,
+                                              10, 20, 1.0, 2.0),
         "bm25_facet_hour": osql.bm25_facet_sql(
             BOOL_Q[0], BOOL_Q[1],
             facet_expr=("strftime(make_timestamp((" + str(META_EPOCH_S) +

@@ -117,6 +117,12 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
             req["q"], k, int(req.get("window", 12)),
             quantized=bool(req.get("quantized", False)),
             meta=req.get("meta"))
+    if qtype == "rescore":
+        return searcher.search_rescored(
+            req["q"], req["rescore_q"], k,
+            int(req.get("window", 50)),
+            float(req.get("query_weight", 1.0)),
+            float(req.get("rescore_weight", 1.0)))
     if qtype == "match_stats":
         st = searcher.match_stats(
             req.get("should", ""), req.get("filter", ""),

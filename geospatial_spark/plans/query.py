@@ -239,6 +239,70 @@ class IndexSearcher:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
 
+    def search_rescored_df(self, query: str, rescore_query: str,
+                           k: int = 10, window: int = 50,
+                           query_weight: float = 1.0,
+                           rescore_weight: float = 1.0
+                           ) -> DataFrame | None:
+        """Rescore window (the OpenSearch ``rescore`` API analogue):
+        the top ``window`` docs of the base ranking get
+
+            score' = query_weight·base + rescore_weight·secondary
+
+        where secondary is the rescore query's exact BM25 for those
+        docs (0 when it doesn't match them). PINNED exact contract:
+        the window is cut from the FULL base ranking under (rounded
+        score desc, doc_id asc) — the pagination ordering — so the cut
+        is reproducible across engines; only the window is re-ranked
+        and returned. Cost: two all-match kernel passes (the same
+        class as function_score) + a window-sized join; the window
+        frame never exceeds ``window`` rows."""
+        from geospatial_spark.functions.oracle_sql import ORDER_DP
+
+        base = self.search_df(query, self.n_docs)
+        if base is None:
+            return None
+        win = (base.orderBy(F.round(F.col("score"), ORDER_DP).desc(),
+                            F.asc("doc_id"))
+               .limit(int(window))
+               .select("doc_id", F.col("score").alias("s1")))
+        # bounded driver fetch: the window is ≤ `window` rows by
+        # construction — ids make the secondary side window-sized too
+        win_rows = win.collect()
+        if not win_rows:
+            return None
+        ids = [r["doc_id"] for r in win_rows]
+        sec = self.search_df(rescore_query, self.n_docs)
+        qw, rw = float(query_weight), float(rescore_weight)
+        w_df = self.spark.createDataFrame(
+            [(r["doc_id"], float(r["s1"])) for r in win_rows],
+            "doc_id string, s1 double")
+        if sec is None:
+            comb = w_df.select(
+                "doc_id", (F.lit(qw) * F.col("s1")).alias("score"))
+        else:
+            s2 = (sec.where(F.col("doc_id").isin(ids))
+                  .select("doc_id", F.col("score").alias("s2")))
+            comb = (w_df.join(s2, "doc_id", "left")
+                    .select("doc_id",
+                            (F.lit(qw) * F.col("s1")
+                             + F.lit(rw) * F.coalesce(F.col("s2"),
+                                                      F.lit(0.0))
+                             ).alias("score")))
+        return (comb.orderBy(F.round(F.col("score"), ORDER_DP).desc(),
+                             F.asc("doc_id")).limit(int(k)))
+
+    def search_rescored(self, query: str, rescore_query: str,
+                        k: int = 10, window: int = 50,
+                        query_weight: float = 1.0,
+                        rescore_weight: float = 1.0
+                        ) -> list[tuple[str, float]]:
+        df = self.search_rescored_df(query, rescore_query, k, window,
+                                     query_weight, rescore_weight)
+        if df is None:
+            return []
+        return [(r["doc_id"], float(r["score"])) for r in df.collect()]
+
     def search_decayed_df(self, query: str, k: int = 10,
                           half_life_s: float = 604_800.0,
                           origin_us: int | None = None) -> DataFrame | None:

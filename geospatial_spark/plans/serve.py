@@ -1086,6 +1086,28 @@ class LocalSearcher:
             self._ts_cache = m
         return self._ts_cache
 
+    def search_rescored(self, query: str, rescore_query: str,
+                        k: int = 10, window: int = 50,
+                        query_weight: float = 1.0,
+                        rescore_weight: float = 1.0
+                        ) -> list[tuple[str, float]]:
+        """Rescore window on the serving path — the twin of
+        IndexSearcher.search_rescored (same pinned contract: window cut
+        from the full base ranking under rounded-score/doc_id order,
+        secondary = the rescore query's exact BM25 on window docs)."""
+        from geospatial_spark.functions.oracle_sql import ORDER_DP
+
+        base = self.search(query, max(self.n_docs, 1))
+        if not base:
+            return []
+        win = sorted(base, key=lambda h: (-round(h[1], ORDER_DP), h[0]))
+        win = win[:int(window)]
+        sec = dict(self.search(rescore_query, max(self.n_docs, 1)))
+        qw, rw = float(query_weight), float(rescore_weight)
+        comb = [(d, qw * s + rw * sec.get(d, 0.0)) for d, s in win]
+        comb.sort(key=lambda h: (-round(h[1], ORDER_DP), h[0]))
+        return comb[:int(k)]
+
     def search_decayed(self, query: str, k: int = 10,
                        half_life_s: float = 604_800.0,
                        origin_us: int | None = None
