@@ -447,6 +447,42 @@ ORDER BY tf.term ASC
 """.strip()
 
 
+def percolate_counts_sql(queries: list[tuple[str, str]],
+                         table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """Percolator oracle (operators/percolate.percolate_counts): per
+    stored query, how many docs contain its FULL term set; queries
+    matching nothing emit 0."""
+    qrows = []
+    nrows = []
+    for qid, text in queries:
+        terms = sorted(set(tokenize_py(text)))
+        nrows.append(f"('{qid}', {len(terms)})")
+        for t in terms:
+            qrows.append(f"('{qid}', '{t}')")
+    qvals = ", ".join(qrows) if qrows else "('x', 'x') LIMIT 0"
+    nvals = ", ".join(nrows)
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+qt AS (SELECT * FROM (VALUES {qvals}) AS q(query_id, term)),
+nq AS (SELECT * FROM (VALUES {nvals}) AS n(query_id, n_terms)),
+hit AS (
+  SELECT tf.doc_id, qt.query_id, count(*) AS nm
+  FROM tf JOIN qt USING (term)
+  GROUP BY 1, 2
+),
+matched AS (
+  SELECT h.query_id, count(*)::BIGINT AS n
+  FROM hit h JOIN nq USING (query_id)
+  WHERE h.nm = nq.n_terms
+  GROUP BY 1
+)
+SELECT nq.query_id, COALESCE(matched.n, 0)::BIGINT AS n_matches
+FROM nq LEFT JOIN matched USING (query_id)
+ORDER BY nq.query_id
+""".strip()
+
+
 def bm25_rescore_sql(query: str, rescore_query: str, k: int = 10,
                      window: int = 50, query_weight: float = 1.0,
                      rescore_weight: float = 1.0,

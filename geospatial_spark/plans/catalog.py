@@ -184,6 +184,27 @@ def _bm25_recency(query: str, k: int = 10,
     return run
 
 
+PERC_QUERIES = [("q_alert_merge", "spark merge"),
+                ("q_route_scan", "the table scan"),
+                ("q_tag_vector", "vector"),
+                ("q_rare_dup", "dup"),
+                ("q_never", "spark zzznotaterm")]
+
+
+def _percolate(queries: list[tuple[str, str]]):
+    """Percolator (reverse search) over the documents corpus: stored
+    queries broadcast against the posting tuples, AND semantics."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.operators.percolate import (percolate_counts,
+                                                          queries_df)
+
+        post, _dl, _n, _avgdl = _doc_index(spark, sf_dir)
+        return percolate_counts(queries_df(spark, queries), post)
+
+    return run
+
+
 def _bm25_rescore(query: str, rescore_query: str, k: int = 10,
                   window: int = 50, qw: float = 1.0, rw: float = 2.0):
     """Rescore window through the REAL index (rescore API analogue):
@@ -1369,6 +1390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rescore window: top-20 re-ranked by base + 2x secondary BM25
         "bm25_rescore": _bm25_rescore(BM25_Q_MULTI, BM25_Q_SINGLE,
                                       10, 20, 1.0, 2.0),
+        # percolator: stored queries reverse-matched against the corpus
+        "percolate_counts": _percolate(PERC_QUERIES),
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1454,6 +1477,7 @@ def oracle_sql() -> dict[str, str]:
                                                  epoch_s=META_EPOCH_S),
         "bm25_rescore": osql.bm25_rescore_sql(BM25_Q_MULTI, BM25_Q_SINGLE,
                                               10, 20, 1.0, 2.0),
+        "percolate_counts": osql.percolate_counts_sql(PERC_QUERIES),
         "bm25_facet_hour": osql.bm25_facet_sql(
             BOOL_Q[0], BOOL_Q[1],
             facet_expr=("strftime(make_timestamp((" + str(META_EPOCH_S) +

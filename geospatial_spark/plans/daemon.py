@@ -117,6 +117,17 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
             req["q"], k, int(req.get("window", 12)),
             quantized=bool(req.get("quantized", False)),
             meta=req.get("meta"))
+    if qtype == "percolate":
+        # reverse search: which of the request's stored queries match
+        # this one doc text (AND semantics over the query's term set)
+        from geospatial_spark.operators.percolate import percolate_doc
+
+        qs = req.get("queries")
+        if not isinstance(qs, list) or not all(
+                isinstance(q, (list, tuple)) and len(q) == 2 for q in qs):
+            raise ValueError("percolate needs queries=[[id, text], ...]")
+        return [[qid] for qid in percolate_doc(
+            [(str(a), str(b)) for a, b in qs], req["text"])]
     if qtype == "rescore":
         return searcher.search_rescored(
             req["q"], req["rescore_q"], k,
