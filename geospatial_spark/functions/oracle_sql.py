@@ -600,6 +600,21 @@ LIMIT {int(size)}
 """.strip()
 
 
+def complete_sql(prefix: str, size: int = 10, table: str = "documents",
+                 id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Completion-suggester oracle (IndexSearcher.complete): vocabulary
+    terms with the prefix, df desc / term asc, top size."""
+    p = prefix.lower().replace("'", "''")
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT term, df FROM vocab
+WHERE term LIKE '{p}%'
+ORDER BY df DESC, term ASC
+LIMIT {int(size)}
+""".strip()
+
+
 def suggest_sql(term: str, size: int = 5, max_edits: int = 2,
                 table: str = "documents", id_col: str = "doc_id",
                 text_col: str = "text") -> str:

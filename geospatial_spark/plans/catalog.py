@@ -279,6 +279,22 @@ def _significant_terms(should: str, filter_q: str = "", size: int = 10,
     return run
 
 
+def _complete(prefix: str, size: int = 10):
+    """Prefix autocomplete over the REAL index dictionary."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.query import IndexSearcher
+
+        root = _wand_index_root(spark, sf_dir)
+        s = IndexSearcher(spark, root)
+        df = s.complete_df(prefix, size)
+        if df is None:
+            return spark.createDataFrame([], "term string, df long")
+        return df
+
+    return run
+
+
 def _suggest(term: str, size: int = 5, max_edits: int = 2):
     """Did-you-mean over the REAL index dictionary (term-suggester
     analogue): corrections within max_edits of a misspelled input,
@@ -1392,6 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       10, 20, 1.0, 2.0),
         # percolator: stored queries reverse-matched against the corpus
         "percolate_counts": _percolate(PERC_QUERIES),
+        # completion suggester: prefix autocomplete over the dictionary
+        "complete_prefix": _complete("s", 10),
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1478,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rescore": osql.bm25_rescore_sql(BM25_Q_MULTI, BM25_Q_SINGLE,
                                               10, 20, 1.0, 2.0),
         "percolate_counts": osql.percolate_counts_sql(PERC_QUERIES),
+        "complete_prefix": osql.complete_sql("s", 10),
         "bm25_facet_hour": osql.bm25_facet_sql(
             BOOL_Q[0], BOOL_Q[1],
             facet_expr=("strftime(make_timestamp((" + str(META_EPOCH_S) +

@@ -140,6 +140,10 @@ def dispatch(searcher: LocalSearcher, req: dict) -> list[tuple[str, float]]:
             req.get("must_not", ""), meta=req.get("meta"))
         return [[st["n_matched"], st["sum_dl"], st["min_ts_us"],
                  st["max_ts_us"]]]
+    if qtype == "complete":
+        # prefix autocomplete rows (term, df), most-frequent first
+        return [list(s) for s in searcher.complete(
+            req["q"], int(req.get("size", 10)))]
     if qtype == "suggest":
         # did-you-mean rows (term, df, distance), distance-first ranked
         return [list(s) for s in searcher.suggest(

@@ -1002,6 +1002,27 @@ class IndexSearcher:
             return []
         return [(r["doc_id"], float(r["score"])) for r in df.collect()]
 
+    def complete_df(self, prefix: str, size: int = 10) -> DataFrame | None:
+        """Prefix autocomplete (the completion-suggester analogue):
+        dictionary terms starting with ``prefix``, most-frequent first
+        (df desc, term asc), with their df — a StartsWith-pushed
+        distributed dictionary scan; ``size`` rows reach the driver."""
+        p = (prefix or "").lower()
+        if not p:
+            return None
+        dd = self._dict_df().groupBy("term").agg(
+            F.sum("df").cast("long").alias("df"))
+        return (dd.where(F.col("term").startswith(p))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(int(size)))
+
+    def complete(self, prefix: str, size: int = 10
+                 ) -> list[tuple[str, int]]:
+        df = self.complete_df(prefix, size)
+        if df is None:
+            return []
+        return [(r["term"], int(r["df"])) for r in df.collect()]
+
     def suggest_df(self, term: str, size: int = 5,
                    max_edits: int = 2) -> DataFrame | None:
         """Did-you-mean (the term-suggester analogue): dictionary terms

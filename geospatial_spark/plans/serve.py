@@ -235,6 +235,21 @@ class LocalSearcher:
                             acc[term] = acc.get(term, 0) + int(df)
         return acc
 
+    def complete(self, prefix: str, size: int = 10
+                 ) -> list[tuple[str, int]]:
+        """Prefix autocomplete on the serving path — the twin of
+        IndexSearcher.complete: (term, df) most-frequent first."""
+        import pyarrow.compute as pc
+
+        p = (prefix or "").lower()
+        if not p:
+            return []
+        acc = self._expand_candidates(
+            lambda t: t.startswith(p),
+            arrow_filter=pc.starts_with(pc.field("term"), p))
+        ranked = sorted(((-df, t) for t, df in acc.items()))
+        return [(t, -negdf) for negdf, t in ranked[:int(size)]]
+
     def suggest(self, term: str, size: int = 5,
                 max_edits: int = 2) -> list[tuple[str, int, int]]:
         """Did-you-mean on the serving path — the twin of

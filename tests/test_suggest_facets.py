@@ -62,6 +62,22 @@ def test_facet_hour_tier_parity(spark, sf_index):
         ss.facet_counts("the spark", field="nope")
 
 
+def test_complete_tier_parity(spark, sf_index):
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    ss = IndexSearcher(spark, sf_index)
+    ls = LocalSearcher(sf_index)
+    a = ss.complete("sp", 10)
+    b = ls.complete("sp", 10)
+    assert a and a == b
+    assert all(t.startswith("sp") and df >= 1 for t, df in a)
+    dfs = [df for _, df in a]
+    assert dfs == sorted(dfs, reverse=True)
+    assert ss.complete("", 10) == [] and ls.complete("", 10) == []
+    assert ss.complete("zzz", 10) == [] and ls.complete("zzz", 10) == []
+
+
 def test_daemon_suggest(sf_index):
     from geospatial_spark.plans.daemon import IndexService
     from geospatial_spark.plans.serve import LocalSearcher
