@@ -447,6 +447,73 @@ ORDER BY tf.term ASC
 """.strip()
 
 
+def funnel_sql(steps: list[str], table: str = "events") -> str:
+    """Ordered-funnel oracle (operators/funnel.funnel_counts): step i
+    counts users whose first step-i event is at-or-after their first
+    qualifying step-(i−1) time (inclusive)."""
+    ctes = []
+    prev = None
+    for i, step in enumerate(steps):
+        name = f"s{i + 1}"
+        if prev is None:
+            ctes.append(
+                f"{name} AS (SELECT user_id, min(ts) AS t FROM {table} "
+                f"WHERE event_type = '{step}' GROUP BY 1)")
+        else:
+            ctes.append(
+                f"{name} AS (SELECT e.user_id, min(e.ts) AS t "
+                f"FROM {table} e JOIN {prev} p ON p.user_id = e.user_id "
+                f"WHERE e.event_type = '{step}' AND e.ts >= p.t "
+                f"GROUP BY 1)")
+        prev = name
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1}::INT AS step_idx, '{s}' AS step, "
+        f"count(*)::BIGINT AS n_users FROM s{i + 1}"
+        for i, s in enumerate(steps))
+    return f"WITH {', '.join(ctes)} {selects} ORDER BY step_idx".strip()
+
+
+def top_bigrams_sql(limit: int = 20, table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Corpus-wide top bigrams (count desc, bigram asc) — the n-gram
+    corpus-profiling pass a training-data pipeline runs."""
+    toks = duckdb_tokens_sql(text_col)
+    return f"""
+WITH d AS (SELECT {toks} AS tk FROM {table}),
+g AS (
+  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM d WHERE len(tk) >= 2
+)
+SELECT bigram, count(*)::BIGINT AS n
+FROM g GROUP BY 1
+ORDER BY n DESC, bigram ASC
+LIMIT {int(limit)}
+""".strip()
+
+
+def tpch_q5ish_sql() -> str:
+    """TPC-H Q5 analogue over the driver tables: revenue by nation for
+    orders whose customer and line-supplier share the nation, one
+    region, one order-date year."""
+    return f"""
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), {ROUND_DP}) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE s.s_nationkey = c.c_nationkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY revenue DESC, nation ASC
+""".strip()
+
+
 def percolate_counts_sql(queries: list[tuple[str, str]],
                          table: str = "documents", id_col: str = "doc_id",
                          text_col: str = "text") -> str:

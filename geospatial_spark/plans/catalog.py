@@ -184,6 +184,69 @@ def _bm25_recency(query: str, k: int = 10,
     return run
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over the events stream
+    (operators/funnel.py): user-keyed min-agg per step chained by
+    user-keyed joins — high-cardinality shuffles, |steps| rows out."""
+    from geospatial_spark.operators.funnel import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev, FUNNEL_STEPS)
+
+
+def _top_bigrams(limit: int = 20):
+    """Corpus-wide top bigrams: one codegen scan building adjacent-pair
+    strings from the token array (no UDF), one count agg, bounded
+    top-k."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.functions.tokenize import spark_tokens_col
+
+        d = _docs(spark, sf_dir).select(spark_tokens_col("text").alias("tk"))
+        bi = (d.where(F.size("tk") >= 2)
+              .select(F.explode(F.expr(
+                  "transform(slice(tk, 1, size(tk) - 1), "
+                  "(x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
+              )).alias("bigram")))
+        return (bi.groupBy("bigram")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .orderBy(F.desc("n"), F.asc("bigram"))
+                .limit(int(limit)))
+
+    return run
+
+
+def _tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analogue: five joins where Catalyst picks the strategy
+    (region/nation broadcast; the customer-supplier same-nation
+    residual rides the join)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = (cust
+         .join(orders, orders.o_custkey == cust.c_custkey)
+         .join(li, li.l_orderkey == orders.o_orderkey)
+         .join(supp, supp.s_suppkey == li.l_suppkey)
+         .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+         .join(F.broadcast(region), region.r_regionkey == nation.n_regionkey)
+         .where((F.col("s_nationkey") == F.col("c_nationkey"))
+                & (F.col("r_name") == "ASIA")
+                & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))))
+    return (j.groupBy(F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))),
+                         ROUND_DP).alias("revenue"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines"))
+            .orderBy(F.desc("revenue"), F.asc("nation")))
+
+
 PERC_QUERIES = [("q_alert_merge", "spark merge"),
                 ("q_route_scan", "the table scan"),
                 ("q_tag_vector", "vector"),
@@ -1412,6 +1475,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_counts": _percolate(PERC_QUERIES),
         # completion suggester: prefix autocomplete over the dictionary
         "complete_prefix": _complete("s", 10),
+        # ordered event funnel (view → click → purchase)
+        "events_funnel": _events_funnel,
+        # corpus n-gram profile: top bigrams
+        "text_top_bigrams": _top_bigrams(20),
+        # TPC-H Q5 analogue (five joins, broadcast dims)
+        "tpch_q5ish": _tpch_q5ish,
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1499,6 +1568,9 @@ def oracle_sql() -> dict[str, str]:
                                               10, 20, 1.0, 2.0),
         "percolate_counts": osql.percolate_counts_sql(PERC_QUERIES),
         "complete_prefix": osql.complete_sql("s", 10),
+        "events_funnel": osql.funnel_sql(FUNNEL_STEPS),
+        "text_top_bigrams": osql.top_bigrams_sql(20),
+        "tpch_q5ish": osql.tpch_q5ish_sql(),
         "bm25_facet_hour": osql.bm25_facet_sql(
             BOOL_Q[0], BOOL_Q[1],
             facet_expr=("strftime(make_timestamp((" + str(META_EPOCH_S) +
