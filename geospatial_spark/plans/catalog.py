@@ -184,6 +184,63 @@ def _bm25_recency(query: str, k: int = 10,
     return run
 
 
+_FED_ROOTS_CACHE: dict[str, list[str]] = {}
+
+
+def _fed_roots(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Two half-corpus indexes (doc_id parity split) for the federated
+    gate row, built once per sf_dir per session."""
+    roots = _FED_ROOTS_CACHE.get(sf_dir)
+    if roots:
+        return roots
+    import tempfile
+
+    from geospatial_spark.plans.build import build_index
+
+    base = tempfile.mkdtemp(prefix="catalog_fed_idx_")
+    roots = [f"{base}/i{i}" for i in range(2)]
+    for i, root in enumerate(roots):
+        tx = (_docs(spark, sf_dir)
+              .where(F.pmod(F.col("doc_id"), F.lit(2)) == i)
+              .select(F.col("doc_id").cast("string").alias("conv_id"),
+                      F.lit(0).cast("int").alias("turn_idx"),
+                      F.lit("user").alias("role"),
+                      F.col("text"),
+                      F.lit(None).cast("string").alias("tool"),
+                      F.lit(None).cast("timestamp").alias("ts")))
+        build_index(spark, tx, root, n_shards=4)
+    _FED_ROOTS_CACHE[sf_dir] = roots
+    return roots
+
+
+def _bm25_federated(query: str, k: int = 10):
+    """Cross-index federated search (plans/federate.py): two
+    half-corpus indexes score as ONE corpus (N/avgdl/df merged at the
+    manifest level) — the oracle is the plain whole-corpus BM25 top-k,
+    so the federation math is gated end-to-end."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.plans.federate import federated_searcher
+
+        s = federated_searcher(spark, _fed_roots(spark, sf_dir))
+        probe = s.search_df(query, 1)
+        if probe is None:
+            return (_docs(spark, sf_dir)
+                    .select("doc_id", F.lit(0.0).alias("score")).limit(0))
+        df = _adaptive_overfetch(
+            spark, lambda m: s.search_df(query, m), k, s.n_docs)
+        return (
+            df.select(
+                F.substring_index("doc_id", ":", 1).cast("long").alias("doc_id"),
+                F.col("score").alias("raw"))
+            .orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("doc_id"))
+            .select("doc_id", F.round("raw", ROUND_DP).alias("score"))
+            .limit(k)
+        )
+
+    return run
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -1481,6 +1538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": _top_bigrams(20),
         # TPC-H Q5 analogue (five joins, broadcast dims)
         "tpch_q5ish": _tpch_q5ish,
+        # cross-index federation: two half-corpus indexes == one corpus
+        "bm25_federated": _bm25_federated(BM25_Q_MULTI, 10),
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1571,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": osql.funnel_sql(FUNNEL_STEPS),
         "text_top_bigrams": osql.top_bigrams_sql(20),
         "tpch_q5ish": osql.tpch_q5ish_sql(),
+        "bm25_federated": osql.bm25_topk_sql(BM25_Q_MULTI, 10),
         "bm25_facet_hour": osql.bm25_facet_sql(
             BOOL_Q[0], BOOL_Q[1],
             facet_expr=("strftime(make_timestamp((" + str(META_EPOCH_S) +
