@@ -447,6 +447,40 @@ ORDER BY tf.term ASC
 """.strip()
 
 
+def bm25_synonyms_sql(groups: list[list[str]], k: int = 10,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """SynonymQuery oracle (operators/scorer.bm25_topk_synonyms): each
+    group scores as one pseudo-term — tf summed over members, df = max
+    member df (the blended docFreq)."""
+    pairs = [(t, i) for i, g in enumerate(groups) for t in sorted(set(g))]
+    vals = ", ".join(f"('{t}', {i})" for t, i in pairs)
+    per_group = score_sql("gtf.tf", "gtf.dl", "s.avgdl", "gdf.df", "s.n")
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+gm AS (SELECT * FROM (VALUES {vals}) AS g(term, gid)),
+dft AS (
+  SELECT term, count(*)::INT AS df FROM tf
+  WHERE term IN (SELECT term FROM gm) GROUP BY 1
+),
+gdf AS (SELECT gm.gid, max(dft.df)::INT AS df FROM gm JOIN dft USING (term) GROUP BY 1),
+gtf AS (
+  SELECT gm.gid, tf.doc_id, SUM(tf.tf)::INT AS tf, max(dl.dl)::INT AS dl
+  FROM tf JOIN gm USING (term) JOIN dl USING (doc_id)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT gtf.doc_id, SUM({per_group}) AS raw
+  FROM gtf JOIN gdf USING (gid) CROSS JOIN stats s
+  GROUP BY gtf.doc_id
+)
+SELECT doc_id, round(raw, {ROUND_DP}) AS score
+FROM scored
+ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC
+LIMIT {int(k)}
+""".strip()
+
+
 def funnel_sql(steps: list[str], table: str = "events") -> str:
     """Ordered-funnel oracle (operators/funnel.funnel_counts): step i
     counts users whose first step-i event is at-or-after their first
@@ -1196,6 +1230,29 @@ sizes AS (SELECT canonical_id, count(*)::BIGINT AS group_size
           FROM comp GROUP BY 1)
 SELECT c.doc_id, c.canonical_id, s.group_size
 FROM comp c JOIN sizes s USING (canonical_id)
+""".strip()
+
+
+def keep_canonical_sql(threshold: float = 0.8, n_seeds: int = 16,
+                       n_bands: int = 4, table: str = "documents",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """Dedup-retention oracle (operators/dedup.keep_canonical): one
+    kept doc per near-dup group, pinned (token count desc, doc_id
+    asc)."""
+    groups = dup_groups_sql(threshold, n_seeds, n_bands, table, id_col,
+                            text_col)
+    return f"""
+WITH g AS ({groups}),
+d AS (SELECT {id_col} AS doc_id,
+             len({duckdb_tokens_sql(text_col)}) AS dl
+      FROM {table})
+SELECT doc_id, group_size FROM (
+  SELECT g.doc_id, g.group_size,
+         row_number() OVER (PARTITION BY g.canonical_id
+                            ORDER BY d.dl DESC, g.doc_id ASC) AS rn
+  FROM g JOIN d USING (doc_id)
+) WHERE rn = 1
 """.strip()
 
 

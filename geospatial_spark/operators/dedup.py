@@ -470,6 +470,31 @@ def _dup_groups_finish(df: DataFrame, id_col: str, labels: DataFrame,
                     F.coalesce("group_size", F.lit(1)).cast("long").alias("group_size")))
 
 
+def keep_canonical(df: DataFrame, id_col: str, text_col: str = "text",
+                   threshold: float = 0.8,
+                   pairs: DataFrame | None = None) -> DataFrame:
+    """Dedup RETENTION policy — the step that actually shrinks a
+    training corpus: keep exactly ONE doc per near-dup group, the
+    most informative one, pinned as (token count desc, doc_id asc).
+    Returns the kept rows as (doc_id, group_size); a downstream join
+    against the corpus drops the other group members.
+
+    Scale shape: dup_groups' label table (corpus-sized, but 3 narrow
+    columns) joins a token-count projection and takes one
+    window row per group — the same one-shuffle-per-step profile as
+    the grouping itself.
+    """
+    groups = dup_groups(df, id_col, text_col, threshold, pairs=pairs)
+    dl = df.select(F.col(id_col).alias("doc_id"),
+                   F.size(spark_tokens_col(text_col)).alias("_dl"))
+    w = Window.partitionBy("canonical_id").orderBy(F.desc("_dl"),
+                                                   F.asc("doc_id"))
+    return (groups.join(dl, "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", "group_size"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """32-bit SimHash: per distinct token, a md5-derived 32-bit hash,
     weighted by tf; bit b of the sketch is 1 iff the tf-weighted sum of

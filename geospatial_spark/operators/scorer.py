@@ -88,6 +88,52 @@ def bm25_topk(
     )
 
 
+def bm25_topk_synonyms(
+    spark: SparkSession,
+    postings: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    groups: list[list[str]],
+    k: int = 10,
+) -> DataFrame:
+    """Synonym-aware BM25 top-k with Lucene SynonymQuery semantics:
+    each group of synonyms scores as ONE pseudo-term —
+
+        tf_g(d) = Σ tf(t, d) over the group's terms,
+        df_g    = max df(t)  over the group's terms (the blended docFreq)
+
+    so a doc is not double-rewarded for containing two spellings of the
+    same concept, and the group's idf reflects its most common surface
+    form. Plan: broadcast (term → group) map joins the postings, one
+    (group, doc) agg sums tf, the blended df comes from a per-group max
+    over the same matched rows — cost ∝ matched postings. Returns
+    (doc_id, score)."""
+    from pyspark.sql.window import Window
+
+    pairs = [(t, i) for i, g in enumerate(groups) for t in sorted(set(g))]
+    if not pairs or n_docs == 0:
+        return postings.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+    gmap = spark.createDataFrame(pairs, "term string, gid int")
+    matched = postings.join(F.broadcast(gmap), "term", "inner")
+    # per-term df from matched rows (postings unique per (term, doc)),
+    # then the group's blended df = max over its terms
+    per_term = matched.withColumn(
+        "tdf", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    grouped = (per_term.groupBy("gid", "doc_id")
+               .agg(F.sum("tf").cast("int").alias("tf"),
+                    F.max("dl").cast("int").alias("dl"),
+                    F.max("tdf").cast("int").alias("df")))
+    blended = grouped.withColumn(
+        "df", F.max("df").over(Window.partitionBy("gid")).cast("int"))
+    scored = blended.withColumn("s", score_expr(n_docs, avgdl))
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def transcript_tie_break():
     """(conv_id, turn_idx) asc, parsed from doc_id = conv ':' turn
     (conv_id may contain ':'; turn is after the LAST colon)."""

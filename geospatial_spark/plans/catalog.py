@@ -241,6 +241,32 @@ def _bm25_federated(query: str, k: int = 10):
     return run
 
 
+SYN_GROUPS = [["sort", "order"], ["big", "small"], ["merge"]]
+
+
+def _bm25_synonyms(groups: list[list[str]], k: int = 10):
+    """SynonymQuery semantics on the relational path: tf summed per
+    synonym group, df blended to the group max — a doc with two
+    spellings of one concept is not double-rewarded."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.operators.scorer import bm25_topk_synonyms
+
+        post, dl, n, avgdl = _doc_index(spark, sf_dir)
+        hits = _adaptive_overfetch(
+            spark,
+            lambda m: bm25_topk_synonyms(spark, post, n, avgdl, groups, m),
+            k, n)
+        return (
+            hits.select("doc_id", F.col("score").alias("raw"))
+            .orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("doc_id"))
+            .select("doc_id", F.round("raw", ROUND_DP).alias("score"))
+            .limit(k)
+        )
+
+    return run
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -1017,6 +1043,12 @@ def _dup_groups(spark, sf_dir):
     return dup_groups(_docs(spark, sf_dir), "doc_id", threshold=0.8)
 
 
+def _keep_canonical(spark, sf_dir):
+    from geospatial_spark.operators.dedup import keep_canonical
+
+    return keep_canonical(_docs(spark, sf_dir), "doc_id", threshold=0.8)
+
+
 def _simhash(spark, sf_dir):
     from geospatial_spark.operators.dedup import simhash
 
@@ -1540,6 +1572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": _tpch_q5ish,
         # cross-index federation: two half-corpus indexes == one corpus
         "bm25_federated": _bm25_federated(BM25_Q_MULTI, 10),
+        # SynonymQuery semantics: blended df, summed tf per group
+        "bm25_synonyms": _bm25_synonyms(SYN_GROUPS, 10),
+        # dedup retention: keep the best doc per near-dup group
+        "dedup_keep_canonical": _keep_canonical,
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
     }
@@ -1631,6 +1667,8 @@ def oracle_sql() -> dict[str, str]:
         "text_top_bigrams": osql.top_bigrams_sql(20),
         "tpch_q5ish": osql.tpch_q5ish_sql(),
         "bm25_federated": osql.bm25_topk_sql(BM25_Q_MULTI, 10),
+        "bm25_synonyms": osql.bm25_synonyms_sql(SYN_GROUPS, 10),
+        "dedup_keep_canonical": osql.keep_canonical_sql(threshold=0.8),
         "bm25_facet_hour": osql.bm25_facet_sql(
             BOOL_Q[0], BOOL_Q[1],
             facet_expr=("strftime(make_timestamp((" + str(META_EPOCH_S) +
