@@ -99,6 +99,20 @@ def main() -> None:
                     help="metadata filter: ts <= ISO timestamp")
     ap.add_argument("--conv-prefix", dest="conv_prefix", default=None,
                     help="metadata filter: conv_id prefix")
+    ap.add_argument("--complete", action="store_true",
+                    help="prefix autocomplete: (term, df) dictionary "
+                         "completions of --query, most-frequent first")
+    ap.add_argument("--rescore-query", dest="rescore_query", default=None,
+                    help="rescore: re-rank the top --rescore-window "
+                         "base hits by qw*base + rw*this query's BM25")
+    ap.add_argument("--rescore-window", dest="rescore_window", type=int,
+                    default=50, help="rescore window size (default 50)")
+    ap.add_argument("--rescore-weight", dest="rescore_weight", type=float,
+                    default=1.0, help="rescore secondary weight")
+    ap.add_argument("--match-stats", dest="match_stats",
+                    action="store_true",
+                    help="stats agg over the bool match set: n_matched, "
+                         "sum_dl, min/max ts (query text = should)")
     ap.add_argument("--suggest", action="store_true",
                     help="did-you-mean: rank dictionary corrections of "
                          "--query within --max-edits (term, df, "
@@ -159,6 +173,9 @@ def main() -> None:
     mode = ("explain" if args.explain else
             "mlt" if args.mlt else
             "suggest" if args.suggest else
+            "complete" if args.complete else
+            "rescore" if args.rescore_query else
+            "match_stats" if args.match_stats else
             "decay" if args.decay_half_life is not None else
             "highlight" if args.highlight else
             "collapse" if args.collapse else
@@ -176,7 +193,8 @@ def main() -> None:
         ap.error(f"--{'highlight' if mode == 'highlight' else 'more-like-this'} "
                  "requires --docstore (doc text is not stored in the index)")
     if meta and mode not in ("match", "bool", "prefix", "fuzzy",
-                             "wildcard", "regexp", "highlight"):
+                             "wildcard", "regexp", "highlight",
+                             "match_stats"):
         ap.error("--role/--ts-min/--ts-max/--conv-prefix apply to match, "
                  "bool and expansion queries only")
     if after is not None and mode != "match":
@@ -194,6 +212,16 @@ def main() -> None:
         elif mode == "suggest":
             sug = ls.suggest(args.query, args.suggest_size,
                              args.max_edits)
+        elif mode == "complete":
+            sug = [(t, df, 0) for t, df in
+                   ls.complete(args.query, args.suggest_size)]
+        elif mode == "rescore":
+            hits = ls.search_rescored(args.query, args.rescore_query,
+                                      args.k, args.rescore_window,
+                                      1.0, args.rescore_weight)
+        elif mode == "match_stats":
+            stats = ls.match_stats(args.query, args.filter,
+                                   args.must_not, meta=meta)
         elif mode == "decay":
             import time as _t
 
@@ -259,6 +287,23 @@ def main() -> None:
         elif mode == "suggest":
             sug = s.suggest(args.query, args.suggest_size,
                             args.max_edits)
+        elif mode == "complete":
+            sug = [(t, df, 0) for t, df in
+                   s.complete(args.query, args.suggest_size)]
+        elif mode == "rescore":
+            hits = s.search_rescored(args.query, args.rescore_query,
+                                     args.k, args.rescore_window,
+                                     1.0, args.rescore_weight)
+        elif mode == "match_stats":
+            row = s.match_stats_df(args.query, args.filter,
+                                   args.must_not, meta=meta)
+            if row is None:
+                stats = {"n_matched": 0, "sum_dl": None,
+                         "min_ts_us": None, "max_ts_us": None}
+            else:
+                r = row.first()
+                stats = {k: r[k] for k in ("n_matched", "sum_dl",
+                                           "min_ts_us", "max_ts_us")}
         elif mode == "decay":
             import time as _t
 
@@ -314,9 +359,12 @@ def main() -> None:
         print(json.dumps({"query": args.query, "doc_id": args.explain,
                           "explanation": ex}))
         return
-    if mode == "suggest":
+    if mode in ("suggest", "complete"):
         print(json.dumps({"query": args.query, "suggestions": [
             {"term": t, "df": df, "distance": d} for t, df, d in sug]}))
+        return
+    if mode == "match_stats":
+        print(json.dumps({"query": args.query, "stats": stats}))
         return
     if mode == "highlight":
         out_hits = [{"doc_id": d, "score": sc, "snippet": sn,
