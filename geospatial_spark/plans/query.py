@@ -367,14 +367,28 @@ class IndexSearcher:
             mult = np.where(np.isnan(ts), 1.0,
                             np.power(0.5, age_s / hl))
             dec = scores.astype(np.float64) * mult
-            # per-shard cut under the engine's TOTAL order (decayed
-            # score desc, conv asc, turn asc) — the same order the
-            # global merge applies, so shard-local top-k composes into
-            # the exact global top-k even across tie groups
-            parts = [i.rpartition(":") for i in ids]
-            top = sorted(range(len(ids)),
-                         key=lambda i: (-dec[i], parts[i][0],
-                                        int(parts[i][2])))[:kk]
+            # per-shard SELECTION under the engine's TOTAL order
+            # (decayed score desc, conv asc, turn asc) — the same order
+            # the global merge applies, so shard-local top-k composes
+            # into the exact global top-k across tie groups. Vectorized:
+            # numpy picks everything strictly above the k-th score; only
+            # the boundary TIE GROUP (usually tiny) needs the python
+            # (conv, turn) comparator. Emission order is irrelevant —
+            # the merge re-sorts.
+            if len(dec) <= kk:
+                top = np.arange(len(dec))
+            else:
+                order = np.argsort(-dec, kind="stable")
+                cut = dec[order[kk - 1]]
+                sure = order[dec[order] > cut]
+                ties = order[dec[order] == cut]
+                need = kk - len(sure)
+                tie_sel = sorted(
+                    ties.tolist(),
+                    key=lambda i: (ids[i].rpartition(":")[0],
+                                   int(ids[i].rpartition(":")[2])))[:need]
+                top = np.concatenate(
+                    [sure, np.asarray(tie_sel, dtype=np.int64)])
             return pd.DataFrame({"doc_id": [ids[i] for i in top],
                                  "score": dec[top]})
 
