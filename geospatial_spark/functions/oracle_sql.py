@@ -447,6 +447,54 @@ ORDER BY tf.term ASC
 """.strip()
 
 
+def hybrid_rrf_sql(query: str, query_vec_id: int, k: int = 10,
+                   depth: int = 50, k0: int = 60,
+                   table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """Hybrid RRF oracle (operators/hybrid.py): BM25 ranking over the
+    text + exact-cosine ranking for the query vector (self excluded),
+    both cut at ``depth`` under (rounded score desc, id asc), fused by
+    Σ 1/(k0 + rank)."""
+    per_term = score_sql("tf.tf", "dl.dl", "s.avgdl", "dft.df", "s.n")
+    return f"""
+WITH {_tok_ctes(table, id_col, text_col)},
+qt AS ({_qterms_values(query)}),
+dft AS (SELECT term, count(*)::INT AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, SUM({per_term}) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+{_VEC_CTE},
+qv AS (SELECT ve, nrm FROM nv WHERE vec_id = {int(query_vec_id)}),
+cosed AS (
+  SELECT nv.vec_id AS doc_id,
+    list_sum(list_transform(list_zip(qv.ve, nv.ve), p -> p[1] * p[2]))
+      / (qv.nrm * nv.nrm) AS raw
+  FROM nv, qv WHERE nv.vec_id != {int(query_vec_id)}
+),
+vec AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY round(raw, {ORDER_DP}) DESC, doc_id ASC) AS rank
+  FROM cosed
+),
+contrib AS (
+  SELECT doc_id, 1.0 / ({int(k0)} + rank) AS c FROM lex WHERE rank <= {int(depth)}
+  UNION ALL
+  SELECT doc_id, 1.0 / ({int(k0)} + rank) AS c FROM vec WHERE rank <= {int(depth)}
+)
+SELECT doc_id, round(SUM(c), {ROUND_DP}) AS rrf
+FROM contrib GROUP BY 1
+ORDER BY round(SUM(c), {ORDER_DP}) DESC, doc_id ASC
+LIMIT {int(k)}
+""".strip()
+
+
 def bm25_synonyms_sql(groups: list[list[str]], k: int = 10,
                       table: str = "documents", id_col: str = "doc_id",
                       text_col: str = "text") -> str:

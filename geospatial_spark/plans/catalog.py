@@ -241,6 +241,33 @@ def _bm25_federated(query: str, k: int = 10):
     return run
 
 
+HYBRID_QID = 7  # query embedding = vec 7; vec_id domain == doc_id domain
+
+
+def _bm25_hybrid(query: str, query_vec_id: int, k: int = 10,
+                 depth: int = 50):
+    """Hybrid lexical+vector retrieval (operators/hybrid.py): BM25 and
+    exact-cosine rankings cut at `depth` under the shared rounded
+    ordering, fused by reciprocal rank (k0=60)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geospatial_spark.operators.hybrid import ranking_of, rrf_fuse
+        from geospatial_spark.operators.similarity import brute_force_topk
+
+        post, dl, n, avgdl = _doc_index(spark, sf_dir)
+        base = _adaptive_overfetch(
+            spark, lambda m: bm25_topk(spark, post, dl, n, avgdl, query, m),
+            depth, n)
+        lex = ranking_of(base, depth)
+        vec = (brute_force_topk(_emb(spark, sf_dir), [query_vec_id], depth)
+               .select(F.col("vec_id").alias("doc_id"), "rank"))
+        fused = rrf_fuse([lex, vec], k)
+        return fused.select("doc_id",
+                            F.round("rrf", ROUND_DP).alias("rrf"))
+
+    return run
+
+
 SYN_GROUPS = [["sort", "order"], ["big", "small"], ["merge"]]
 
 
@@ -1574,6 +1601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_federated": _bm25_federated(BM25_Q_MULTI, 10),
         # SynonymQuery semantics: blended df, summed tf per group
         "bm25_synonyms": _bm25_synonyms(SYN_GROUPS, 10),
+        # hybrid retrieval: BM25 + cosine rankings fused by RRF
+        "bm25_hybrid_rrf": _bm25_hybrid(BM25_Q_MULTI, HYBRID_QID, 10, 50),
         # dedup retention: keep the best doc per near-dup group
         "dedup_keep_canonical": _keep_canonical,
         "ann_topk_lsh": _ann_lsh,
@@ -1668,6 +1697,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5ish": osql.tpch_q5ish_sql(),
         "bm25_federated": osql.bm25_topk_sql(BM25_Q_MULTI, 10),
         "bm25_synonyms": osql.bm25_synonyms_sql(SYN_GROUPS, 10),
+        "bm25_hybrid_rrf": osql.hybrid_rrf_sql(BM25_Q_MULTI, HYBRID_QID,
+                                               10, 50),
         "dedup_keep_canonical": osql.keep_canonical_sql(threshold=0.8),
         "bm25_facet_hour": osql.bm25_facet_sql(
             BOOL_Q[0], BOOL_Q[1],
