@@ -227,7 +227,8 @@ def main() -> None:
 
             hits = ls.search_decayed(
                 args.query, args.k, args.decay_half_life,
-                args.origin_us or int(_t.time() * 1e6))
+                args.origin_us if args.origin_us is not None
+                else int(_t.time() * 1e6))
         elif mode == "highlight":
             hits = ls.highlight(args.query, args.k, args.window,
                                 quantized=args.quantized, meta=meta)
@@ -309,7 +310,8 @@ def main() -> None:
 
             hits = s.search_decayed(
                 args.query, args.k, args.decay_half_life,
-                args.origin_us or int(_t.time() * 1e6))
+                args.origin_us if args.origin_us is not None
+                else int(_t.time() * 1e6))
         elif mode == "highlight":
             from geospatial_spark.sources.transcripts import read_transcripts
 

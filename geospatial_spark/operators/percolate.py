@@ -65,6 +65,5 @@ def percolate_doc(queries: list[tuple[str, str]], text: str) -> list[str]:
     match this one doc — pure python, for the serving tier: the stored
     queries are the small side and the doc is one token set."""
     toks = set(tokenize_py(text))
-    return sorted(qid for qid, qtext in queries
-                  if set(tokenize_py(qtext)) <= toks
-                  and tokenize_py(qtext))
+    qsets = [(qid, set(tokenize_py(qtext))) for qid, qtext in queries]
+    return sorted(qid for qid, qs in qsets if qs and qs <= toks)

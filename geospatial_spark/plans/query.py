@@ -183,6 +183,10 @@ class IndexSearcher:
         queries use (more_like_this hands the index's own dictionary
         terms straight back; re-tokenizing could split them)."""
         if meta is not None:
+            if terms is not None:
+                raise ValueError(
+                    "terms= with meta= is not supported: the bool path "
+                    "tokenizes its should clause itself — pass query text")
             return self.search_bool_df(should=query, k=k, meta=meta,
                                        quantized=quantized)
         norm = self.manifest.get("normalization") or {}
@@ -1300,7 +1304,10 @@ class IndexSearcher:
                  "max_ts": pd.Series([], dtype="Int64")})
             if len(local) == 0:
                 return empty
-            dm = pq.read_table(dm_path)
+            pf = pq.ParquetFile(dm_path)
+            names = pf.schema_arrow.names
+            dm = pf.read(columns=["dl"] + (["ts_us"] if "ts_us" in names
+                                           else []))  # never doc_id strings
             idx = local.tolist()
             dls = dm.column("dl").take(idx).to_numpy(zero_copy_only=False)
             if "ts_us" in dm.column_names:

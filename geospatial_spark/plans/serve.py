@@ -269,8 +269,17 @@ class LocalSearcher:
             return (x != t and abs(len(x) - len(t)) <= me
                     and levenshtein_py(x, t) <= me)
 
-        return rank_suggestions(self._expand_candidates(match), t,
-                                int(size))
+        # push the length band into the arrow dictionary scan so the
+        # large-vocab tier prunes batches before any python runs (the
+        # starts_with analogue complete() uses)
+        import pyarrow.compute as pc
+
+        lens = pc.utf8_length(pc.field("term"))
+        band = pc.and_(pc.greater_equal(lens, len(t) - me),
+                       pc.less_equal(lens, len(t) + me))
+        return rank_suggestions(
+            self._expand_candidates(match, arrow_filter=band), t,
+            int(size))
 
     def expand_prefix(self, prefix: str, max_expansions: int = 64) -> list[str]:
         import pyarrow.compute as pc
@@ -551,6 +560,10 @@ class LocalSearcher:
         import pyarrow.parquet as pq
 
         if meta is not None:
+            if terms is not None:
+                raise ValueError(
+                    "terms= with meta= is not supported: the bool path "
+                    "tokenizes its should clause itself — pass query text")
             # a metadata-filtered match IS a scored should-OR under the
             # mask (same terms, scores, tie-break) — one code path
             return self.search_bool(should=query, k=k, meta=meta,
@@ -943,7 +956,9 @@ class LocalSearcher:
             return sorted({norm.get(t, t) for t in tokenize_py(text)})
 
         sh, fl, mn = toks(should), toks(filter_q), toks(must_not)
-        out = {"n_matched": 0, "sum_dl": 0,
+        # sum_dl is None (SQL NULL) for an empty match set — the exact
+        # contract of the Spark tier's F.sum and the oracle's sum()
+        out = {"n_matched": 0, "sum_dl": None,
                "min_ts_us": None, "max_ts_us": None}
         if s.n_docs == 0:
             return out
@@ -980,10 +995,13 @@ class LocalSearcher:
                 if len(local) == 0:
                     continue
                 path = s.gdirs[gen_id] / s.docmap_files[(gen_id, shard)]
-                dm = pq.read_table(path)
+                pf = pq.ParquetFile(path)
+                names = pf.schema_arrow.names
+                cols = ["dl"] + (["ts_us"] if "ts_us" in names else [])
+                dm = pf.read(columns=cols)  # never the doc_id strings
                 idx = local.tolist()
                 out["n_matched"] += len(idx)
-                out["sum_dl"] += int(sum(
+                out["sum_dl"] = (out["sum_dl"] or 0) + int(sum(
                     dm.column("dl").take(idx).to_pylist()))
                 if "ts_us" in dm.column_names:
                     ts = [t for t in
@@ -1076,14 +1094,19 @@ class LocalSearcher:
         return [(d, s, *highlight_text_py(texts.get(d, ""), qterms, window))
                 for d, s in hits]
 
-    def _ts_lookup(self) -> dict[str, int | None]:
-        """doc_id → ts_us over every generation's docmap (lazy, built
-        once — the serving tier's docmap-sized working set; v1 docmaps
-        without ts_us contribute None)."""
+    def _ts_lookup(self):
+        """doc_id → ts_us resolver over every generation's docmap,
+        ARROW-backed (one concatenated doc_id column + an int64 numpy
+        ts array — a few tens of bytes per doc, no per-entry python
+        dict overhead): the same column-shaped working set the tier's
+        docmap cache already assumes, lazily built once. Returns a
+        callable doc_id → ts_us|None; v1 docmaps contribute None."""
         if self._ts_cache is None:
+            import numpy as np
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
-            m: dict[str, int | None] = {}
+            id_chunks, ts_parts = [], []
             for g in self.gens:
                 for s in g["shards"]:
                     key = (g["id"], int(s["shard"]))
@@ -1092,13 +1115,25 @@ class LocalSearcher:
                     pf = pq.ParquetFile(
                         self.gdirs[g["id"]] / self.docmap_files[key])
                     names = pf.schema_arrow.names
-                    cols = ["doc_id"] + (["ts_us"] if "ts_us" in names else [])
+                    cols = ["doc_id"] + (["ts_us"] if "ts_us" in names
+                                         else [])
                     t = pf.read(columns=cols)
-                    ids = t.column("doc_id").to_pylist()
-                    ts = (t.column("ts_us").to_pylist()
-                          if "ts_us" in cols else [None] * len(ids))
-                    m.update(zip(ids, ts))
-            self._ts_cache = m
+                    id_chunks.append(t.column("doc_id"))
+                    if "ts_us" in cols:
+                        ts_parts.append(
+                            t.column("ts_us").to_numpy(
+                                zero_copy_only=False).astype("float64"))
+                    else:
+                        ts_parts.append(np.full(t.num_rows, np.nan))
+            if id_chunks:
+                ids = pa.chunked_array(id_chunks).combine_chunks() \
+                        .to_numpy(zero_copy_only=False).astype("U")
+                ts = np.concatenate(ts_parts)
+            else:
+                ids = np.empty(0, dtype="U1")
+                ts = np.empty(0)
+            order = np.argsort(ids, kind="stable")
+            self._ts_cache = _TsIndex(ids[order], ts[order])
         return self._ts_cache
 
     def search_rescored(self, query: str, rescore_query: str,
@@ -1138,11 +1173,10 @@ class LocalSearcher:
         hits = self.search(query, max(self.n_docs, 1))  # ALL matches
         if not hits:
             return []
-        tsm = self._ts_lookup()
+        ts_of = self._ts_lookup().batch([d for d, _ in hits])
         hl, org = float(half_life_s), int(origin_us)
         out = []
-        for d, s in hits:
-            t = tsm.get(d)
+        for (d, s), t in zip(hits, ts_of):
             mult = (1.0 if t is None
                     else 0.5 ** (max(0.0, (org - t) / 1e6) / hl))
             conv, _, turn = d.rpartition(":")
@@ -1480,6 +1514,48 @@ def _facet_counts_local(searcher: "LocalSearcher", should: str,
                 if v is not None:
                     out[v] = out.get(v, 0) + 1
     return out
+
+
+class _TsIndex:
+    """Column-compact doc_id → ts_us resolver (sorted numpy string
+    array + aligned float array with NaN for missing): O(log n)
+    searchsorted probes, batchable, no per-entry python objects — the
+    decay path's corpus-wide lookup at docmap-column memory cost."""
+
+    def __init__(self, ids_sorted, ts_sorted):
+        self._ids = ids_sorted
+        self._ts = ts_sorted
+
+    def get(self, doc_id: str):
+        import numpy as np
+
+        i = int(np.searchsorted(self._ids, doc_id))
+        if i >= len(self._ids) or self._ids[i] != doc_id \
+                or np.isnan(self._ts[i]):
+            return None
+        return int(self._ts[i])
+
+    def batch(self, doc_ids: list[str]):
+        """ts_us|None per id, one vectorized searchsorted pass."""
+        import numpy as np
+
+        if not len(self._ids):
+            return [None] * len(doc_ids)
+        probe = np.asarray(doc_ids, dtype="U")
+        idx = np.clip(np.searchsorted(self._ids, probe), 0,
+                      len(self._ids) - 1)
+        hit = self._ids[idx] == probe
+        out = []
+        for ok, i in zip(hit, idx):
+            v = self._ts[i]
+            out.append(int(v) if ok and not np.isnan(v) else None)
+        return out
+
+    def max_ts(self):
+        import numpy as np
+
+        return (None if not len(self._ts) or np.isnan(self._ts).all()
+                else int(np.nanmax(self._ts)))
 
 
 class _SegmentReader:

@@ -47,8 +47,7 @@ def test_decay_tier_parity(spark, decay_index):
     ss = IndexSearcher(spark, decay_index)
     ls = LocalSearcher(decay_index)
     tsm = ls._ts_lookup()
-    origin_us = (max(t for t in tsm.values() if t is not None)
-                 + 60_000_000)
+    origin_us = tsm.max_ts() + 60_000_000
     for q in ["the spark job", "deploy"]:
         a = ss.search_decayed(q, 10, HL, origin_us)
         b = ls.search_decayed(q, 10, HL, origin_us)
@@ -95,7 +94,7 @@ def test_daemon_decay(decay_index):
     svc = IndexService(decay_index, request_cache_size=4)
     ls = LocalSearcher(decay_index)
     tsm = ls._ts_lookup()
-    origin_us = max(t for t in tsm.values() if t is not None)
+    origin_us = tsm.max_ts()
     rows = svc.handle({"type": "decay", "q": "the spark job", "k": 5,
                        "half_life_s": HL, "origin_us": origin_us})
     want = ls.search_decayed("the spark job", 5, HL, origin_us)

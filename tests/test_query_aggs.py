@@ -66,6 +66,37 @@ def test_match_stats_tier_parity(spark, stats_index, small_transcripts):
         assert got["sum_dl"] > 0 and got["min_ts_us"] <= got["max_ts_us"]
 
 
+def test_match_stats_empty_set_sum_is_null(spark, stats_index):
+    """A structurally valid query with an EMPTY match set (should term
+    negated by must_not): both tiers emit n_matched=0 and NULL sum_dl —
+    the SQL sum() contract, not 0."""
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    ss = IndexSearcher(spark, stats_index)
+    ls = LocalSearcher(stats_index)
+    row = ss.match_stats_df("spark", "", "spark").first()
+    assert row["n_matched"] == 0 and row["sum_dl"] is None
+    got = ls.match_stats("spark", "", "spark")
+    assert got["n_matched"] == 0 and got["sum_dl"] is None
+
+
+def test_terms_with_meta_rejected(spark, stats_index):
+    """terms= is a pre-tokenized rewrite entry point; combining it with
+    a metadata filter must raise, never silently ignore the terms."""
+    import pytest as _pytest
+
+    from geospatial_spark.plans.query import IndexSearcher
+    from geospatial_spark.plans.serve import LocalSearcher
+
+    ss = IndexSearcher(spark, stats_index)
+    ls = LocalSearcher(stats_index)
+    with _pytest.raises(ValueError, match="terms="):
+        ss.search_df("", 5, meta={"role": ["user"]}, terms=["spark"])
+    with _pytest.raises(ValueError, match="terms="):
+        ls.search("", 5, meta={"role": ["user"]}, terms=["spark"])
+
+
 def test_match_stats_empty_and_daemon(spark, stats_index):
     from geospatial_spark.plans.daemon import IndexService
     from geospatial_spark.plans.query import IndexSearcher
