@@ -194,13 +194,24 @@ def lsh_candidate_pairs(sigs: DataFrame,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         threshold: float = 0.5, round_dp: int = 4,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard over distinct k-shingles for pairs ≥ threshold.
 
     candidates=None → all pairs (quadratic discovery: only for small
     inputs / verification). candidates=(a, b) DataFrame → verify stage
-    restricted to those pairs (the at-scale path, fed by LSH)."""
-    ex = shingle_rows(df, id_col, text_col)
+    restricted to those pairs (the at-scale path, fed by LSH).
+
+    shingles: optional pre-built distinct (doc_id, s) table (the
+    shingle_rows shape) — callers that already materialized the shingle
+    pass (the collapsed pipeline) hand it in so the explode+distinct
+    never recomputes. The three consumers below (sizes, left, right)
+    otherwise re-derive the whole lineage each."""
+    ex = shingle_rows(df, id_col, text_col) if shingles is None else shingles
+    if shingles is None:
+        # ex feeds sizes AND both join sides — materialize the one
+        # expensive explode+distinct pass instead of recomputing it 3×
+        ex = ex.localCheckpoint(eager=True)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     if candidates is None:
         inter = (
@@ -282,26 +293,44 @@ def _collapsed_rep_pairs(df: DataFrame, id_col: str, text_col: str,
 
     Shape: ONE window over the NARROW (doc_id, fingerprint) projection
     assigns every doc its representative (min doc_id per fp) in one
-    small shuffle — text bytes never enter it, so re-deriving the
-    assignment for the membership side is cheap; the full-text shuffle
-    happens once, in the rep_docs join."""
+    small shuffle — text bytes never enter it; the full-text shuffle
+    happens once, in the rep_docs join.
+
+    Every multiply-consumed stage is materialized eagerly
+    (localCheckpoint): without it Spark re-derives the whole
+    shingle+md5 lineage once per consumer — measured 4-6 full corpus
+    passes per dedup query instead of one per stage. Checkpoints live
+    only for this query's DAG (block-manager storage, freed with the
+    RDD) — nothing persists across bench runs."""
     fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     w = Window.partitionBy("_fp")
     groups_all = (df.select(F.col(id_col).alias("doc_id"), fp.alias("_fp"))
                   .withColumn("_rep", F.min("doc_id").over(w))
-                  .select("doc_id", "_rep"))
+                  .select("doc_id", "_rep")
+                  .localCheckpoint(eager=True))  # used by rep_docs AND groups
     rep_docs = (df.select(F.col(id_col).alias("doc_id"),
                           F.col(text_col).alias(text_col))
                 .join(groups_all.where(F.col("doc_id") == F.col("_rep"))
-                      .select("doc_id"), "doc_id"))
+                      .select("doc_id"), "doc_id")
+                .localCheckpoint(eager=True))  # feeds shingles AND sig join
 
-    sigs = minhash_signatures(rep_docs, "doc_id", text_col,
-                              collapse_exact=False)
+    # ONE shingle pass serves both the signature aggregation and the
+    # Jaccard verify (they consume the identical distinct (doc_id, s)
+    # set — the round-5 shape exploded it twice and re-derived it three
+    # more times inside the verify)
+    ex = shingle_rows(rep_docs, "doc_id", text_col).localCheckpoint(eager=True)
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"sig_{i}")
+        for i in range(MINHASH_SEEDS)
+    ]
+    sigs = ex.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(sigs, bucket_cap=bucket_cap).select("a", "b")
     rep_pairs = ngram_jaccard_pairs(rep_docs, "doc_id", text_col,
-                                    threshold, round_dp, candidates=cand)
+                                    threshold, round_dp, candidates=cand,
+                                    shingles=ex).localCheckpoint(eager=True)
     shingled = sigs.select(F.col("doc_id").alias("_rep"))
-    groups = groups_all.join(shingled, "_rep").select("doc_id", "_rep")
+    groups = (groups_all.join(shingled, "_rep").select("doc_id", "_rep")
+              .localCheckpoint(eager=True))
     return rep_pairs, groups
 
 

@@ -36,8 +36,14 @@ def percolate_pairs(queries: DataFrame, postings: DataFrame) -> DataFrame:
     table (one row per distinct term per doc)."""
     qt = queries.select("query_id", F.explode("terms").alias("term"))
     nq = queries.select("query_id", F.size("terms").alias("n_terms"))
+    # the stored-query registry is tiny by contract (the broadcast
+    # side); collecting its term union costs nothing and the literal
+    # isin filter — unlike the join — pushes below the corpus-wide
+    # postings aggregate, so only stored-query terms ever shuffle
+    all_terms = sorted({r["term"] for r in qt.select("term").distinct().collect()})
     return (
-        postings.join(F.broadcast(qt), "term")
+        postings.where(F.col("term").isin(all_terms))
+        .join(F.broadcast(qt), "term")
         .groupBy("doc_id", "query_id")
         .agg(F.count(F.lit(1)).alias("_nm"))
         .join(F.broadcast(nq), "query_id")

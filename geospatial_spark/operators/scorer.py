@@ -65,10 +65,14 @@ def bm25_topk(
     # keeps the whole plan proportional to the query's postings. The
     # obvious postings.groupBy("term") would hash-aggregate the full
     # corpus-sized posting set per query — Catalyst does not push an
-    # inner join below an Aggregate.
+    # inner join below an Aggregate, but it DOES push a literal isin
+    # filter on the grouping column below it, so the redundant where()
+    # keeps the corpus-wide (term, doc) aggregation + shuffle down to
+    # the query's terms only.
     from pyspark.sql.window import Window
 
-    matched = postings.join(F.broadcast(qterms), "term", "inner")
+    matched = (postings.where(F.col("term").isin(terms))
+               .join(F.broadcast(qterms), "term", "inner"))
     scored = matched.withColumn(
         "df",
         F.count(F.lit(1)).over(Window.partitionBy("term")).cast("int"))
@@ -114,7 +118,9 @@ def bm25_topk_synonyms(
     if not pairs or n_docs == 0:
         return postings.select("doc_id", F.lit(0.0).alias("score")).limit(0)
     gmap = spark.createDataFrame(pairs, "term string, gid int")
-    matched = postings.join(F.broadcast(gmap), "term", "inner")
+    # literal isin pushes below the postings aggregate (see bm25_topk)
+    matched = (postings.where(F.col("term").isin([t for t, _ in pairs]))
+               .join(F.broadcast(gmap), "term", "inner"))
     # per-term df from matched rows (postings unique per (term, doc)),
     # then the group's blended df = max over its terms
     per_term = matched.withColumn(

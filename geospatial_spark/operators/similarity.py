@@ -38,6 +38,52 @@ def _norm(a):
         F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _seq_cos_np(A, B):
+    """Cosine per row of two (n, dim) float64 matrices with the EXACT
+    summation order of the Catalyst fold (`_dot`/`_norm`: left-to-right
+    accumulation in float64) and of DuckDB's list_sum — one vectorized
+    FMA per dimension instead of interpreted per-element lambdas, but
+    bit-for-bit the same doubles, so oracle-gated outputs are unchanged.
+    A plain GEMM would NOT be: pairwise/blocked summation can differ in
+    the last ulp and flip a rounding or threshold boundary."""
+    import numpy as np
+
+    n = len(A)
+    dot = np.zeros(n, dtype=np.float64)
+    na = np.zeros(n, dtype=np.float64)
+    nb = np.zeros(n, dtype=np.float64)
+    for j in range(A.shape[1]):
+        x, y = A[:, j], B[:, j]
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return dot / (np.sqrt(na) * np.sqrt(nb))
+
+
+def _cos_pairs_kernel(joined: DataFrame, left_vec: str, right_vec: str,
+                      keep: list[tuple[str, str]]) -> DataFrame:
+    """mapInPandas over a pair frame carrying two vector columns →
+    (keep..., raw) with raw = exact-fold cosine (see _seq_cos_np).
+    keep: [(col, spark_type)] passthrough id columns."""
+    import numpy as np
+    import pandas as pd
+
+    schema = ", ".join(f"{c} {t}" for c, t in keep) + ", raw double"
+    keep_cols = [c for c, _ in keep]
+
+    def kernel(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            A = np.asarray(list(b[left_vec]), dtype=np.float64)
+            B = np.asarray(list(b[right_vec]), dtype=np.float64)
+            out = {c: b[c] for c in keep_cols}
+            out["raw"] = _seq_cos_np(A, B)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(kernel, schema=schema)
+
+
 def with_norm(df: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
     return df.select(F.col(id_col).alias("vec_id"),
@@ -56,36 +102,47 @@ def embed_int8(df: DataFrame, id_col: str = "vec_id",
     q_min, q_max). The rounding form ⌊x/scale + 0.5⌋ is pinned (not
     banker's round) so Spark and DuckDB agree bit-for-bit.
 
-    The (vector, scale) pair is let-bound through a 1-element array
-    (the shingle-rows Catalyst idiom) so max|x| is computed once per
-    row, not re-inlined per element by the interpreted lambda."""
-    ve = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(ve, lambda x: F.abs(x)))
-    bound = F.array(F.struct(ve.alias("v"),
-                             (amax / F.lit(127.0)).alias("sc")))
+    Arrow-kernel body (the interpreted higher-order-lambda form cost
+    ~n·dim lambda steps per row): every arithmetic step is the same
+    IEEE op in the same order as the previous Catalyst expression —
+    cast-to-double, amax/127, floor(x/sc + 0.5), int clamp, md5 of the
+    comma-joined codes — so the gate-hashed outputs are bit-identical.
+    Rounding stays in Catalyst (F.round semantics untouched)."""
+    import hashlib as _hl
 
-    def q_of(b):
-        sc = b["sc"]
-        return F.when(sc > 0, F.transform(
-            b["v"],
-            lambda x: F.greatest(
-                F.lit(-127),
-                F.least(F.lit(127),
-                        F.floor(x / sc + F.lit(0.5)).cast("int"))))
-        ).otherwise(F.transform(b["v"], lambda x: F.lit(0)))
+    import numpy as np
+    import pandas as pd
 
-    qv = F.element_at(F.transform(bound, q_of), 1)
-    sc = F.element_at(F.transform(bound, lambda b: b["sc"]), 1)
-    return df.select(
-        F.col(id_col).alias("vec_id"),
-        F.round(sc, 6).alias("scale"),
-        F.md5(F.array_join(
-            F.transform(qv, lambda x: x.cast("string")), ","))
-        .alias("q_digest"),
-        F.aggregate(qv, F.lit(0).cast("long"),
-                    lambda acc, x: acc + x).alias("q_sum"),
-        F.array_min(qv).cast("int").alias("q_min"),
-        F.array_max(qv).cast("int").alias("q_max"),
+    def kernel(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            X = np.asarray(list(b[vec_col]), dtype=np.float64)
+            amax = np.abs(X).max(axis=1) if X.size else np.zeros(len(b))
+            sc = amax / 127.0
+            q = np.zeros(X.shape, dtype=np.int64)
+            nz = sc > 0
+            if nz.any():
+                raw = np.floor(X[nz] / sc[nz][:, None] + 0.5)
+                q[nz] = np.clip(raw, -127, 127).astype(np.int64)
+            digests = [_hl.md5(",".join(map(str, row)).encode()).hexdigest()
+                       for row in q]
+            yield pd.DataFrame({
+                "vec_id": b[id_col],
+                "scale_raw": sc,
+                "q_digest": digests,
+                "q_sum": q.sum(axis=1),
+                "q_min": q.min(axis=1).astype(np.int32),
+                "q_max": q.max(axis=1).astype(np.int32),
+            })
+
+    out = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel, schema=("vec_id long, scale_raw double, q_digest string, "
+                        "q_sum long, q_min int, q_max int"))
+    return out.select(
+        "vec_id",
+        F.round("scale_raw", 6).alias("scale"),
+        "q_digest", "q_sum", "q_min", "q_max",
     )
 
 
@@ -110,10 +167,10 @@ def brute_force_topk(df: DataFrame, query_ids: list[int], k: int = 10,
     corpus = df.where(where) if where is not None else df
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     pairs = c.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q"))
-    cos = pairs.select(
-        "q", "vec_id",
-        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("raw"),
-    )
+    # exact-fold Arrow kernel: same doubles as the interpreted Catalyst
+    # fold (see _seq_cos_np), ~2 orders of magnitude less per-pair cost
+    cos = _cos_pairs_kernel(pairs.select("q", "vec_id", "qv", "v"),
+                            "qv", "v", [("q", "long"), ("vec_id", "long")])
     w = Window.partitionBy("q").orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("vec_id"))
     return (
         cos.withColumn("rank", F.row_number().over(w))
@@ -138,8 +195,6 @@ def lsh_verified_cosine_dups(df: DataFrame, threshold: float = 0.4,
                              vec_col: str = "embedding",
                              dim: int = 64,
                              bucket_cap: int | None = None) -> DataFrame:
-    if bucket_cap is None:
-        bucket_cap = EMB_BUCKET_CAP
     """Embedding near-dup pipeline AS IT RUNS AT SCALE: hyperplane-LSH
     candidate generation (pairs sharing a bucket in ANY of n_tables
     sign-LSH tables — one shuffle per table keyed on bucket, never the
@@ -151,6 +206,8 @@ def lsh_verified_cosine_dups(df: DataFrame, threshold: float = 0.4,
     raise it with corpus size so buckets stay worker-sized); n_tables
     controls recall. The all-pairs chunked-GEMM form (cosine_dup_pairs)
     is the small-input verify helper, not the discovery path."""
+    if bucket_cap is None:
+        bucket_cap = EMB_BUCKET_CAP
     from geospatial_spark.operators.dedup import _cap_buckets
 
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
@@ -162,8 +219,8 @@ def lsh_verified_cosine_dups(df: DataFrame, threshold: float = 0.4,
         # O(cap²) instead of O(b²); truncation observable via
         # emb_bucket_stats
         bk = _cap_buckets(
-            hyperplane_lsh_buckets(df, n_planes, seed + 1000 * t,
-                                   id_col, vec_col, dim),
+            hyperplane_buckets_exact(df, n_planes, seed + 1000 * t,
+                                     id_col, vec_col, dim),
             bucket_cap, ["bucket"], order_col="vec_id")
         l = bk.alias("l")
         r = bk.alias("r")
@@ -176,12 +233,12 @@ def lsh_verified_cosine_dups(df: DataFrame, threshold: float = 0.4,
     cand = cands.distinct()
     va = base.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
     vb = base.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
-    cos = (
-        cand.join(va, "a").join(vb, "b")
-        .select("a", "b",
-                (_dot(F.col("va"), F.col("vb"))
-                 / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("raw"))
-    )
+    # candidate volume is O(Σ bucket²) — the exact-fold kernel scores it
+    # at vector speed; threshold + rounding stay in Catalyst on the
+    # kernel's raw doubles (identical to the interpreted-fold values)
+    cos = _cos_pairs_kernel(
+        cand.join(va, "a").join(vb, "b").select("a", "b", "va", "vb"),
+        "va", "vb", [("a", "long"), ("b", "long")])
     return (cos.where(F.col("raw") >= threshold)
             .select("a", "b", F.round("raw", ROUND_DP).alias("cos")))
 
@@ -195,8 +252,8 @@ def emb_bucket_stats(df: DataFrame, n_planes: int = 6, n_tables: int = 3,
     n_capped_buckets, dropped_members, max_bucket}."""
     counts = None
     for t in range(n_tables):
-        bk = hyperplane_lsh_buckets(df, n_planes, seed + 1000 * t,
-                                    id_col, vec_col, dim)
+        bk = hyperplane_buckets_exact(df, n_planes, seed + 1000 * t,
+                                      id_col, vec_col, dim)
         c = (bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
              .withColumn("table", F.lit(t)))
         counts = c if counts is None else counts.unionByName(c)
@@ -386,10 +443,9 @@ def ivf_topk(df: DataFrame, query_ids: list[int], k: int = 10,
                .where(F.col("vec_id") != F.col("q"))
     qv = base.where(F.col("vec_id").isin(query_ids)) \
              .select(F.col("vec_id").alias("q"), F.col("v").alias("qv"))
-    cos = cand.join(F.broadcast(qv), "q").select(
-        "q", "vec_id",
-        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("raw"),
-    )
+    cos = _cos_pairs_kernel(
+        cand.join(F.broadcast(qv), "q").select("q", "vec_id", "qv", "v"),
+        "qv", "v", [("q", "long"), ("vec_id", "long")])
     w = Window.partitionBy("q").orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("vec_id"))
     return (
         cos.withColumn("rank", F.row_number().over(w))
@@ -444,6 +500,40 @@ def lsh_buckets_kernel(df: DataFrame, n_planes: int, seed: int = 42,
 
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         kernel, schema="vec_id long, bucket long")
+
+
+def hyperplane_buckets_exact(df: DataFrame, n_planes: int = 8, seed: int = 42,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             dim: int = 64) -> DataFrame:
+    """Arrow-kernel twin of hyperplane_lsh_buckets: identical bucket
+    STRINGS (same planes, same sign convention, and — crucially — the
+    same left-to-right fold for each <v, h> dot as the Catalyst
+    expression and the DuckDB oracle's list_sum, so a near-zero dot
+    cannot flip a sign bit between engines). One vectorized FMA per
+    dimension instead of n_planes × dim interpreted lambda steps."""
+    import numpy as np
+    import pandas as pd
+
+    P_list = lsh_planes(n_planes, seed, dim).tolist()  # planes × dim
+
+    def kernel(batches):
+        P = np.asarray(P_list, dtype=np.float64)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            X = np.asarray(list(b[vec_col]), dtype=np.float64)
+            acc = np.zeros((len(X), P.shape[0]), dtype=np.float64)
+            for j in range(P.shape[1]):
+                acc += X[:, j][:, None] * P[:, j][None, :]
+            bits = np.where(acc >= 0.0, "1", "0")
+            yield pd.DataFrame({
+                "vec_id": b[id_col],
+                "bucket": ["".join(r) for r in bits],
+            })
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel, schema="vec_id long, bucket string")
 
 
 def hyperplane_lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,
@@ -527,10 +617,8 @@ def lsh_topk(df: DataFrame, query_ids: list[int], k: int = 10,
         .join(base, "vec_id")
         .join(F.broadcast(qvecs), "q")
     )
-    cos = cand.select(
-        "q", "vec_id",
-        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("raw"),
-    )
+    cos = _cos_pairs_kernel(cand.select("q", "vec_id", "qv", "v"),
+                            "qv", "v", [("q", "long"), ("vec_id", "long")])
     w = Window.partitionBy("q").orderBy(F.round(F.col("raw"), ORDER_DP).desc(), F.asc("vec_id"))
     return (
         cos.withColumn("rank", F.row_number().over(w))

@@ -19,14 +19,32 @@ from geospatial_spark.operators import postings as P
 from geospatial_spark.operators.scorer import bm25_topk
 
 
+def _scan_wide(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster. The driver's testdata
+    tables are ONE parquet file with ONE row group, so every per-row
+    projection (tokenize, shingle+md5, interpreted lambdas) would
+    otherwise run in a single task regardless of core count (guide
+    §2.5: input skew from one unsplittable file → repartition right
+    after the read). No-op when the scan already parallelizes."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(4, target // 4):
+        return df
+    return df.repartition(target)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-def _doc_index(spark: SparkSession, sf_dir: str):
+def _doc_index(spark: SparkSession, sf_dir: str, with_stats: bool = True):
     tok = P.tokenized_generic(_docs(spark, sf_dir))
     dl = tok.select("doc_id", "dl")
     post = P.posting_tuples_from(tok)
+    if not with_stats:
+        # postings-only consumers (term buckets, posting samples,
+        # boolean ops, percolate) skip the (N, avgdl) action — one
+        # fewer corpus pass per query
+        return post, dl, None, None
     n, avgdl = P.corpus_stats(dl)
     return post, dl, n, avgdl
 
@@ -104,8 +122,14 @@ def _bm25_highlight(query: str, k: int = 10, window: int = 12):
                .limit(k))
         qterms = sorted(set(tokenize_py(query)))
         snippet, n_hit = snippet_cols(qterms, window)
-        docs = _docs(spark, sf_dir).select(
-            "doc_id", spark_tokens_col("text").alias("tk"))
+        # hits is already driver-local (the overfetch materialized it);
+        # pinning the k ids into the docs scan turns the snippet side
+        # into a pushed-down k-row parquet read instead of a full-corpus
+        # tokenize feeding a broadcast join
+        top_ids = [r["doc_id"] for r in top.collect()]
+        docs = (_docs(spark, sf_dir)
+                .where(F.col("doc_id").isin(top_ids))
+                .select("doc_id", spark_tokens_col("text").alias("tk")))
         return (top.join(docs, "doc_id")
                 .select("doc_id",
                         F.round("raw", ROUND_DP).alias("score"),
@@ -134,7 +158,7 @@ def _bm25_explain(query: str):
         if top is None:
             return spark.createDataFrame([], schema)
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         ex = s.explain(query, f"{top['doc_id']}:0")
         rows = [(int(top["doc_id"]), e["term"], e["tf"], e["dl"], e["df"],
                  float(e["idf"]), float(e["contribution"]))
@@ -159,7 +183,7 @@ def _bm25_recency(query: str, k: int = 10,
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         empty = (_docs(spark, sf_dir)
                  .select("doc_id", F.lit(0.0).alias("score")).limit(0))
         max_id = _docs(spark, sf_dir).agg(F.max("doc_id")).first()[0]
@@ -222,7 +246,12 @@ def _bm25_federated(query: str, k: int = 10):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from geospatial_spark.plans.federate import federated_searcher
 
-        s = federated_searcher(spark, _fed_roots(spark, sf_dir))
+        roots = _fed_roots(spark, sf_dir)
+        key = (id(spark), "fed:" + ",".join(roots))
+        s = _SEARCHER_CACHE.get(key)
+        if s is None:
+            s = federated_searcher(spark, roots)
+            _SEARCHER_CACHE[key] = s
         probe = s.search_df(query, 1)
         if probe is None:
             return (_docs(spark, sf_dir)
@@ -372,7 +401,8 @@ def _percolate(queries: list[tuple[str, str]]):
         from geospatial_spark.operators.percolate import (percolate_counts,
                                                           queries_df)
 
-        post, _dl, _n, _avgdl = _doc_index(spark, sf_dir)
+        post, _dl, _n, _avgdl = _doc_index(spark, sf_dir,
+                                           with_stats=False)
         return percolate_counts(queries_df(spark, queries), post)
 
     return run
@@ -388,7 +418,7 @@ def _bm25_rescore(query: str, rescore_query: str, k: int = 10,
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         empty = (_docs(spark, sf_dir)
                  .select("doc_id", F.lit(0.0).alias("score")).limit(0))
         df = s.search_rescored_df(query, rescore_query, k, window, qw, rw)
@@ -415,7 +445,7 @@ def _bm25_match_stats(should: str, filter_q: str = "", must_not: str = ""):
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         df = s.match_stats_df(should, filter_q, must_not)
         if df is None:
             return spark.createDataFrame(
@@ -435,6 +465,12 @@ def _significant_terms(should: str, filter_q: str = "", size: int = 10,
         from geospatial_spark.functions.tokenize import tokenize_py
 
         post, dl, n, avgdl = _doc_index(spark, sf_dir)
+        # four consumers walk the full posting set (match-set count,
+        # foreground join, background df agg): materialize it once —
+        # one corpus pass instead of four recomputes of the
+        # explode+aggregate lineage (still computed from parquet inside
+        # this query; nothing survives the call)
+        post = post.localCheckpoint(eager=True)
         sh = sorted(set(tokenize_py(should)))
         fl = sorted(set(tokenize_py(filter_q)))
         m = P.posting_union(post, sh)
@@ -459,7 +495,7 @@ def _complete(prefix: str, size: int = 10):
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         df = s.complete_df(prefix, size)
         if df is None:
             return spark.createDataFrame([], "term string, df long")
@@ -478,7 +514,7 @@ def _suggest(term: str, size: int = 5, max_edits: int = 2):
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         df = s.suggest_df(term, size, max_edits)
         if df is None:
             return spark.createDataFrame(
@@ -504,7 +540,7 @@ def _bm25_mlt(seed_query: str, k: int = 10, max_query_terms: int = 25):
         if top is None:
             return empty
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         tx = _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("conv_id"),
             F.lit(0).cast("int").alias("turn_idx"),
@@ -530,6 +566,23 @@ def _bm25_mlt(seed_query: str, k: int = 10, max_query_terms: int = 25):
 
 
 _WAND_INDEX_CACHE: dict[str, str] = {}
+_SEARCHER_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _searcher(spark: SparkSession, root: str):
+    """Session-cached IndexSearcher over the (immutable) catalog index:
+    the driver-side dictionary/manifest state is built once per root
+    instead of once per query — the coordinator-reuses-shard-readers
+    shape. Results are unaffected (the index is frozen; the searcher
+    holds only index metadata, never query results)."""
+    from geospatial_spark.plans.query import IndexSearcher
+
+    key = (id(spark), root)
+    s = _SEARCHER_CACHE.get(key)
+    if s is None:
+        s = IndexSearcher(spark, root)
+        _SEARCHER_CACHE[key] = s
+    return s
 
 
 def _wand_index_root(spark: SparkSession, sf_dir: str) -> str:
@@ -578,7 +631,7 @@ def _bm25_wand(query: str, k: int = 10, quantized: bool = False):
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         # adaptive over-fetch so the bigint-id re-rank below can resolve
         # rounded ties the engine's string-keyed tie-break ordered
         # differently, even when a tie group exceeds the first fetch
@@ -613,7 +666,7 @@ def _bm25_page2(query: str, k: int = 10):
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         empty = (_docs(spark, sf_dir)
                  .select("doc_id", F.lit(0.0).alias("score")).limit(0))
         page1 = s.search_after(query, k, after=None)
@@ -652,7 +705,7 @@ def _bm25_collapse(should: str, k: int = 10):
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         df = s.search_collapsed_df(should, k=k, field="role")
         if df is None:
             return (_docs(spark, sf_dir)
@@ -681,7 +734,7 @@ def _bm25_expansion(kind: str, q: str, k: int = 10):
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         if kind == "prefix":
             def fetch(m):
                 return s.search_prefix_df(q, m)
@@ -723,7 +776,7 @@ def _bm25_phrase(phrase: str, k: int = 10):
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         probe = s.search_phrase_df(phrase, 1)
         if probe is None or not probe.take(1):
             return (_docs(spark, sf_dir)
@@ -752,7 +805,7 @@ def _bm25_phrase_scored(phrase: str, k: int = 10):
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         # adaptive over-fetch before the rounded re-rank, same as every
         # other index-path entry: a rounded-score tie group wider than a
         # fixed 50 at the rank-k boundary must not diverge from the
@@ -785,7 +838,7 @@ def _bm25_near(query: str, slop: int, k: int = 10):
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         probe = s.search_near_df(query, slop, 1)
         if probe is None or not probe.take(1):
             return (_docs(spark, sf_dir)
@@ -818,7 +871,7 @@ def _bm25_bool(should: str, filter_q: str, must_not: str, k: int = 10,
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         probe = s.search_bool_df(should, filter_q, must_not, 1, meta=meta,
                                  min_should_match=msm, boosts=boosts)
         if probe is None or not probe.take(1):
@@ -844,7 +897,7 @@ def _bm25_bool(should: str, filter_q: str, must_not: str, k: int = 10,
 
 def _term_buckets(limit: int = 50):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        post, *_ = _doc_index(spark, sf_dir)
+        post, *_ = _doc_index(spark, sf_dir, with_stats=False)
         return (
             post.groupBy("term")
             .agg(F.count(F.lit(1)).cast("long").alias("df"),
@@ -871,7 +924,7 @@ def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _postings_of(terms: list[str]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        post, *_ = _doc_index(spark, sf_dir)
+        post, *_ = _doc_index(spark, sf_dir, with_stats=False)
         return post.where(F.col("term").isin(terms)).select("term", "doc_id", "tf")
 
     return run
@@ -881,7 +934,7 @@ def _intersection_of(terms: list[str]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from geospatial_spark.operators.postings import posting_intersection
 
-        post, *_ = _doc_index(spark, sf_dir)
+        post, *_ = _doc_index(spark, sf_dir, with_stats=False)
         return posting_intersection(post, terms)
 
     return run
@@ -891,7 +944,7 @@ def _union_of(terms: list[str]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from geospatial_spark.operators.postings import posting_union
 
-        post, *_ = _doc_index(spark, sf_dir)
+        post, *_ = _doc_index(spark, sf_dir, with_stats=False)
         return posting_union(post, terms)
 
     return run
@@ -952,7 +1005,7 @@ def _bm25_facet(should: str, filter_q: str = "", field: str = "role"):
         from geospatial_spark.plans.query import IndexSearcher
 
         root = _wand_index_root(spark, sf_dir)
-        s = IndexSearcher(spark, root)
+        s = _searcher(spark, root)
         df = s.facet_counts_df(should, filter_q, "", field=field)
         if df is None:
             return spark.createDataFrame([], "facet string, n long")
@@ -987,8 +1040,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _events_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with the scan spread wide — for the entries whose per-row
+    work (md5 registers, JSON parsing, window pre-shuffle) dominates;
+    cheap scan+agg entries keep the plain scan (the repartition shuffle
+    would cost more than it saves there)."""
+    return _scan_wide(spark, _events(spark, sf_dir))
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _scan_wide(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # ---- text analysis ----
@@ -1225,7 +1286,7 @@ def _tpch_q3ish(spark, sf_dir):
 def _json_props(spark, sf_dir):
     """F4 analogue (GeospatialParser map/JSON access): typed extraction
     from the events JSON props column + aggregation."""
-    e = _events(spark, sf_dir)
+    e = _events_wide(spark, sf_dir)
     return (
         e.select("event_type",
                  F.get_json_object("props", "$.k").cast("int").alias("k"))
@@ -1382,7 +1443,7 @@ def _hll_cardinality(spark, sf_dir):
     branch in the sf0.1 gate replica."""
     from geospatial_spark.operators.sketch import hll_distinct
 
-    ev = _events(spark, sf_dir)
+    ev = _events_wide(spark, sf_dir)
     users = hll_distinct(ev, "user_id", ["event_type"], "u_raw")
     events = hll_distinct(ev, "event_id", ["event_type"], "e_raw")
     exact = ev.groupBy("event_type").agg(
@@ -1418,7 +1479,7 @@ def _retention(spark, sf_dir):
     one user-keyed join — at 100 TB both shuffles key on user_id (the
     natural high-cardinality key, no skew), and the distinct
     (user, day) set is the only intermediate, ≤ one row per user-day."""
-    e = _events(spark, sf_dir).select(
+    e = _events_wide(spark, sf_dir).select(
         "user_id", F.to_date("ts").alias("d"))
     first = e.groupBy("user_id").agg(F.min("d").alias("cohort"))
     act = e.distinct()

@@ -165,9 +165,14 @@ def _media_features(payload: bytes) -> dict:
     base = {"kind": "unknown", "width": None, "height": None,
             "sample_rate": None, "n_samples": None, "mean_r": None,
             "mean_g": None, "mean_b": None, "rms": None}
+    import struct
+
     try:
         d = decode_media(payload)
-    except (ValueError, NotImplementedError):
+    except (ValueError, NotImplementedError, struct.error):
+        # struct.error: a truncated fmt/data chunk fails unpack_from
+        # before any explicit validation — still one bad blob, still
+        # must not fail the stage
         return base
     base["kind"] = d["kind"]
     if d["kind"] == "image/ppm":

@@ -286,6 +286,17 @@ def test_extract_media_features(spark):
     assert got[3]["kind"] == "unknown" and got[3]["rms"] is None
 
 
+def test_media_features_truncated_wav_degrades():
+    """A RIFF/WAVE header whose fmt chunk is cut short raises
+    struct.error inside decode_wav's unpack_from — _media_features must
+    degrade it to kind='unknown' instead of failing the stage."""
+    from geospatial_spark.sources.multimodal import _media_features
+
+    truncated = b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00"
+    out = _media_features(truncated)
+    assert out["kind"] == "unknown" and out["rms"] is None
+
+
 def test_range_lookup_randomized(spark):
     """Seeded randomized parity: many disjoint intervals, values planted
     on/off boundaries; both join modes vs a numpy reference."""
