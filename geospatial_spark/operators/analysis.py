@@ -3,14 +3,15 @@ quality scoring, token counting, document fingerprinting.
 
 These are the ingest-enrichment family (the reference's processor
 extension point, GeospatialPlugin.java:141-147) applied to corpus
-hygiene. Everything is JVM-side Spark SQL expressions (whole-stage
-codegen, no Python in the hot path); each has a DuckDB-equivalent SQL
-built from the same fragments (functions/oracle_sql.py) for the
-correctness gate.
+hygiene. Integer feature counts run in vectorized Arrow kernels (one
+tokenize per doc — the expression form re-evaluated the tokenizer once
+per interpreted-lambda reference); ratio/score arithmetic and rounding
+stay Catalyst expressions over those exact counts, so each op still
+matches its DuckDB-equivalent SQL (functions/oracle_sql.py) value for
+value under the correctness gate.
 
-Scale: all ops are embarrassingly parallel projections/aggregations —
-no shuffle except the final agg where noted; column pruning means only
-(id, text) is read.
+Scale: all ops are embarrassingly parallel projections — no shuffle;
+column pruning means only (id, text) is read.
 """
 
 from __future__ import annotations
@@ -32,17 +33,72 @@ def norm_text_col(text_col: str = "text") -> Column:
     return F.array_join(spark_tokens_col(text_col), " ")
 
 
+def _counts_kernel(df: DataFrame, id_col: str, text_col: str,
+                   fields: list[str], row_fn) -> DataFrame:
+    """Shared Arrow-kernel shape for the text-analysis family: one
+    vectorized tokenize per batch (tokenize_pandas — the engine
+    tokenizer's reference twin, parity-gated), integer feature counts
+    per doc in Python, ratios/rounding left to Catalyst so the float
+    semantics of the previous expression form are untouched. The
+    expression form's interpreted higher-order lambdas re-evaluated the
+    tokenizer once per reference; here it runs once per doc."""
+    import pandas as pd
+
+    from geospatial_spark.functions.tokenize import tokenize_pandas
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"doc_id {id_type}, " + ", ".join(f"{f} long" for f in fields)
+
+    def kernel(batches):
+        for b in batches:
+            texts = b[text_col].fillna("")
+            toks_col = tokenize_pandas(texts)
+            out = {f: [] for f in fields}
+            for text, toks in zip(texts, toks_col):
+                for f, v in zip(fields, row_fn(text, toks)):
+                    out[f].append(v)
+            frame = {"doc_id": b[id_col]}
+            frame.update(out)
+            yield pd.DataFrame(frame)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel, schema=schema)
+
+
+_WS_RE = None
+_BPE_RE_C = None
+_NON_ALNUM_SP_RE = None
+
+
+def _res():
+    """Compiled ASCII-mode twins of the SQL regexes (Java \\s without
+    UNICODE_CHARACTER_CLASS == Python \\s under re.ASCII)."""
+    global _WS_RE, _BPE_RE_C, _NON_ALNUM_SP_RE
+    import re
+
+    if _WS_RE is None:
+        _WS_RE = re.compile(r"\s+", re.ASCII)
+        _BPE_RE_C = re.compile(BPE_RE, re.ASCII)
+        _NON_ALNUM_SP_RE = re.compile(r"[^a-z0-9 ]", re.ASCII)
+    return _WS_RE, _BPE_RE_C, _NON_ALNUM_SP_RE
+
+
 def with_token_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(id, n_ws_tokens, n_bpe_pieces, n_tokens, n_chars)."""
-    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    ws = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), "\\s+"),
-                  lambda t: F.length(t) >= 1)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(ws).cast("int").alias("n_ws_tokens"),
-        F.regexp_count(lowered, F.lit(BPE_RE)).cast("int").alias("n_bpe_pieces"),
-        F.size(spark_tokens_col(text_col)).cast("int").alias("n_tokens"),
-        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("int").alias("n_chars"),
+    def row(text, toks):
+        ws_re, bpe_re, _ = _res()
+        lowered = text.lower()
+        n_ws = sum(1 for t in ws_re.split(text) if t)
+        return (n_ws, len(bpe_re.findall(lowered)), len(toks), len(text))
+
+    out = _counts_kernel(df, id_col, text_col,
+                         ["n_ws", "n_bpe", "n_tok", "n_chars"], row)
+    return out.select(
+        "doc_id",
+        F.col("n_ws").cast("int").alias("n_ws_tokens"),
+        F.col("n_bpe").cast("int").alias("n_bpe_pieces"),
+        F.col("n_tok").cast("int").alias("n_tokens"),
+        F.col("n_chars").cast("int").alias("n_chars"),
     )
 
 
@@ -56,22 +112,37 @@ def with_quality(df: DataFrame, id_col: str, text_col: str = "text",
     quality     — 0..1 heuristic: length-band * stopword presence *
                   alnum cleanliness (deterministic, SQL-identical)
     """
-    toks = spark_tokens_col(text_col)
-    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    n_tok = F.size(toks).cast("double")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
-    n_chars = F.length(lowered).cast("double")
-    n_alnum = F.length(F.regexp_replace(lowered, "[^a-z0-9 ]", "")).cast("double")
+    stop_set = set(STOPWORDS)
+
+    def row(text, toks):
+        _, _, non_alnum = _res()
+        lowered = text.lower()
+        return (len(toks),
+                sum(1 for t in toks if t in stop_set),
+                len(lowered),
+                len(non_alnum.sub("", lowered)),
+                sum(len(t) for t in toks))
+
+    out = _counts_kernel(df, id_col, text_col,
+                         ["n_tok", "n_stop", "n_chars", "n_alnum",
+                          "tok_len_sum"], row)
+    # ratio/score arithmetic stays in Catalyst, identical expressions
+    # over exact integer counts (the double folds over int token
+    # lengths were exact — sums ≪ 2^53 — so int-sum + cast matches)
+    n_tok = F.col("n_tok").cast("double")
+    n_stop = F.col("n_stop").cast("double")
+    n_chars = F.col("n_chars").cast("double")
+    n_alnum = F.col("n_alnum").cast("double")
     stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
     alnum_ratio = F.when(n_chars > 0, n_alnum / n_chars).otherwise(F.lit(0.0))
     mean_tok = F.when(n_tok > 0,
-                      F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_tok
+                      F.col("tok_len_sum").cast("double") / n_tok
                       ).otherwise(F.lit(0.0))
     len_band = F.when((n_tok >= 5) & (n_tok <= 400), F.lit(1.0)) \
                 .when(n_tok > 0, F.lit(0.5)).otherwise(F.lit(0.0))
     quality = len_band * (F.lit(0.5) + F.lit(0.5) * F.least(stop_ratio * 10, F.lit(1.0))) * alnum_ratio
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return out.select(
+        "doc_id",
         F.round(stop_ratio, round_dp).alias("stop_ratio"),
         F.round(alnum_ratio, round_dp).alias("alnum_ratio"),
         F.round(mean_tok, round_dp).alias("mean_token_len"),
@@ -82,27 +153,16 @@ def with_quality(df: DataFrame, id_col: str, text_col: str = "text",
 def with_langid(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: stopword-hit n-gram rule (en vs unk).
     A corpus-hygiene classifier, deliberately simple + deterministic."""
-    toks = spark_tokens_col(text_col)
-    n_tok = F.size(toks).cast("double")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
+    stop_set = set(STOPWORDS)
+
+    def row(text, toks):
+        return (len(toks), sum(1 for t in toks if t in stop_set))
+
+    out = _counts_kernel(df, id_col, text_col, ["n_tok", "n_stop"], row)
+    n_tok = F.col("n_tok").cast("double")
+    n_stop = F.col("n_stop").cast("double")
     lang = F.when((n_tok > 0) & (n_stop / n_tok >= 0.02), F.lit("en")).otherwise(F.lit("unk"))
-    return df.select(F.col(id_col).alias("doc_id"), lang.alias("lang"))
-
-
-def _top_run_sql(arr_sql: str) -> str:
-    """Longest run of equal adjacent elements in a SORTED array —
-    i.e. the max multiplicity — in one O(n) aggregate pass (the naive
-    per-distinct count would be O(n²) per doc, quadratic in doc length
-    at crawl scale)."""
-    step = ("IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, "
-            "CAST(1 AS BIGINT))")
-    return (
-        f"aggregate({arr_sql}, "
-        "named_struct('prev', CAST(NULL AS STRING), "
-        "'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), "
-        f"(a, x) -> named_struct('prev', x, 'run', {step}, "
-        f"'best', GREATEST(a.best, {step})), "
-        "a -> a.best)")
+    return out.select("doc_id", lang.alias("lang"))
 
 
 def with_repetition(df: DataFrame, id_col: str, text_col: str = "text",
@@ -117,27 +177,34 @@ def with_repetition(df: DataFrame, id_col: str, text_col: str = "text",
     top_bigram_frac   — occurrences of the most frequent 2-gram / all
                         2-grams (degenerate boilerplate → 1.0)
     top_trigram_frac  — same for 3-grams
-    0.0 for docs too short to have the n-gram. The top-gram count runs
-    as sort + single-pass run-scan per doc (O(n log n)), never a
-    per-distinct rescan."""
-    toks = spark_tokens_col(text_col)
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
-    n = F.size(F.col("tk"))
+    0.0 for docs too short to have the n-gram. The top-gram count is a
+    per-doc Counter max in the Arrow kernel (O(n)); ratios and the
+    short-doc guards stay in Catalyst over the exact integer counts."""
+    from collections import Counter
+
+    def row(text, toks):
+        n = len(toks)
+        top2 = max(Counter(zip(toks, toks[1:])).values()) if n >= 2 else 0
+        top3 = (max(Counter(zip(toks, toks[1:], toks[2:])).values())
+                if n >= 3 else 0)
+        return (n, len(set(toks)), top2, top3)
+
+    out = _counts_kernel(df, id_col, text_col,
+                         ["n_tok", "n_distinct", "top2", "top3"], row)
+    n = F.col("n_tok")
+    distinct_ratio = F.when(
+        n > 0,
+        F.col("n_distinct").cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
 
     def top_frac(m: int) -> Column:
-        grams = (f"array_sort(transform(sequence(0, size(tk) - {m}), "
-                 f"i -> concat_ws(' ', slice(tk, i + 1, {m}))))")
         n_grams = n - (m - 1)
         return F.when(
             n >= m,
-            F.expr(_top_run_sql(grams)).cast("double")
+            F.col(f"top{m}").cast("double")
             / n_grams.cast("double")).otherwise(F.lit(0.0))
 
-    distinct_ratio = F.when(
-        n > 0,
-        F.size(F.array_distinct(F.col("tk"))).cast("double")
-        / n.cast("double")).otherwise(F.lit(0.0))
-    return base.select(
+    return out.select(
         F.col("doc_id"),
         n.cast("int").alias("n_tokens"),
         F.round(distinct_ratio, round_dp).alias("distinct_ratio"),
@@ -149,8 +216,21 @@ def with_repetition(df: DataFrame, id_col: str, text_col: str = "text",
 def with_fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 of normalized text (tokens joined by
     ' '), so case/punctuation/whitespace variants collide — the exact-dup
-    key."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.md5(norm_text_col(text_col)).alias("fingerprint"),
-    )
+    key. Arrow-kernel body: hashlib.md5 of the identical joined-token
+    string (tokenizer parity-gated), same lowercase hex digest."""
+    import hashlib
+    import pandas as pd
+
+    from geospatial_spark.functions.tokenize import tokenize_pandas
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def kernel(batches):
+        for b in batches:
+            toks_col = tokenize_pandas(b[text_col])
+            fps = [hashlib.md5(" ".join(t).encode()).hexdigest()
+                   for t in toks_col]
+            yield pd.DataFrame({"doc_id": b[id_col], "fingerprint": fps})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel, schema=f"doc_id {id_type}, fingerprint string")

@@ -127,7 +127,9 @@ def contamination_screen(df: DataFrame, id_col: str = "doc_id",
     corpus side is one scan + one aggregation keyed by doc_id.
     """
     ids = df.select(F.col(id_col).alias("doc_id"))
-    sh = shingle_rows(df, id_col, text_col)  # distinct (doc_id, s)
+    # three consumers (probe set, totals, shared) — one materialized
+    # shingle pass instead of three recomputes of the kernel lineage
+    sh = shingle_rows(df, id_col, text_col).localCheckpoint(eager=True)
     probe_sh = (sh.where(F.col("doc_id") % probe_mod == 0)
                 .select("s").distinct())
     corpus_sh = sh.where(F.col("doc_id") % probe_mod != 0)

@@ -40,32 +40,85 @@ LSH_BUCKET_CAP = 1024
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Distinct (doc_id, shingle) rows as a pure per-row array expression
-    — NO window, NO shuffle before the final distinct (the round-1 form
-    paid a shuffle+sort window per doc).
+    """Distinct (doc_id, shingle) rows via one Arrow kernel pass — NO
+    shuffle at all: the per-doc shingle SET is built inside the kernel
+    (tokenize_py is the engine tokenizer's reference twin, parity-gated
+    by the token-stats rows; ' '.join ≡ concat_ws), so the corpus-wide
+    explode + distinct exchange the expression form paid is gone, and
+    so are its interpreted per-element lambda steps. Row set identical:
+    (doc_id, s) pairs are unique per doc by construction."""
+    import pandas as pd
 
-    The tokens array is wrapped in a 1-element array and bound as the
-    outer lambda's variable: inner element_at references read the bound
-    variable instead of re-inlining the tokenizer expression (Catalyst
-    re-evaluates expressions inlined into interpreted higher-order
-    lambdas once per reference — the let-binding idiom avoids the 3×
-    tokenizer recompute)."""
-    def shingles_of(t):
-        idx = F.when(
-            F.size(t) >= SHINGLE_K,
-            F.sequence(F.lit(0), F.size(t) - SHINGLE_K),
-        ).otherwise(F.expr("array()").cast("array<int>"))
-        return F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + j + 1) for j in range(SHINGLE_K)]),
-        )
+    from geospatial_spark.functions.tokenize import tokenize_pandas
 
-    sh = F.flatten(F.transform(F.array(spark_tokens_col(text_col)), shingles_of))
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("s"))
-        .distinct()
-    )
+    id_type = dict(df.dtypes)[id_col]
+
+    def kernel(batches):
+        for b in batches:
+            ids: list = []
+            ss: list = []
+            toks_col = tokenize_pandas(b[text_col])
+            for i, toks in zip(b[id_col], toks_col):
+                n = len(toks)
+                if n < SHINGLE_K:
+                    continue
+                seen = set()
+                for j in range(n - SHINGLE_K + 1):
+                    s = " ".join(toks[j:j + SHINGLE_K])
+                    if s not in seen:
+                        seen.add(s)
+                        ids.append(i)
+                        ss.append(s)
+            yield pd.DataFrame({"doc_id": ids, "s": ss})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel, schema=f"doc_id {id_type}, s string")
+
+
+def _minhash_kernel(df: DataFrame, id_col: str, text_col: str,
+                    n_seeds: int) -> DataFrame:
+    """Per-doc MinHash signatures straight from text in ONE Arrow
+    kernel pass: tokenize (parity-gated reference tokenizer) → distinct
+    3-shingles → per-seed min of md5(f'{i}:{shingle}') via hashlib —
+    byte-identical inputs and lowercase hex digests to the previous
+    Catalyst md5/concat_ws aggregation, with no shingle explode, no
+    shuffle, and no per-call MessageDigest setup (the JVM md5
+    expression's hidden cost at ~16 hashes per shingle)."""
+    import hashlib
+
+    import pandas as pd
+
+    from geospatial_spark.functions.tokenize import tokenize_pandas
+
+    id_type = dict(df.dtypes)[id_col]
+    sig_cols = [f"sig_{i}" for i in range(n_seeds)]
+    schema = (f"doc_id {id_type}, "
+              + ", ".join(f"{c} string" for c in sig_cols))
+    prefixes = [f"{i}:".encode() for i in range(n_seeds)]
+
+    def kernel(batches):
+        md5 = hashlib.md5
+        for b in batches:
+            toks_col = tokenize_pandas(b[text_col])
+            out_ids: list = []
+            outs: list[list[str]] = [[] for _ in range(n_seeds)]
+            for i, toks in zip(b[id_col], toks_col):
+                n = len(toks)
+                if n < SHINGLE_K:
+                    continue
+                sh = {" ".join(toks[j:j + SHINGLE_K]).encode()
+                      for j in range(n - SHINGLE_K + 1)}
+                out_ids.append(i)
+                for k, pre in enumerate(prefixes):
+                    outs[k].append(
+                        min(md5(pre + s).hexdigest() for s in sh))
+            frame = {"doc_id": out_ids}
+            for c, v in zip(sig_cols, outs):
+                frame[c] = v
+            yield pd.DataFrame(frame)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel, schema=schema)
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -99,21 +152,19 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
     text, so shingle + aggregate once per DISTINCT text (keyed by
     md5(text)) and re-attach per doc with one join — at crawl scale
     boilerplate dup clusters make distinct texts a small fraction of
-    rows, and the expensive shingle explode never runs twice for the
+    rows, and the expensive shingle pass never runs twice for the
     same bytes. Output is row-for-row identical to the uncollapsed
     form."""
-    aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"sig_{i}")
-        for i in range(n_seeds)
-    ]
     if not collapse_exact:
-        ex = shingle_rows(df, id_col, text_col)
-        return ex.groupBy("doc_id").agg(*aggs)
+        return _minhash_kernel(df, id_col, text_col, n_seeds)
     fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    # explicit repartition: AQE coalesces the dedup shuffle's few MB of
+    # text into 1-6 partitions (byte-sized targets), serializing the
+    # CPU-heavy signature kernel — hash CPU ≫ bytes here
     texts = (df.select(fp.alias("doc_id"), F.col(text_col))
-             .dropDuplicates(["doc_id"]))
-    sig_fp = (shingle_rows(texts, "doc_id", text_col)
-              .groupBy("doc_id").agg(*aggs)
+             .dropDuplicates(["doc_id"])
+             .repartition(df.sparkSession.sparkContext.defaultParallelism))
+    sig_fp = (_minhash_kernel(texts, "doc_id", text_col, n_seeds)
               .withColumnRenamed("doc_id", "_fp"))
     return (df.select(F.col(id_col).alias("doc_id"), fp.alias("_fp"))
             .join(sig_fp, "_fp").drop("_fp"))
@@ -210,8 +261,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     ex = shingle_rows(df, id_col, text_col) if shingles is None else shingles
     if shingles is None:
         # ex feeds sizes AND both join sides — materialize the one
-        # expensive explode+distinct pass instead of recomputing it 3×
+        # expensive shingle pass instead of recomputing it 3×
         ex = ex.localCheckpoint(eager=True)
+    if candidates is not None:
+        # restrict every verify-side consumer to docs that actually
+        # appear in a candidate pair BEFORE the (b, s) equi-join — the
+        # unrestricted form shuffled the full shingle table per query
+        # while only candidate docs' rows can survive the joins. sizes
+        # (n_sh) still counts each doc's FULL distinct-shingle set.
+        cand_ids = (candidates.select(F.col("a").alias("doc_id"))
+                    .unionByName(candidates.select(F.col("b").alias("doc_id")))
+                    .distinct())
+        ex = ex.join(cand_ids, "doc_id")
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     if candidates is None:
         inter = (
@@ -308,22 +369,22 @@ def _collapsed_rep_pairs(df: DataFrame, id_col: str, text_col: str,
                   .withColumn("_rep", F.min("doc_id").over(w))
                   .select("doc_id", "_rep")
                   .localCheckpoint(eager=True))  # used by rep_docs AND groups
+    # explicit repartition before the checkpoint: AQE coalesces the
+    # join's few MB of text into 1-6 partitions, which would serialize
+    # BOTH downstream text kernels (shingles + signatures)
     rep_docs = (df.select(F.col(id_col).alias("doc_id"),
                           F.col(text_col).alias(text_col))
                 .join(groups_all.where(F.col("doc_id") == F.col("_rep"))
                       .select("doc_id"), "doc_id")
+                .repartition(df.sparkSession.sparkContext.defaultParallelism)
                 .localCheckpoint(eager=True))  # feeds shingles AND sig join
 
-    # ONE shingle pass serves both the signature aggregation and the
-    # Jaccard verify (they consume the identical distinct (doc_id, s)
-    # set — the round-5 shape exploded it twice and re-derived it three
-    # more times inside the verify)
+    # the Jaccard verify's shingle table and the signature kernel each
+    # make one pass over the (collapsed) rep texts; both materialize
+    # eagerly for their multiple consumers
     ex = shingle_rows(rep_docs, "doc_id", text_col).localCheckpoint(eager=True)
-    aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"sig_{i}")
-        for i in range(MINHASH_SEEDS)
-    ]
-    sigs = ex.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=True)
+    sigs = _minhash_kernel(rep_docs, "doc_id", text_col,
+                           MINHASH_SEEDS).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(sigs, bucket_cap=bucket_cap).select("a", "b")
     rep_pairs = ngram_jaccard_pairs(rep_docs, "doc_id", text_col,
                                     threshold, round_dp, candidates=cand,

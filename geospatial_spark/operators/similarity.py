@@ -208,38 +208,73 @@ def lsh_verified_cosine_dups(df: DataFrame, threshold: float = 0.4,
     is the small-input verify helper, not the discovery path."""
     if bucket_cap is None:
         bucket_cap = EMB_BUCKET_CAP
+    import numpy as np
+    import pandas as pd
+
     from geospatial_spark.operators.dedup import _cap_buckets
 
-    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    cands = None
+    # Per-bucket verify: a bucket of m members implies C(m, 2) candidate
+    # pairs — materializing those pair ROWS (let alone joining both
+    # vectors onto each: 2·dim floats per pair through Arrow) dwarfs the
+    # arithmetic. Instead each (capped) bucket group verifies its own
+    # all-pairs cosines inside one kernel: the only shuffles are
+    # n_tables passes of (vec_id, bucket, vector), and only qualifying
+    # pairs ever become rows. The cosine uses the same exact fold as
+    # _seq_cos_np, and multiplication commutativity makes the pair
+    # orientation irrelevant, so values are bit-identical to the
+    # join-then-score form; cross-table duplicate pairs carry identical
+    # doubles and collapse in the final distinct.
+    thr = float(threshold)
+    _CHUNK = 500_000  # pair-index chunk: bounds peak memory for a
+    #                   degenerate capped bucket (cap² pairs)
+
+    def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "raw": pd.Series([], dtype="float64")})
+        if m < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        E = np.asarray(list(pdf["v"]), dtype=np.float64)
+        # member norms once (same exact fold; norms are per-vector, not
+        # per-pair — the pair loop below only folds the dot)
+        nsq = np.zeros(m, dtype=np.float64)
+        for j in range(E.shape[1]):
+            nsq += E[:, j] * E[:, j]
+        nrm = np.sqrt(nsq)
+        iu, ju = np.triu_indices(m, k=1)
+        outs = []
+        for s in range(0, len(iu), _CHUNK):
+            ii, jj = iu[s:s + _CHUNK], ju[s:s + _CHUNK]
+            dot = np.zeros(len(ii), dtype=np.float64)
+            for j in range(E.shape[1]):
+                dot += E[ii, j] * E[jj, j]
+            raw = dot / (nrm[ii] * nrm[jj])
+            keep = raw >= thr
+            if keep.any():
+                a = ids[ii[keep]]
+                b = ids[jj[keep]]
+                outs.append(pd.DataFrame({
+                    "a": np.minimum(a, b), "b": np.maximum(a, b),
+                    "raw": raw[keep]}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    out = None
     for t in range(n_tables):
-        # per-bucket contribution cap (EMB_BUCKET_CAP): bounds the
-        # self-join of a degenerate bucket — e.g. a boilerplate cluster
-        # of near-identical embeddings all sharing every sign bit — to
-        # O(cap²) instead of O(b²); truncation observable via
-        # emb_bucket_stats
+        # per-bucket contribution cap (EMB_BUCKET_CAP): bounds a
+        # degenerate bucket's pair space to O(cap²); truncation
+        # observable via emb_bucket_stats
         bk = _cap_buckets(
             hyperplane_buckets_exact(df, n_planes, seed + 1000 * t,
-                                     id_col, vec_col, dim),
+                                     id_col, vec_col, dim,
+                                     carry_vec=True),
             bucket_cap, ["bucket"], order_col="vec_id")
-        l = bk.alias("l")
-        r = bk.alias("r")
-        pair = (
-            l.join(r, "bucket")
-            .where(F.col("l.vec_id") < F.col("r.vec_id"))
-            .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
-        )
-        cands = pair if cands is None else cands.unionByName(pair)
-    cand = cands.distinct()
-    va = base.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    vb = base.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
-    # candidate volume is O(Σ bucket²) — the exact-fold kernel scores it
-    # at vector speed; threshold + rounding stay in Catalyst on the
-    # kernel's raw doubles (identical to the interpreted-fold values)
-    cos = _cos_pairs_kernel(
-        cand.join(va, "a").join(vb, "b").select("a", "b", "va", "vb"),
-        "va", "vb", [("a", "long"), ("b", "long")])
-    return (cos.where(F.col("raw") >= threshold)
+        pairs_t = bk.groupBy("bucket").applyInPandas(
+            pair_kernel, schema="a long, b long, raw double")
+        out = pairs_t if out is None else out.unionByName(pairs_t)
+    return (out.distinct()
+            .where(F.col("raw") >= threshold)
             .select("a", "b", F.round("raw", ROUND_DP).alias("cos")))
 
 
@@ -505,17 +540,23 @@ def lsh_buckets_kernel(df: DataFrame, n_planes: int, seed: int = 42,
 def hyperplane_buckets_exact(df: DataFrame, n_planes: int = 8, seed: int = 42,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             dim: int = 64) -> DataFrame:
+                             dim: int = 64,
+                             carry_vec: bool = False) -> DataFrame:
     """Arrow-kernel twin of hyperplane_lsh_buckets: identical bucket
     STRINGS (same planes, same sign convention, and — crucially — the
     same left-to-right fold for each <v, h> dot as the Catalyst
     expression and the DuckDB oracle's list_sum, so a near-zero dot
     cannot flip a sign bit between engines). One vectorized FMA per
-    dimension instead of n_planes × dim interpreted lambda steps."""
+    dimension instead of n_planes × dim interpreted lambda steps.
+    carry_vec=True additionally passes the vector through as `v` (for
+    per-bucket verify kernels)."""
     import numpy as np
     import pandas as pd
 
     P_list = lsh_planes(n_planes, seed, dim).tolist()  # planes × dim
+    schema = "vec_id long, bucket string"
+    if carry_vec:
+        schema += ", v array<float>"
 
     def kernel(batches):
         P = np.asarray(P_list, dtype=np.float64)
@@ -527,13 +568,16 @@ def hyperplane_buckets_exact(df: DataFrame, n_planes: int = 8, seed: int = 42,
             for j in range(P.shape[1]):
                 acc += X[:, j][:, None] * P[:, j][None, :]
             bits = np.where(acc >= 0.0, "1", "0")
-            yield pd.DataFrame({
+            frame = {
                 "vec_id": b[id_col],
                 "bucket": ["".join(r) for r in bits],
-            })
+            }
+            if carry_vec:
+                frame["v"] = b[vec_col]
+            yield pd.DataFrame(frame)
 
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        kernel, schema="vec_id long, bucket string")
+        kernel, schema=schema)
 
 
 def hyperplane_lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,
@@ -586,6 +630,9 @@ def lsh_topk(df: DataFrame, query_ids: list[int], k: int = 10,
         stats["probe_fraction_bound"] = min(
             1.0, n_tables * (n_planes + 1) / float(2 ** n_planes))
 
+    import numpy as np
+    import pandas as pd
+
     corpus = df.where(where) if where is not None else df
     base = corpus.select(F.col(id_col).alias("vec_id"),
                          F.col(vec_col).alias("v"))
@@ -593,26 +640,53 @@ def lsh_topk(df: DataFrame, query_ids: list[int], k: int = 10,
     # filter excludes from the corpus still probes
     qvecs = (df.where(F.col(id_col).isin(query_ids))
              .select(F.col(id_col).alias("q"), F.col(vec_col).alias("qv")))
-    cands = None
-    for t in range(n_tables):
-        bk = lsh_buckets_kernel(corpus, n_planes, seed + 1000 * t,
-                                id_col, vec_col, dim)
-        qbk = (bk if where is None else
-               lsh_buckets_kernel(df.where(F.col(id_col).isin(query_ids)),
-                                  n_planes, seed + 1000 * t,
-                                  id_col, vec_col, dim))
-        q0 = qbk.where(F.col("vec_id").isin(query_ids)) \
-                .select(F.col("vec_id").alias("q"), F.col("bucket").alias("qb"))
-        # multi-probe: the bucket itself + each one-bit flip (XOR)
-        probes = F.array(F.col("qb"),
-                         *[F.col("qb").bitwiseXOR(F.lit(1 << i))
-                           for i in range(n_planes)])
-        q = q0.select("q", F.explode(probes).alias("qb"))
-        hit = bk.join(F.broadcast(q), bk["bucket"] == q["qb"]) \
-                .select("q", "vec_id")
-        cands = hit if cands is None else cands.unionByName(hit)
+
+    # ONE kernel pass emits every table's integer bucket (n_tables GEMMs
+    # over each Arrow batch) instead of n_tables separate corpus scans +
+    # join branches; query buckets are computed driver-side with the
+    # SAME (rows × dim) @ (dim × planes) matmul shape, so a query's own
+    # bucket always matches its corpus-side assignment bit-for-bit
+    plane_mats = [lsh_planes(n_planes, seed + 1000 * t, dim).T.tolist()
+                  for t in range(n_tables)]
+    wts = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    def kernel(batches):
+        Pms = [np.asarray(p, dtype=np.float64) for p in plane_mats]
+        for b in batches:
+            if len(b) == 0:
+                continue
+            X = np.asarray(list(b[vec_col]), dtype=np.float64)
+            ids = b[id_col].to_numpy()
+            frames = []
+            for t, Pm in enumerate(Pms):
+                bits = (X @ Pm) >= 0.0
+                frames.append(pd.DataFrame({
+                    "vec_id": ids, "t": np.int32(t),
+                    "bucket": bits.astype(np.int64) @ wts}))
+            yield pd.concat(frames, ignore_index=True)
+
+    bk_all = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel, schema="vec_id long, t int, bucket long")
+
+    # multi-probe set per (query, table): the bucket itself + each
+    # one-bit flip, built driver-side (queries are few by contract)
+    qrows = (df.where(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col), F.col(vec_col)).collect())
+    probe_rows = []
+    if qrows:
+        Xq = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+        for t, p in enumerate(plane_mats):
+            qb = ((Xq @ np.asarray(p, dtype=np.float64)) >= 0.0
+                  ).astype(np.int64) @ wts
+            for r, b0 in zip(qrows, qb):
+                probe_rows.append((int(r[0]), t, int(b0)))
+                probe_rows.extend((int(r[0]), t, int(b0) ^ (1 << i))
+                                  for i in range(n_planes))
+    probe_df = df.sparkSession.createDataFrame(
+        probe_rows or [], "q long, t int, bucket long")
     cand = (
-        cands.distinct()
+        bk_all.join(F.broadcast(probe_df), ["t", "bucket"])
+        .select("q", "vec_id").distinct()
         .where(F.col("vec_id") != F.col("q"))
         .join(base, "vec_id")
         .join(F.broadcast(qvecs), "q")

@@ -1479,7 +1479,7 @@ def _retention(spark, sf_dir):
     one user-keyed join — at 100 TB both shuffles key on user_id (the
     natural high-cardinality key, no skew), and the distinct
     (user, day) set is the only intermediate, ≤ one row per user-day."""
-    e = _events_wide(spark, sf_dir).select(
+    e = _events(spark, sf_dir).select(
         "user_id", F.to_date("ts").alias("d"))
     first = e.groupBy("user_id").agg(F.min("d").alias("cohort"))
     act = e.distinct()
