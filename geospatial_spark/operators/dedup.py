@@ -231,7 +231,10 @@ def lsh_candidate_pairs(sigs: DataFrame,
 
     bucket_cap bounds each (band, bucket)'s contribution to the
     self-join (see LSH_BUCKET_CAP; lsh_bucket_stats reports what a cap
-    dropped). None disables."""
+    dropped). None disables. (The self-join form is deliberate: most
+    buckets are singletons at any healthy scale, which the JVM join
+    handles for free — a per-bucket kernel pays per-group overhead on
+    every singleton.)"""
     bk = _cap_buckets(lsh_buckets(sigs), bucket_cap, ["band", "bucket"])
     l = bk.alias("l")
     r = bk.alias("r")
@@ -258,21 +261,29 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     pass (the collapsed pipeline) hand it in so the explode+distinct
     never recomputes. The three consumers below (sizes, left, right)
     otherwise re-derive the whole lineage each."""
-    ex = shingle_rows(df, id_col, text_col) if shingles is None else shingles
-    if shingles is None:
-        # ex feeds sizes AND both join sides — materialize the one
-        # expensive shingle pass instead of recomputing it 3×
-        ex = ex.localCheckpoint(eager=True)
     if candidates is not None:
         # restrict every verify-side consumer to docs that actually
-        # appear in a candidate pair BEFORE the (b, s) equi-join — the
-        # unrestricted form shuffled the full shingle table per query
-        # while only candidate docs' rows can survive the joins. sizes
-        # (n_sh) still counts each doc's FULL distinct-shingle set.
+        # appear in a candidate pair BEFORE anything is shingled or
+        # joined — only candidate docs' rows can survive the verify
+        # joins, and shingling just those docs beats shingling (or
+        # shuffling) the corpus. sizes (n_sh) still counts each doc's
+        # FULL distinct-shingle set (the doc-level restriction keeps
+        # every shingle of a kept doc).
         cand_ids = (candidates.select(F.col("a").alias("doc_id"))
                     .unionByName(candidates.select(F.col("b").alias("doc_id")))
                     .distinct())
-        ex = ex.join(cand_ids, "doc_id")
+        if shingles is None:
+            df_r = df.join(cand_ids.withColumnRenamed("doc_id", id_col)
+                           .distinct(), id_col)
+            ex = shingle_rows(df_r, id_col, text_col).localCheckpoint(eager=True)
+        else:
+            ex = shingles.join(cand_ids, "doc_id")
+    else:
+        ex = shingle_rows(df, id_col, text_col) if shingles is None else shingles
+        if shingles is None:
+            # ex feeds sizes AND both join sides — materialize the one
+            # expensive shingle pass instead of recomputing it 3×
+            ex = ex.localCheckpoint(eager=True)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     if candidates is None:
         inter = (
@@ -379,16 +390,16 @@ def _collapsed_rep_pairs(df: DataFrame, id_col: str, text_col: str,
                 .repartition(df.sparkSession.sparkContext.defaultParallelism)
                 .localCheckpoint(eager=True))  # feeds shingles AND sig join
 
-    # the Jaccard verify's shingle table and the signature kernel each
-    # make one pass over the (collapsed) rep texts; both materialize
-    # eagerly for their multiple consumers
-    ex = shingle_rows(rep_docs, "doc_id", text_col).localCheckpoint(eager=True)
     sigs = _minhash_kernel(rep_docs, "doc_id", text_col,
                            MINHASH_SEEDS).localCheckpoint(eager=True)
-    cand = lsh_candidate_pairs(sigs, bucket_cap=bucket_cap).select("a", "b")
+    cand = (lsh_candidate_pairs(sigs, bucket_cap=bucket_cap)
+            .select("a", "b").localCheckpoint(eager=True))
+    # the verify shingles ONLY candidate docs (ngram_jaccard_pairs
+    # restricts df before its shingle kernel) — the corpus-wide shingle
+    # table never materializes
     rep_pairs = ngram_jaccard_pairs(rep_docs, "doc_id", text_col,
-                                    threshold, round_dp, candidates=cand,
-                                    shingles=ex).localCheckpoint(eager=True)
+                                    threshold, round_dp,
+                                    candidates=cand).localCheckpoint(eager=True)
     shingled = sigs.select(F.col("doc_id").alias("_rep"))
     groups = (groups_all.join(shingled, "_rep").select("doc_id", "_rep")
               .localCheckpoint(eager=True))
