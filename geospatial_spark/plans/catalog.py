@@ -359,19 +359,23 @@ def _top_bigrams(limit: int = 20):
 
 
 def _tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 analogue: five joins where Catalyst picks the strategy
-    (region/nation broadcast; the customer-supplier same-nation
-    residual rides the join)."""
+    """TPC-H Q5 analogue: five joins with the fact table (lineitem) as
+    the probe side and every dimension explicitly broadcast — left to
+    its size estimates the planner broadcast LINEITEM itself (a ~0.5GB
+    single-threaded hash build) because column pruning talked its
+    estimate under the session threshold. Inner joins commute, so the
+    result is identical; lineitem now streams through one codegen pass
+    with zero exchanges before the aggregation."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
-    j = (cust
-         .join(orders, orders.o_custkey == cust.c_custkey)
-         .join(li, li.l_orderkey == orders.o_orderkey)
-         .join(supp, supp.s_suppkey == li.l_suppkey)
+    j = (li
+         .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
          .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
          .join(F.broadcast(region), region.r_regionkey == nation.n_regionkey)
          .where((F.col("s_nationkey") == F.col("c_nationkey"))
@@ -777,8 +781,11 @@ def _bm25_phrase(phrase: str, k: int = 10):
 
         root = _wand_index_root(spark, sf_dir)
         s = _searcher(spark, root)
-        probe = s.search_phrase_df(phrase, 1)
-        if probe is None or not probe.take(1):
+        # None ⇔ un-indexable phrase (no terms / empty index): checked
+        # without an action; a phrase with terms but no matches flows
+        # through the overfetch, which returns an empty frame itself —
+        # the old probe.take(1) cost one extra Spark job per query
+        if s.search_phrase_df(phrase, 1) is None:
             return (_docs(spark, sf_dir)
                     .select("doc_id", F.lit(0.0).alias("score")).limit(0))
         df = _adaptive_overfetch(
@@ -839,8 +846,7 @@ def _bm25_near(query: str, slop: int, k: int = 10):
 
         root = _wand_index_root(spark, sf_dir)
         s = _searcher(spark, root)
-        probe = s.search_near_df(query, slop, 1)
-        if probe is None or not probe.take(1):
+        if s.search_near_df(query, slop, 1) is None:  # no probe job
             return (_docs(spark, sf_dir)
                     .select("doc_id", F.lit(0.0).alias("score")).limit(0))
         df = _adaptive_overfetch(
@@ -872,9 +878,9 @@ def _bm25_bool(should: str, filter_q: str, must_not: str, k: int = 10,
 
         root = _wand_index_root(spark, sf_dir)
         s = _searcher(spark, root)
-        probe = s.search_bool_df(should, filter_q, must_not, 1, meta=meta,
-                                 min_should_match=msm, boosts=boosts)
-        if probe is None or not probe.take(1):
+        if s.search_bool_df(should, filter_q, must_not, 1, meta=meta,
+                            min_should_match=msm,
+                            boosts=boosts) is None:  # no probe job
             return (_docs(spark, sf_dir)
                     .select("doc_id", F.lit(0.0).alias("score")).limit(0))
         df = _adaptive_overfetch(

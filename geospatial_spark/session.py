@@ -38,6 +38,12 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # scan split size: the driver's testdata tables are single ~5-130MB
+    # parquet files, which the 128MB default turns into ONE scan task
+    # regardless of core count. 16MB restores scan parallelism locally;
+    # production deployments with properly sized many-file tables should
+    # raise it back toward 128MB-1GB (guide §6) via the env knob.
+    max_part = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -49,6 +55,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", max_part)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
