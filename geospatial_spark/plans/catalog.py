@@ -1419,7 +1419,10 @@ MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 def _sample_mixture(spark, sf_dir):
     from geospatial_spark.operators.curation import sample_mixture
 
-    return sample_mixture(_docs(spark, sf_dir), MIX_WEIGHTS)
+    # plain scan: a pure per-row hash filter has no compute to spread,
+    # so the wide-scan repartition would only add its shuffle
+    return sample_mixture(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), MIX_WEIGHTS)
 
 
 def _contamination(spark, sf_dir):
@@ -1449,7 +1452,12 @@ def _hll_cardinality(spark, sf_dir):
     branch in the sf0.1 gate replica."""
     from geospatial_spark.operators.sketch import hll_distinct
 
-    ev = _events_wide(spark, sf_dir)
+    # three consumers (two sketches + the exact count) — materialize
+    # the narrow projection once instead of re-scanning+repartitioning
+    # the events table per branch
+    ev = (_events_wide(spark, sf_dir)
+          .select("event_type", "user_id", "event_id")
+          .localCheckpoint(eager=True))
     users = hll_distinct(ev, "user_id", ["event_type"], "u_raw")
     events = hll_distinct(ev, "event_id", ["event_type"], "e_raw")
     exact = ev.groupBy("event_type").agg(

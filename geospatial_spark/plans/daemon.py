@@ -341,8 +341,13 @@ class _Handler(BaseHTTPRequestHandler):
                                               for r in req]})
             else:
                 self._reply(404, {"error": f"no such path: {self.path}"})
-        except (KeyError, ValueError, TypeError, AttributeError) as e:
+        except (KeyError, ValueError) as e:
+            # validated client input only — a kernel regression raising
+            # TypeError/AttributeError must surface as a 500 so
+            # monitoring sees a server fault, not a client error
             self._reply(400, {"error": str(e)})
+        except (TypeError, AttributeError) as e:
+            self._reply(500, {"error": f"internal: {e}"})
 
 
 def make_server(index_root: str, host: str = "127.0.0.1", port: int = 0,

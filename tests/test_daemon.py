@@ -128,6 +128,24 @@ def test_bad_requests(daemon):
     assert e.value.code == 400
 
 
+def test_server_fault_is_500(daemon):
+    """A genuine server-side bug (kernel regression raising TypeError)
+    must surface as a 500, not be misreported as a client error."""
+    srv, port = daemon
+    orig = srv.service.handle
+
+    def boom(_req):
+        raise TypeError("kernel regression")
+
+    srv.service.handle = boom
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, "/search", {"type": "match", "q": "x"})
+        assert e.value.code == 500
+    finally:
+        srv.service.handle = orig
+
+
 def test_warm_latency_over_socket(daemon):
     """Warm p50 over the socket stays interactive on the small fixture
     (the sf0.1 p50 evidence is bench.py's q_daemon_p50_ms)."""
