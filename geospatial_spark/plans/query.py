@@ -147,6 +147,13 @@ class IndexSearcher:
     # -- scans --------------------------------------------------------
 
     def _segments(self) -> DataFrame:
+        # the generation set is frozen for this searcher's lifetime, so
+        # the union-of-scans plan is built once — rebuilding it per
+        # query re-ran file listing + footer schema resolution on every
+        # search (a fixed driver-side cost per query)
+        cached = getattr(self, "_segments_plan", None)
+        if cached is not None:
+            return cached
         parts = []
         for g in self.gens:
             paths = [f"{self.gdirs[g['id']]}/{n}" for n in self.seg_files[g["id"]]]
@@ -158,6 +165,7 @@ class IndexSearcher:
             # format extension (e.g. skyline columns) union with nulls;
             # the scorer falls back per row
             out = out.unionByName(p, allowMissingColumns=True)
+        self._segments_plan = out
         return out
 
     # -- search -------------------------------------------------------
