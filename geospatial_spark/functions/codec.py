@@ -33,21 +33,46 @@ def varint_byte_lengths(v: np.ndarray) -> np.ndarray:
 def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-encode a uint64 array, vectorized; also returns the
     per-value byte lengths (so callers slicing the buffer don't pay a
-    second length pass)."""
+    second length pass).
+
+    Posting streams are dominated by values < 128 (tfs, dense doc gaps,
+    position gaps), so the multi-byte bookkeeping runs on the COMPRESSED
+    subset of multi-byte values only: one O(n) pass writes every value's
+    first byte, then the continuation loop touches just the few large
+    values (term-start absolutes, long documents). Byte-identical to the
+    all-values loop it replaces."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return b"", np.empty(0, dtype=np.int64)
-    counts = varint_byte_lengths(v)
+    is_multi = v >= np.uint64(128)
+    multi = np.flatnonzero(is_multi)
+    if len(multi) == 0:
+        # all single-byte: the encoded stream IS the value bytes
+        return v.astype(np.uint8).tobytes(), np.ones(n, dtype=np.int64)
+    big = v[multi]
+    counts = np.ones(n, dtype=np.int64)
+    cm = np.ones(len(multi), dtype=np.int64)
+    tmp = big >> np.uint64(7)
+    while tmp.any():
+        cm += tmp > 0
+        tmp >>= np.uint64(7)
+    counts[multi] = cm
     starts = np.empty(n, dtype=np.int64)
     starts[0] = 0
     np.cumsum(counts[:-1], out=starts[1:])
-    out = np.zeros(int(counts.sum()), dtype=np.uint8)
-    cur = v.copy()
-    remaining = np.arange(n)
-    offset = 0
+    out = np.empty(int(counts.sum()), dtype=np.uint8)
+    # first byte of every value, in one vectorized scatter
+    out[starts] = (v & np.uint64(0x7F)).astype(np.uint8) | (
+        is_multi.astype(np.uint8) << 7
+    )
+    # continuation bytes: multi-byte values only
+    cur = big >> np.uint64(7)
+    sm = starts[multi]
+    remaining = np.arange(len(multi))
+    offset = 1
     while len(remaining):
-        idx = starts[remaining] + offset
+        idx = sm[remaining] + offset
         chunk = cur[remaining]
         more = (chunk >> np.uint64(7)) > 0
         out[idx] = (chunk & np.uint64(0x7F)).astype(np.uint8) | (

@@ -247,116 +247,188 @@ def _make_shard_encoder(gdir_str: str, dm_names: dict[int, str],
     return encode
 
 
-def _make_colocated_merger(gdir_str: str, dm_names: dict[int, str],
-                           storage: str, hot_df_copy: int,
-                           sources: dict[int, list[tuple[str, int, str]]],
-                           gen_index: dict[str, int]):
-    """Fast-path merge kernel: when the new shard count DIVIDES every
-    generation's old count, hash(conv) mod n_new == (hash mod n_old)
-    mod n_new, so destination shard s is exactly the union of source
-    shards {t : t % n_new == s} — each destination task reads its own
-    source segment files directly and NO posting ever crosses the wire
-    (the general path shuffles one row per posting; at sf0.1 that is
-    ~45M rows and dominated merge wall time ~6×). Everything inside is
-    whole-segment bulk decode + array concatenation — no per-term or
-    per-posting Python."""
+def _merge_segments_colocated(shard: int, gdir: Path,
+                              srcs: list[tuple[str, int, str]],
+                              by_gen: dict[int, tuple[np.ndarray, np.ndarray]],
+                              avgdl_local: float, dm_name: str,
+                              storage: str, hot_df_copy: int,
+                              gen_index: dict[str, int]):
+    """Segment half of the colocated merge kernel: bulk-decode this
+    destination's source segments, remap ordinals through by_gen, and
+    encode one merged segment file. Returns (postings, bytes, name) or
+    None when the destination holds no postings (the driver's
+    empty-segment fill then names the file)."""
+    import pyarrow.parquet as pq
+
+    term_l, df_l, dest_l, tf_l, dl_l, pos_l = [], [], [], [], [], []
+    for gen, s_src, seg_path in srcs:
+        # pre_buffer coalesces the column-chunk range reads into few
+        # large I/Os — the merge reads whole segments, and on a cold
+        # page cache (or an object store) scattered small reads are
+        # the wall-clock term
+        t = pq.read_table(seg_path,
+                          columns=["term", "df", "doc_blocks",
+                                   "tf_blocks", "dl_blocks",
+                                   "pos_blocks", "block_last_doc"],
+                          pre_buffer=True)
+        if t.num_rows == 0:
+            continue
+        pdfs = t.to_pandas()
+        dfs, src_ords, tfs, dls, pos_flat, _rtb = \
+            _bulk_decode_segment(pdfs)
+        gi = int(gen_index[gen])
+        if gi not in by_gen:
+            raise RuntimeError("merge: postings from a generation "
+                               "absent from the destination docmap")
+        sorted_so, row_idx = by_gen[gi]
+        pos_in = np.searchsorted(sorted_so, src_ords)
+        if (pos_in >= len(sorted_so)).any() or \
+                (sorted_so[np.minimum(pos_in, len(sorted_so) - 1)]
+                 != src_ords).any():
+            raise RuntimeError("merge: posting doc missing from docmap")
+        term_l.append(pdfs["term"].to_numpy(dtype="U"))
+        df_l.append(dfs)
+        dest_l.append(row_idx[pos_in])
+        tf_l.append(tfs)
+        dl_l.append(dls)
+        pos_l.append(pos_flat)
+    if not term_l:
+        return None
+
+    dfs_all = np.concatenate(df_l)
+    uniq_terms, term_codes = np.unique(np.concatenate(term_l),
+                                       return_inverse=True)
+    codes = np.repeat(term_codes, dfs_all)
+    dest_all = np.concatenate(dest_l)
+    tf_all = np.concatenate(tf_l)
+    dl_all = np.concatenate(dl_l)
+    pos_all = np.concatenate(pos_l)
+    ords = (np.int64(shard) << ORD_SHARD_SHIFT) | dest_all
+    order = np.lexsort((ords, codes))
+
+    # vectorized per-posting position gather into the new order
+    tok_starts = np.concatenate(([0], np.cumsum(tf_all)[:-1]))
+    reps = tf_all[order]
+    base_rep = np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])),
+                         reps)
+    flat_idx = (np.repeat(tok_starts[order], reps)
+                + np.arange(int(reps.sum())) - base_rep)
+    pos_sorted = pos_all[flat_idx]
+    rtb_new = np.concatenate(([0], np.cumsum(reps))).astype(np.int64)
+
+    tc = codes[order]
+    tchange = np.flatnonzero(tc[1:] != tc[:-1]) + 1
+    starts = np.concatenate(([0], tchange)).astype(np.int64)
+    ends = np.concatenate((tchange, [len(tc)])).astype(np.int64)
+    terms_sorted = uniq_terms[tc[starts]]
+
+    segments, n_postings, n_bytes = encode_runs_to_segments(
+        shard, terms_sorted, starts, ends,
+        ords[order].astype(np.uint64), tf_all[order].astype(np.uint64),
+        dl_all[order].astype(np.uint64), pos_sorted, rtb_new,
+        avgdl_local, hot_df_copy)
+    fp = hashlib.sha256(b"merge" + bytes(str(n_postings), "ascii")
+                        + dm_name.encode()).hexdigest()
+    token = fp[:10] if storage == lc.STORAGE_PUT else None
+    name = lc.segment_file(shard, token)
+    _write_parquet(segments, gdir / name, storage)
+    return int(n_postings), int(n_bytes), name
+
+
+_FUSED_METRIC = ("shard int, docs long, total_tokens long, "
+                 "docmap_file string, fingerprint string, "
+                 "postings long, bytes long, segment_file string")
+
+
+def _make_fused_merger(gdir_str: str, storage: str, hot_df_copy: int,
+                       seg_sources: dict[int, list[tuple[str, int, str]]],
+                       dm_sources: dict[int, list[tuple[str, int, str]]],
+                       gen_index: dict[str, int]):
+    """Fused colocated merge kernel: when the new shard count DIVIDES
+    every generation's old count, hash(conv) mod n_new == (hash mod
+    n_old) mod n_new, so destination shard s is exactly the union of
+    source shards {t : t % n_new == s}. One task per destination then
+    does BOTH merge phases shard-locally — build + write the merged
+    docmap from the source docmaps (phase A), then bulk-decode, remap
+    and re-encode the source segments against the in-memory docmap
+    (phase B) — collapsing the previous two sequential Spark jobs into
+    one and never re-reading the docmap it just wrote. No posting (and
+    now no docmap row) ever crosses the wire; the general path shuffles
+    one row per posting (~45M rows at sf0.1, measured ~6× the wall).
+
+    Docmap identity: rows are assembled with the same columns, conv/turn
+    derivation and null conventions as the general path's Spark
+    projection, then written through the SAME write_docmap kernel — same
+    sort, same ordinals, same fingerprint, same bytes."""
+
+    write_docmap = _make_docmap_writer(gdir_str, storage)
 
     def run(key, _pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.parquet as pq
 
         shard = int(key[0])
         gdir = Path(gdir_str)
-        dm = pq.read_table(gdir / dm_names[shard],
-                           columns=["dl", "src_gen", "src_ord"])
-        dls_dm = dm.column("dl").to_numpy()
+
+        # ---- phase A, shard-local: merged docmap ---------------------
+        parts = []
+        for gen, _t_src, dm_path in dm_sources[shard]:
+            t = pq.read_table(dm_path)
+            cols = [c for c in ("doc_id", "dl", "role", "ts_us", "doc_ord")
+                    if c in t.column_names]
+            pdf = t.select(cols).to_pandas()
+            # docmap-v1 generations (pre role/ts_us) merge with nulls —
+            # the merged index then refuses metadata filters for them
+            if "role" not in pdf.columns:
+                pdf["role"] = None
+            if "ts_us" not in pdf.columns:
+                pdf["ts_us"] = None
+            pdf = pdf.rename(columns={"doc_ord": "src_ord"})
+            pdf["src_gen"] = gen
+            parts.append(pdf[["doc_id", "dl", "role", "ts_us",
+                              "src_gen", "src_ord"]])
+        allp = (pd.concat(parts, ignore_index=True)
+                if parts else pd.DataFrame())
+        if len(allp) == 0:
+            # phase A emits no row for an empty destination; neither do we
+            return pd.DataFrame({
+                "shard": pd.Series([], dtype="int32"),
+                "docs": pd.Series([], dtype="int64"),
+                "total_tokens": pd.Series([], dtype="int64"),
+                "docmap_file": pd.Series([], dtype=object),
+                "fingerprint": pd.Series([], dtype=object),
+                "postings": pd.Series([], dtype="int64"),
+                "bytes": pd.Series([], dtype="int64"),
+                "segment_file": pd.Series([], dtype=object)})
+        # conv/turn exactly as the Spark projection (_CONV_EXPR +
+        # substring_index cast): conv = doc_id minus its last ':'-suffix
+        # (clamped at empty), turn = numeric suffix or null
+        ids = allp["doc_id"].astype(str)
+        last = ids.str.rsplit(":", n=1).str[-1]
+        allp["conv"] = [s[: max(len(s) - len(sfx) - 1, 0)]
+                        for s, sfx in zip(ids, last)]
+        allp["turn"] = pd.to_numeric(last, errors="coerce")
+        d = allp.sort_values(["conv", "turn", "src_gen", "src_ord"],
+                             kind="mergesort").reset_index(drop=True)
+        dm_metric = write_docmap((shard,), d).iloc[0].to_dict()
+        dm_name = dm_metric["docmap_file"]
+
+        # ---- phase B against the in-memory docmap --------------------
+        dls_dm = d["dl"].to_numpy()
         avgdl_local = float(dls_dm.mean()) if len(dls_dm) else 0.0
-        # per-gen local ordinal maps: src_ord (sorted) → docmap row idx
-        sg = np.array([gen_index[x] for x in
-                       dm.column("src_gen").to_pylist()], dtype=np.int64)
-        so = dm.column("src_ord").to_numpy().astype(np.int64)
+        sg = np.array([gen_index[x] for x in d["src_gen"]], dtype=np.int64)
+        so = d["src_ord"].to_numpy().astype(np.int64)
         by_gen: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for gi in np.unique(sg):
             rows_g = np.flatnonzero(sg == gi)
             o = np.argsort(so[rows_g], kind="stable")
             by_gen[int(gi)] = (so[rows_g][o], rows_g[o])
-
-        term_l, df_l, dest_l, tf_l, dl_l, pos_l = [], [], [], [], [], []
-        for gen, s_src, seg_path in sources[shard]:
-            # pre_buffer coalesces the column-chunk range reads into few
-            # large I/Os — the merge reads whole segments, and on a cold
-            # page cache (or an object store) scattered small reads are
-            # the wall-clock term
-            t = pq.read_table(seg_path,
-                              columns=["term", "df", "doc_blocks",
-                                       "tf_blocks", "dl_blocks",
-                                       "pos_blocks", "block_last_doc"],
-                              pre_buffer=True)
-            if t.num_rows == 0:
-                continue
-            pdfs = t.to_pandas()
-            dfs, src_ords, tfs, dls, pos_flat, _rtb = \
-                _bulk_decode_segment(pdfs)
-            gi = int(gen_index[gen])
-            if gi not in by_gen:
-                raise RuntimeError("merge: postings from a generation "
-                                   "absent from the destination docmap")
-            sorted_so, row_idx = by_gen[gi]
-            pos_in = np.searchsorted(sorted_so, src_ords)
-            if (pos_in >= len(sorted_so)).any() or \
-                    (sorted_so[np.minimum(pos_in, len(sorted_so) - 1)]
-                     != src_ords).any():
-                raise RuntimeError("merge: posting doc missing from docmap")
-            term_l.append(pdfs["term"].to_numpy(dtype="U"))
-            df_l.append(dfs)
-            dest_l.append(row_idx[pos_in])
-            tf_l.append(tfs)
-            dl_l.append(dls)
-            pos_l.append(pos_flat)
-        if not term_l:
-            return pd.DataFrame({"shard": pd.Series([], dtype="int32"),
-                                 "postings": pd.Series([], dtype="int64"),
-                                 "bytes": pd.Series([], dtype="int64"),
-                                 "segment_file": pd.Series([], dtype=object)})
-
-        dfs_all = np.concatenate(df_l)
-        uniq_terms, term_codes = np.unique(np.concatenate(term_l),
-                                           return_inverse=True)
-        codes = np.repeat(term_codes, dfs_all)
-        dest_all = np.concatenate(dest_l)
-        tf_all = np.concatenate(tf_l)
-        dl_all = np.concatenate(dl_l)
-        pos_all = np.concatenate(pos_l)
-        ords = (np.int64(shard) << ORD_SHARD_SHIFT) | dest_all
-        order = np.lexsort((ords, codes))
-
-        # vectorized per-posting position gather into the new order
-        tok_starts = np.concatenate(([0], np.cumsum(tf_all)[:-1]))
-        reps = tf_all[order]
-        base_rep = np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])),
-                             reps)
-        flat_idx = (np.repeat(tok_starts[order], reps)
-                    + np.arange(int(reps.sum())) - base_rep)
-        pos_sorted = pos_all[flat_idx]
-        rtb_new = np.concatenate(([0], np.cumsum(reps))).astype(np.int64)
-
-        tc = codes[order]
-        tchange = np.flatnonzero(tc[1:] != tc[:-1]) + 1
-        starts = np.concatenate(([0], tchange)).astype(np.int64)
-        ends = np.concatenate((tchange, [len(tc)])).astype(np.int64)
-        terms_sorted = uniq_terms[tc[starts]]
-
-        segments, n_postings, n_bytes = encode_runs_to_segments(
-            shard, terms_sorted, starts, ends,
-            ords[order].astype(np.uint64), tf_all[order].astype(np.uint64),
-            dl_all[order].astype(np.uint64), pos_sorted, rtb_new,
-            avgdl_local, hot_df_copy)
-        fp = hashlib.sha256(b"merge" + bytes(str(n_postings), "ascii")
-                            + dm_names[shard].encode()).hexdigest()
-        token = fp[:10] if storage == lc.STORAGE_PUT else None
-        name = lc.segment_file(shard, token)
-        _write_parquet(segments, gdir / name, storage)
-        return pd.DataFrame([{"shard": shard, "postings": int(n_postings),
-                              "bytes": int(n_bytes), "segment_file": name}])
+        seg = _merge_segments_colocated(
+            shard, gdir, seg_sources[shard], by_gen, avgdl_local,
+            dm_name, storage, hot_df_copy, gen_index)
+        n_postings, n_bytes, seg_name = seg if seg else (0, 0, None)
+        return pd.DataFrame([{**dm_metric,
+                              "postings": n_postings, "bytes": n_bytes,
+                              "segment_file": seg_name}])
 
     return run
 
@@ -412,6 +484,55 @@ def merge_generations(spark: SparkSession, index_root: str,
             for sh, name in dms.items():
                 docmap_files[(g["id"], sh)] = name
 
+        gen_index = {g["id"]: i for i, g in enumerate(gens)}
+        if all(int(g["n_shards"]) % n_shards == 0 for g in gens):
+            # co-located FUSED path: n_new divides every generation's
+            # shard count, so hash mod n_new == (hash mod n_old) mod
+            # n_new — destination shard s owns exactly the source shards
+            # {t : t % n_new == s}. ONE task per destination performs
+            # both merge phases shard-locally (docmap build + segment
+            # re-encode) — see _make_fused_merger. Collapses the two
+            # sequential Spark jobs (docmap write + collect, then kernel
+            # pass re-reading those docmaps) into a single job.
+            seg_sources: dict[int, list[tuple[str, int, str]]] = {}
+            dm_sources: dict[int, list[tuple[str, int, str]]] = {}
+            for g in gens:
+                for sh_entry in g["shards"]:
+                    t_src = int(sh_entry["shard"])
+                    dest = t_src % n_shards
+                    seg_sources.setdefault(dest, []).append(
+                        (g["id"], t_src, seg_path_by[(g["id"], t_src)]))
+                    dm_sources.setdefault(dest, []).append(
+                        (g["id"], t_src,
+                         f"{gdirs[g['id']]}/{docmap_files[(g['id'], t_src)]}"))
+            # explicit repartition: AQE would coalesce this 16-row
+            # shuffle into ONE partition and serialize the heavy
+            # per-destination kernels (measured 16× wall blowup)
+            dests = sorted(dm_sources)
+            dest_df = spark.createDataFrame(
+                [(sh,) for sh in dests], "shard int"
+            ).repartition(len(dests), "shard")
+            fused = [r.asDict() for r in
+                     dest_df.groupBy("shard").applyInPandas(
+                         _make_fused_merger(str(gdir), storage,
+                                            hot_df_copy, seg_sources,
+                                            dm_sources, gen_index),
+                         schema=_FUSED_METRIC).collect()]
+            dm_metrics = [{k: r[k] for k in
+                           ("shard", "docs", "total_tokens",
+                            "docmap_file", "fingerprint")} for r in fused]
+            dm_names = {int(r["shard"]): r["docmap_file"] for r in fused}
+            seg_metrics = [{"shard": r["shard"], "postings": r["postings"],
+                            "bytes": r["bytes"],
+                            "segment_file": r["segment_file"]}
+                           for r in fused if r["segment_file"]]
+            seg_names = {int(r["shard"]): r["segment_file"]
+                         for r in seg_metrics}
+            return _finish_merge(spark, index_root, m, gens, gdir,
+                                 generation, n_shards, dm_metrics,
+                                 dm_names, seg_metrics, seg_names,
+                                 storage, started)
+
         shard_key = F.pmod(F.xxhash64(F.expr(_CONV_EXPR).alias("c"),
                                       F.substring_index("doc_id", ":", -1)
                                       .cast("int")), F.lit(n_shards)).cast("int")
@@ -443,39 +564,6 @@ def merge_generations(spark: SparkSession, index_root: str,
         dm_names = {int(r["shard"]): r["docmap_file"] for r in dm_metrics}
 
         # ---- phase B: decode → re-bucket → re-encode -----------------
-        gen_index = {g["id"]: i for i, g in enumerate(gens)}
-        if all(int(g["n_shards"]) % n_shards == 0 for g in gens):
-            # co-located fast path: n_new divides every generation's
-            # shard count, so hash mod n_new == (hash mod n_old) mod
-            # n_new — destination shard s owns exactly the source
-            # shards {t : t % n_new == s}. Each destination task reads
-            # its sources directly; no posting row ever shuffles.
-            sources: dict[int, list[tuple[str, int, str]]] = {
-                sh: [] for sh in dm_names}
-            for g in gens:
-                for sh_entry in g["shards"]:
-                    t_src = int(sh_entry["shard"])
-                    sources.setdefault(t_src % n_shards, []).append(
-                        (g["id"], t_src, seg_path_by[(g["id"], t_src)]))
-            # explicit repartition: AQE would coalesce this 16-row
-            # shuffle into ONE partition and serialize the heavy
-            # per-destination kernels (measured 16× wall blowup)
-            dest_df = spark.createDataFrame(
-                [(sh,) for sh in sorted(dm_names)], "shard int"
-            ).repartition(len(dm_names), "shard")
-            seg_metrics = [r.asDict() for r in
-                           dest_df.groupBy("shard").applyInPandas(
-                               _make_colocated_merger(
-                                   str(gdir), dm_names, storage,
-                                   hot_df_copy, sources, gen_index),
-                               schema=_SEG_METRIC).collect()]
-            seg_names = {int(r["shard"]): r["segment_file"]
-                         for r in seg_metrics}
-            return _finish_merge(spark, index_root, m, gens, gdir,
-                                 generation, n_shards, dm_metrics,
-                                 dm_names, seg_metrics, seg_names,
-                                 storage, started)
-
         segs = None
         for g in gens:
             part = (spark.read.parquet(*seg_by_gen[g["id"]])
