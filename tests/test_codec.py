@@ -40,6 +40,45 @@ def test_varint_roundtrip_property(vals):
     assert list(varint_decode(varint_encode(a))) == vals
 
 
+def _varint_encode_reference(values: np.ndarray) -> bytes:
+    """Scalar LEB128 reference — pins the wire format the vectorized
+    compressed-subset encode/decode pair must reproduce byte-for-byte."""
+    out = bytearray()
+    for v in values.tolist():
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def test_varint_compressed_subset_paths():
+    # the encode/decode pair special-cases single-byte-only streams and
+    # runs multi-byte bookkeeping on the compressed subset; exercise
+    # every branch boundary against the scalar reference
+    rng = np.random.default_rng(11)
+    cases = [
+        np.array([127] * 64, dtype=np.uint64),            # all single-byte
+        np.array([128] * 64, dtype=np.uint64),            # all multi-byte
+        np.array([127, 128] * 32, dtype=np.uint64),       # alternating
+        np.array([2**64 - 1, 0, 2**63, 1], dtype=np.uint64),  # 10-byte max
+        rng.integers(0, 128, 5000).astype(np.uint64),
+        np.where(rng.random(5000) < 0.01,
+                 rng.integers(0, 2**44, 5000),
+                 rng.integers(0, 100, 5000)).astype(np.uint64),  # sparse big
+        np.concatenate([np.full(100, 2**40, dtype=np.uint64),
+                        np.zeros(100, dtype=np.uint64)]),  # runs of each
+    ]
+    for a in cases:
+        buf = varint_encode(a)
+        assert buf == _varint_encode_reference(a)
+        assert list(varint_decode(buf)) == list(a)
+
+
 def test_delta_roundtrip():
     v = np.array([3, 7, 8, 100, 101], dtype=np.uint64)
     assert list(delta_decode(delta_encode(v))) == list(v)
