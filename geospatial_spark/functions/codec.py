@@ -295,32 +295,39 @@ def encode_shard_streams(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
 
     # per-block (tf, dl) skyline: sort by (tf desc, dl asc), keep pairs
     # whose dl strictly undercuts the running minimum. Fully vectorized
-    # across ALL blocks at once: scatter each block's postings into one
-    # row of a (total_blocks × BLOCK) composite-key matrix (key packs
-    # (tf desc, dl asc) into one int64; padding = int64.max sorts last
-    # and can never be kept), sort rows, run the running-min keep test
-    # as matrix ops. Replaces a per-block python loop that dominated
-    # shard encode time at ~16k blocks.
+    # across ALL blocks at once in FLAT form: lexsort the posting stream
+    # block-major with a composite key packing (tf desc, dl asc) into
+    # one int64, then run the per-block running-min keep test as a
+    # segmented scan — packing the block id into the high bits makes
+    # maximum.accumulate reset at every block boundary, so no python
+    # loop and no dense (total_blocks × BLOCK) padding matrix. The
+    # dense-matrix form this replaces allocated ~BLOCK/avg_block_len ×
+    # the posting stream (hundreds of MB to GBs per merge kernel) and
+    # its axis-1 sort over mostly-padding rows dominated encode time;
+    # the flat form is O(n) memory and byte-identical (asserted against
+    # the dense implementation on random + merge-shaped arrays).
     tfs_i = tfs.astype(np.int64)
     dls_i = dls.astype(np.int64)
     lens = be - bs
     row_of = np.repeat(np.arange(total_blocks, dtype=np.int64), lens)
-    col_of = np.arange(n, dtype=np.int64) - np.repeat(bs, lens)
-    key = np.full((total_blocks, BLOCK), np.iinfo(np.int64).max, dtype=np.int64)
     # tf, dl both < 2^31 (dl < 2^22 by the position-packing contract)
-    key[row_of, col_of] = ((np.int64(2**31 - 1) - tfs_i) << np.int64(32)) | dls_i
-    key.sort(axis=1)
-    sd = key & np.int64(0xFFFFFFFF)
-    rm = np.minimum.accumulate(sd, axis=1)
-    keep = np.empty_like(sd, dtype=bool)
-    keep[:, 0] = True
-    keep[:, 1:] = sd[:, 1:] < rm[:, :-1]
-    keep &= key != np.iinfo(np.int64).max  # never keep padding
-    flat_keep = keep.ravel()
-    sky_tf_flat = ((np.int64(2**31 - 1) - (key >> np.int64(32)))
-                   .ravel()[flat_keep])
-    sky_dl_flat = sd.ravel()[flat_keep]
-    sky_counts = keep.sum(axis=1).astype(np.int64)
+    key = ((np.int64(2**31 - 1) - tfs_i) << np.int64(32)) | dls_i
+    order_sky = np.lexsort((key, row_of))
+    ks = key[order_sky]
+    sd = ks & np.int64(0xFFFFFFFF)
+    # segmented running min of sd: maximum.accumulate over
+    # (block << 32) | ~sd restarts at each block because any packed
+    # value of block b+1 exceeds every packed value of block b
+    acc = np.maximum.accumulate(
+        (row_of << np.int64(32)) | (np.int64(0xFFFFFFFF) - sd))
+    keep = np.empty(n, dtype=bool)
+    keep[0] = True
+    keep[1:] = sd[1:] < (np.int64(0xFFFFFFFF)
+                         - (acc[:-1] & np.int64(0xFFFFFFFF)))
+    keep[bs] = True  # first element of every block is always kept
+    sky_tf_flat = (np.int64(2**31 - 1) - (ks >> np.int64(32)))[keep]
+    sky_dl_flat = sd[keep]
+    sky_counts = np.add.reduceat(keep.astype(np.int64), bs)
 
     # blocks tile the posting stream contiguously (be[j] == bs[j+1]), so
     # block byte boundaries are just the stream offsets sampled at block
