@@ -30,10 +30,13 @@ def varint_byte_lengths(v: np.ndarray) -> np.ndarray:
     return counts
 
 
-def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
-    """LEB128-encode a uint64 array, vectorized; also returns the
-    per-value byte lengths (so callers slicing the buffer don't pay a
-    second length pass).
+def _varint_encode_offsets(values: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array, vectorized. Returns the encoded
+    stream as a uint8 ARRAY plus the int64[n+1] exclusive byte offsets
+    of each value — the bulk form the shard/merge encoders consume
+    directly (no bytes() copy, no second cumsum pass over per-value
+    lengths; both measurably matter at multi-million-posting kernels).
 
     Posting streams are dominated by values < 128 (tfs, dense doc gaps,
     position gaps), so the multi-byte bookkeeping runs on the COMPRESSED
@@ -44,12 +47,14 @@ def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b"", np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     is_multi = v >= np.uint64(128)
     multi = np.flatnonzero(is_multi)
+    off = np.empty(n + 1, dtype=np.int64)
+    off[0] = 0
     if len(multi) == 0:
         # all single-byte: the encoded stream IS the value bytes
-        return v.astype(np.uint8).tobytes(), np.ones(n, dtype=np.int64)
+        return v.astype(np.uint8), np.arange(n + 1, dtype=np.int64)
     big = v[multi]
     counts = np.ones(n, dtype=np.int64)
     cm = np.ones(len(multi), dtype=np.int64)
@@ -58,10 +63,10 @@ def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
         cm += tmp > 0
         tmp >>= np.uint64(7)
     counts[multi] = cm
-    starts = np.empty(n, dtype=np.int64)
-    starts[0] = 0
-    np.cumsum(counts[:-1], out=starts[1:])
-    out = np.empty(int(counts.sum()), dtype=np.uint8)
+    np.cumsum(counts, out=off[1:])
+    del counts
+    starts = off[:-1]
+    out = np.empty(int(off[-1]), dtype=np.uint8)
     # first byte of every value, in one vectorized scatter
     out[starts] = (v & np.uint64(0x7F)).astype(np.uint8) | (
         is_multi.astype(np.uint8) << 7
@@ -81,7 +86,16 @@ def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
         cur[remaining] >>= np.uint64(7)
         remaining = remaining[more]
         offset += 1
-    return out.tobytes(), counts
+    return out, off
+
+
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array, vectorized; also returns the
+    per-value byte lengths (so callers slicing the buffer don't pay a
+    second length pass). Thin bytes-typed view over
+    _varint_encode_offsets."""
+    out, off = _varint_encode_offsets(values)
+    return out.tobytes(), np.diff(off)
 
 
 def varint_encode(values: np.ndarray) -> bytes:
@@ -255,15 +269,12 @@ def encode_shard_streams(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         gaps[1:] = docs[1:] - docs[:-1]
     gaps[term_starts] = docs[term_starts]
 
-    doc_buf, doc_lens = varint_encode_with_lengths(gaps)
-    tf_buf, tf_lens = varint_encode_with_lengths(tfs)
-    dl_buf, dl_lens = varint_encode_with_lengths(dls)
-    doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
-    tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
-    dl_off = np.concatenate(([0], np.cumsum(dl_lens)))
+    doc_buf, doc_off = _varint_encode_offsets(gaps)
+    del gaps
+    tf_buf, tf_off = _varint_encode_offsets(tfs)
+    dl_buf, dl_off = _varint_encode_offsets(dls)
 
     pos_off = None
-    mv_pos = None
     if positions is not None:
         pos = np.ascontiguousarray(positions, dtype=np.int64)
         rtb = np.ascontiguousarray(run_tok_bounds, dtype=np.int64)
@@ -274,9 +285,8 @@ def encode_shard_streams(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         if len(pos):
             pgaps[1:] = pos[1:] - pos[:-1]
         pgaps[rtb[:-1]] = pos[rtb[:-1]]
-        pos_buf, pos_lens = varint_encode_with_lengths(pgaps.astype(np.uint64))
-        pos_off = np.concatenate(([0], np.cumsum(pos_lens)))
-        mv_pos = memoryview(pos_buf)
+        pos_buf, pos_off = _varint_encode_offsets(pgaps.view(np.uint64))
+        del pgaps
 
     # block starts: every BLOCK values within each term run (vectorized)
     run_lens = term_ends - term_starts
@@ -312,18 +322,22 @@ def encode_shard_streams(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     row_of = np.repeat(np.arange(total_blocks, dtype=np.int64), lens)
     # tf, dl both < 2^31 (dl < 2^22 by the position-packing contract)
     key = ((np.int64(2**31 - 1) - tfs_i) << np.int64(32)) | dls_i
+    del tfs_i, dls_i
     order_sky = np.lexsort((key, row_of))
     ks = key[order_sky]
+    del key, order_sky
     sd = ks & np.int64(0xFFFFFFFF)
     # segmented running min of sd: maximum.accumulate over
     # (block << 32) | ~sd restarts at each block because any packed
     # value of block b+1 exceeds every packed value of block b
     acc = np.maximum.accumulate(
         (row_of << np.int64(32)) | (np.int64(0xFFFFFFFF) - sd))
+    del row_of
     keep = np.empty(n, dtype=bool)
     keep[0] = True
     keep[1:] = sd[1:] < (np.int64(0xFFFFFFFF)
                          - (acc[:-1] & np.int64(0xFFFFFFFF)))
+    del acc
     keep[bs] = True  # first element of every block is always kept
     sky_tf_flat = (np.int64(2**31 - 1) - (ks >> np.int64(32)))[keep]
     sky_dl_flat = sd[keep]

@@ -324,12 +324,12 @@ def encode_runs_to_segments(shard: int, terms_sorted, starts, ends,
                + (len(st["pos_buf"]) if st["pos_buf"] is not None else 0))
 
     # ---- impact-ordered copies for hot terms (few) -------------------
-    local_idx_all = (docs_arr.astype(np.int64)
-                     & ((np.int64(1) << ORD_SHARD_SHIFT) - 1))
     imp = {k: [None] * n_terms for k in
            ("hd", "ht", "hl", "td", "tt", "tl", "stf", "sdl", "soff",
             "tends", "ttf", "tdl", "toff")}
     if hot_df_copy:
+        local_idx_all = (docs_arr.astype(np.int64)
+                         & ((np.int64(1) << ORD_SHARD_SHIFT) - 1))
         H = IMPACT_HEAD_BLOCKS
         for ti in np.flatnonzero((ends - starts) >= hot_df_copy):
             s, e = int(starts[ti]), int(ends[ti])

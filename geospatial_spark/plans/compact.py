@@ -298,35 +298,56 @@ def _merge_segments_colocated(shard: int, gdir: Path,
     dfs_all = np.concatenate(df_l)
     uniq_terms, term_codes = np.unique(np.concatenate(term_l),
                                        return_inverse=True)
+    del term_l
     codes = np.repeat(term_codes, dfs_all)
+    del term_codes, dfs_all, df_l
     dest_all = np.concatenate(dest_l)
     tf_all = np.concatenate(tf_l)
     dl_all = np.concatenate(dl_l)
     pos_all = np.concatenate(pos_l)
+    del dest_l, tf_l, dl_l, pos_l
     ords = (np.int64(shard) << ORD_SHARD_SHIFT) | dest_all
+    del dest_all
     order = np.lexsort((ords, codes))
 
-    # vectorized per-posting position gather into the new order
+    # vectorized per-posting position gather into the new order.
+    # Fresh-allocation volume is deliberately kept low (intermediates
+    # freed as soon as consumed): first-touch of new anon memory is the
+    # dominant kernel cost under 16-way concurrency on fault-slow hosts.
     tok_starts = np.concatenate(([0], np.cumsum(tf_all)[:-1]))
     reps = tf_all[order]
     base_rep = np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])),
                          reps)
-    flat_idx = (np.repeat(tok_starts[order], reps)
-                + np.arange(int(reps.sum())) - base_rep)
+    flat_idx = np.repeat(tok_starts[order], reps)
+    del tok_starts
+    flat_idx += np.arange(int(reps.sum()), dtype=np.int64)
+    flat_idx -= base_rep
+    del base_rep
     pos_sorted = pos_all[flat_idx]
+    del pos_all, flat_idx
     rtb_new = np.concatenate(([0], np.cumsum(reps))).astype(np.int64)
+    del reps
 
     tc = codes[order]
+    del codes
     tchange = np.flatnonzero(tc[1:] != tc[:-1]) + 1
     starts = np.concatenate(([0], tchange)).astype(np.int64)
     ends = np.concatenate((tchange, [len(tc)])).astype(np.int64)
     terms_sorted = uniq_terms[tc[starts]]
+    del tc, tchange, uniq_terms
+
+    ords_sorted = ords[order].astype(np.uint64)
+    del ords
+    tfs_sorted = tf_all[order].astype(np.uint64)
+    del tf_all
+    dls_sorted = dl_all[order].astype(np.uint64)
+    del dl_all, order
 
     segments, n_postings, n_bytes = encode_runs_to_segments(
         shard, terms_sorted, starts, ends,
-        ords[order].astype(np.uint64), tf_all[order].astype(np.uint64),
-        dl_all[order].astype(np.uint64), pos_sorted, rtb_new,
+        ords_sorted, tfs_sorted, dls_sorted, pos_sorted, rtb_new,
         avgdl_local, hot_df_copy)
+    del ords_sorted, tfs_sorted, dls_sorted, pos_sorted
     fp = hashlib.sha256(b"merge" + bytes(str(n_postings), "ascii")
                         + dm_name.encode()).hexdigest()
     token = fp[:10] if storage == lc.STORAGE_PUT else None
