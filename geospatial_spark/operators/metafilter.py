@@ -94,10 +94,20 @@ def normalize_meta(meta: dict | None) -> dict | None:
     """
     if not meta:
         return None
-    known = {"role", "ts_min", "ts_max", "conv_prefix"}
+    # idempotent: the canonical keys this function EMITS are accepted
+    # back unchanged, so an already-normalized dict may flow through a
+    # second entry point (e.g. the small-k local dispatch hands the
+    # query path's canonical meta to the serving engine, which
+    # normalizes on its own)
+    known = {"role", "ts_min", "ts_max", "conv_prefix",
+             "ts_min_us", "ts_max_us"}
     unknown = set(meta) - known
     if unknown:
         raise ValueError(f"unknown metadata filter keys: {sorted(unknown)}")
+    if "ts_min" in meta and "ts_min_us" in meta:
+        raise ValueError("give ts_min or ts_min_us, not both")
+    if "ts_max" in meta and "ts_max_us" in meta:
+        raise ValueError("give ts_max or ts_max_us, not both")
     out: dict = {}
     role = meta.get("role")
     if role is not None:
@@ -109,6 +119,10 @@ def normalize_meta(meta: dict | None) -> dict | None:
         out["ts_min_us"] = _ts_us(meta["ts_min"])
     if meta.get("ts_max") is not None:
         out["ts_max_us"] = _ts_us(meta["ts_max"])
+    if meta.get("ts_min_us") is not None:
+        out["ts_min_us"] = int(meta["ts_min_us"])
+    if meta.get("ts_max_us") is not None:
+        out["ts_max_us"] = int(meta["ts_max_us"])
     cp = meta.get("conv_prefix")
     if cp is not None:
         if not isinstance(cp, str) or not cp:

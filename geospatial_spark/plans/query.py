@@ -25,6 +25,8 @@ Empty/unknown query terms short-circuit without launching a job
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -168,6 +170,44 @@ class IndexSearcher:
         self._segments_plan = out
         return out
 
+    # small-k searches skip the Spark job entirely: a coordinator-side
+    # LocalSearcher (plans/serve.py — the serving tier's gate-tested
+    # engine: same wand kernel, same stats, same tie-break) answers from
+    # row-group-pruned segment reads with byte-bounded caches. The
+    # per-query Spark fixed cost (Catalyst planning + exchange + task
+    # scheduling, measured ~0.5 s/query warm at sf0.1) dwarfs the
+    # kernel work for top-k queries; the distributed plan remains the
+    # path for deep fetches (the adaptive-overfetch 0.0-plateau resolves
+    # corpus-sized candidate sets executor-side) and federated roots.
+    LOCAL_SEARCH_MAX_K = int(os.environ.get(
+        "SPARK_GRAFT_LOCAL_SEARCH_MAX_K", "4096"))
+
+    def _local_dispatch(self, k: int):
+        """The serving-tier searcher for this index, or None when the
+        query must run distributed (k beyond the local cap, federated
+        manifest, or a LocalSearcher refuses the root)."""
+        if int(k) > self.LOCAL_SEARCH_MAX_K:
+            return None
+        if self.manifest.get("federated_roots") is not None:
+            return None
+        ls = getattr(self, "_local_inst", None)
+        if ls is None:
+            from geospatial_spark.plans.serve import LocalSearcher
+
+            try:
+                ls = LocalSearcher(self.root)
+            except (ValueError, OSError):
+                ls = False
+            # this searcher's generation view is frozen at construction;
+            # a LocalSearcher reads the live manifest — if the index has
+            # advanced since (e.g. a merge published a new generation),
+            # serving from it would answer over a different corpus view
+            if ls and [g["id"] for g in ls.gens] != [g["id"]
+                                                     for g in self.gens]:
+                ls = False
+            self._local_inst = ls
+        return ls or None
+
     # -- search -------------------------------------------------------
 
     def search_df(self, query: str, k: int = 10,
@@ -208,6 +248,14 @@ class IndexSearcher:
         if not df_global:
             return None
 
+        local = self._local_dispatch(k)
+        if local is not None:
+            hits = local.search("", k=int(k), quantized=quantized,
+                                terms=terms)
+            return self.spark.createDataFrame(
+                [(d, float(s)) for d, s in hits],
+                schema="doc_id string, score double")
+
         matched = (self._segments().where(F.col("term").isin(list(df_global)))
                    .drop("pos_blocks"))  # plain search never reads positions
         n_docs, avgdl = self.n_docs, self.avgdl
@@ -246,6 +294,11 @@ class IndexSearcher:
                meta: dict | None = None) -> list[tuple[str, float]]:
         """Top-k (doc_id, score), exact BM25, rank/score-identical to the
         oracle; tie-break (conv_id, turn_idx) asc."""
+        local = self._local_dispatch(k)
+        if local is not None:
+            # list-shaped fast path: skip the DataFrame round-trip
+            return local.search(query, k=int(k), quantized=quantized,
+                                meta=meta)
         df = self.search_df(query, k, quantized=quantized, meta=meta)
         if df is None:
             return []
@@ -519,6 +572,13 @@ class IndexSearcher:
         if len(df_global) < len(distinct):
             return None  # a phrase term absent from the corpus ⇒ no doc matches
 
+        local = self._local_dispatch(k)
+        if local is not None:
+            return self.spark.createDataFrame(
+                [(d, float(s), int(tf)) for d, s, tf
+                 in local.search_phrase_full(phrase, int(k))],
+                schema="doc_id string, score double, phrase_tf long")
+
         matched = (self._segments().where(F.col("term").isin(distinct))
                    .drop(*_IMP_COLS))  # phrase never touches impact copies
         n_docs, avgdl = self.n_docs, self.avgdl
@@ -556,6 +616,9 @@ class IndexSearcher:
         return per_shard.orderBy(F.desc("score"), *merge_tie_break()).limit(kk)
 
     def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[str, float]]:
+        local = self._local_dispatch(k)
+        if local is not None:
+            return local.search_phrase(phrase, int(k))
         df = self.search_phrase_df(phrase, k)
         if df is None:
             return []
@@ -590,6 +653,13 @@ class IndexSearcher:
         df_global = self._df_for(all_terms)
         if any(t not in df_global for t in set(fixed)):
             return None  # a fixed term absent corpus-wide ⇒ no doc matches
+
+        local = self._local_dispatch(k)
+        if local is not None:
+            return self.spark.createDataFrame(
+                [(d, float(s)) for d, s in local.search_phrase_prefix(
+                    query, int(k), max_expansions=int(max_expansions))],
+                schema="doc_id string, score double")
 
         matched = (self._segments().where(F.col("term").isin(all_terms))
                    .drop(*_IMP_COLS))
@@ -657,6 +727,10 @@ class IndexSearcher:
         df_global = self._df_for(distinct)
         if len(df_global) < len(distinct):
             return []
+
+        local = self._local_dispatch(k)
+        if local is not None:
+            return local.search_phrase_scored(phrase, int(k))
 
         matched = (self._segments().where(F.col("term").isin(distinct))
                    .drop(*_IMP_COLS))
@@ -734,6 +808,13 @@ class IndexSearcher:
         if len(df_global) < len(terms):
             return None  # AND semantics: a missing term ⇒ no match
 
+        local = self._local_dispatch(k)
+        if local is not None:
+            return self.spark.createDataFrame(
+                [(d, float(s), int(sp)) for d, s, sp
+                 in local.search_near_full(query, int(slop), int(k))],
+                schema="doc_id string, score double, min_span long")
+
         matched = (self._segments().where(F.col("term").isin(terms))
                    .drop(*_IMP_COLS))  # proximity never touches impact copies
         n_docs, avgdl = self.n_docs, self.avgdl
@@ -771,6 +852,9 @@ class IndexSearcher:
 
     def search_near(self, query: str, slop: int, k: int = 10
                     ) -> list[tuple[str, float]]:
+        local = self._local_dispatch(k)
+        if local is not None:
+            return local.search_near(query, int(slop), int(k))
         df = self.search_near_df(query, slop, k)
         if df is None:
             return []
@@ -847,6 +931,15 @@ class IndexSearcher:
             return None
         mn = [t for t in mn if t in df_global]
 
+        local = self._local_dispatch(k)
+        if local is not None:
+            return self.spark.createDataFrame(
+                [(d, float(s)) for d, s in local.search_bool(
+                    should=should, filter_q=filter_q, must_not=must_not,
+                    k=int(k), meta=meta, quantized=quantized,
+                    min_should_match=min_should_match, boosts=boosts)],
+                schema="doc_id string, score double")
+
         scan_terms = sorted(set(sh + fl + mn))
         matched = (self._segments().where(F.col("term").isin(scan_terms))
                    .drop("pos_blocks", *_IMP_COLS))  # bool: doc ids only
@@ -906,6 +999,12 @@ class IndexSearcher:
                     min_should_match: int = 1,
                     boosts: dict[str, float] | None = None
                     ) -> list[tuple[str, float]]:
+        local = self._local_dispatch(k)
+        if local is not None:
+            return local.search_bool(
+                should=should, filter_q=filter_q, must_not=must_not,
+                k=int(k), meta=meta, quantized=quantized,
+                min_should_match=min_should_match, boosts=boosts)
         df = self.search_bool_df(should, filter_q, must_not, k, meta=meta,
                                  boosts=boosts,
                                  quantized=quantized,
@@ -1486,6 +1585,15 @@ class IndexSearcher:
         for query workloads (one scan + one shuffle for the whole
         batch)."""
         from pyspark.sql.window import Window
+
+        local = self._local_dispatch(k)
+        if local is not None:
+            # serving-tier batch: per-query local top-k (same kernel,
+            # same tie-break as the one-job Spark batch; the shared
+            # term-row LRU de-duplicates reads across the batch)
+            return {qid: local.search(text, k=int(k),
+                                      quantized=bool(quantized))
+                    for qid, text in queries.items()}
 
         norm = self.manifest.get("normalization") or {}
         qterms: dict[str, list[str]] = {}

@@ -678,10 +678,16 @@ class LocalSearcher:
 
 
     def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[str, float]]:
+        return [(d, s) for d, s, _ in self.search_phrase_full(phrase, k)]
+
+    def search_phrase_full(self, phrase: str, k: int = 10
+                           ) -> list[tuple[str, float, int]]:
         """Exact-phrase top-k without a Spark job — same contract as
         IndexSearcher.search_phrase (operators/phrase.py): phrase terms'
         rows (including pos_blocks) read row-group-pruned per shard,
-        position intersection + distinct-term BM25 scoring local."""
+        position intersection + distinct-term BM25 scoring local.
+        Returns (doc_id, score, phrase_tf) — the full column set of
+        IndexSearcher.search_phrase_df."""
         import pyarrow.parquet as pq
 
         from geospatial_spark.operators.phrase import phrase_match_shard
@@ -711,7 +717,7 @@ class LocalSearcher:
                 by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
             for shard, rows_by_term in by_shard.items():
                 base = shard << ORD_SHARD_SHIFT
-                local, scores, _ = phrase_match_shard(
+                local, scores, ptf = phrase_match_shard(
                     slots, rows_by_term, base, df_global,
                     self.n_docs, self.avgdl, k)
                 if len(local) == 0:
@@ -723,12 +729,13 @@ class LocalSearcher:
                         gdir / self.docmap_files[key],
                         columns=["doc_id"]).column("doc_id").combine_chunks()
                     self._docmap_cache[key] = col
-                for doc_id, sc in zip(col.take(local.tolist()).to_pylist(),
-                                      scores):
+                for doc_id, sc, tf in zip(col.take(local.tolist()).to_pylist(),
+                                          scores, ptf):
                     conv, _, turn = doc_id.rpartition(":")
-                    candidates.append((-float(sc), conv, int(turn), doc_id))
+                    candidates.append((-float(sc), conv, int(turn), doc_id,
+                                       int(tf)))
         candidates.sort()
-        return [(d, -neg) for neg, _, _, d in candidates[:k]]
+        return [(d, -neg, tf) for neg, _, _, d, tf in candidates[:k]]
 
     def search_phrase_prefix(self, query: str, k: int = 10,
                              max_expansions: int = 64
@@ -855,8 +862,13 @@ class LocalSearcher:
 
     def search_near(self, query: str, slop: int, k: int = 10
                     ) -> list[tuple[str, float]]:
+        return [(d, s) for d, s, _ in self.search_near_full(query, slop, k)]
+
+    def search_near_full(self, query: str, slop: int, k: int = 10
+                         ) -> list[tuple[str, float, int]]:
         """Proximity top-k on the serving path — same contract as
-        IndexSearcher.search_near."""
+        IndexSearcher.search_near. Returns (doc_id, score, min_span),
+        the full column set of IndexSearcher.search_near_df."""
         import pyarrow.parquet as pq
 
         from geospatial_spark.operators.phrase import near_match_shard
@@ -884,7 +896,7 @@ class LocalSearcher:
                 by_shard.setdefault(int(r["shard"]), {})[r["term"]] = r
             for shard, rows_by_term in by_shard.items():
                 base = shard << ORD_SHARD_SHIFT
-                local, scores, _ = near_match_shard(
+                local, scores, spans = near_match_shard(
                     terms, int(slop), rows_by_term, base, df_global,
                     self.n_docs, self.avgdl, k)
                 if len(local) == 0:
@@ -895,12 +907,13 @@ class LocalSearcher:
                     col = pq.read_table(gdir / self.docmap_files[key],
                                         columns=["doc_id"]).column("doc_id").combine_chunks()
                     self._docmap_cache[key] = col
-                for doc_id, sc in zip(col.take(local.tolist()).to_pylist(),
-                                      scores):
+                for doc_id, sc, sp in zip(col.take(local.tolist()).to_pylist(),
+                                          scores, spans):
                     conv, _, turn = doc_id.rpartition(":")
-                    candidates.append((-float(sc), conv, int(turn), doc_id))
+                    candidates.append((-float(sc), conv, int(turn), doc_id,
+                                       int(sp)))
         candidates.sort()
-        return [(d, -neg) for neg, _, _, d in candidates[:k]]
+        return [(d, -neg, sp) for neg, _, _, d, sp in candidates[:k]]
 
     def _meta_mask(self, gen_id: str, shard: int, meta: dict):
         """Per-shard ordinal mask for a normalized metadata predicate;

@@ -212,6 +212,10 @@ def test_plain_search_scan_prunes_positions(spark, tiny_transcripts,
     root = str(tmp_path_factory.mktemp("pruneidx") / "idx")
     build_index(spark, tiny_transcripts, root, n_shards=2)
     s = IndexSearcher(spark, root)
+    # pin the DISTRIBUTED plan: small-k searches dispatch to the
+    # serving-tier LocalSearcher (no Spark job, nothing to explain);
+    # the column-pruning contract under test belongs to the big-k path
+    s.LOCAL_SEARCH_MAX_K = -1
     plain = explain(s.search_df("the spark", 5))
     scans = [ln for ln in plain.splitlines() if "ReadSchema" in ln]
     seg_scans = [ln for ln in scans if "doc_blocks" in ln]
