@@ -397,6 +397,14 @@ class IndexSearcher:
             raise ValueError("search_decayed requires origin_us (the "
                              "decay origin in epoch microseconds)")
 
+        local = self._local_dispatch(k)
+        if local is not None:
+            return self.spark.createDataFrame(
+                [(d, float(s)) for d, s in local.search_decayed(
+                    query, int(k), half_life_s=float(half_life_s),
+                    origin_us=int(origin_us))],
+                schema="doc_id string, score double")
+
         matched = (self._segments().where(F.col("term").isin(list(df_global)))
                    .drop("pos_blocks"))
         n_docs, avgdl = self.n_docs, self.avgdl
@@ -1285,6 +1293,15 @@ class IndexSearcher:
             return None
         mn = [t for t in mn if t in df_global]
 
+        local = self._local_dispatch(0)
+        if local is not None:
+            counts = local.facet_counts(should=should, filter_q=filter_q,
+                                        must_not=must_not, meta=meta,
+                                        field=field)
+            rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            return self.spark.createDataFrame(
+                [(f, int(n)) for f, n in rows], schema="facet string, n long")
+
         scan_terms = sorted(set(sh + fl + mn))
         matched = (self._segments().where(F.col("term").isin(scan_terms))
                    .drop("pos_blocks", *_IMP_COLS))
@@ -1369,6 +1386,18 @@ class IndexSearcher:
         if should and not sh:
             return None
         mn = [t for t in mn if t in df_global]
+
+        local = self._local_dispatch(0)
+        if local is not None:
+            st = local.match_stats(should=should, filter_q=filter_q,
+                                   must_not=must_not, meta=meta)
+            return self.spark.createDataFrame(
+                [(int(st["n_matched"]),
+                  None if st["sum_dl"] is None else int(st["sum_dl"]),
+                  None if st["min_ts_us"] is None else int(st["min_ts_us"]),
+                  None if st["max_ts_us"] is None else int(st["max_ts_us"]))],
+                schema="n_matched long, sum_dl long, "
+                       "min_ts_us long, max_ts_us long")
 
         scan_terms = sorted(set(sh + fl + mn))
         matched = (self._segments().where(F.col("term").isin(scan_terms))
@@ -1491,6 +1520,14 @@ class IndexSearcher:
         if should and not sh:
             return None
         mn = [t for t in mn if t in df_global]
+
+        local = self._local_dispatch(k)
+        if local is not None:
+            return self.spark.createDataFrame(
+                [(c, d, float(s)) for c, d, s in local.search_collapsed(
+                    should=should, filter_q=filter_q, must_not=must_not,
+                    k=int(k), meta=meta, field=field)],
+                schema="collapse string, doc_id string, score double")
 
         scan_terms = sorted(set(sh + fl + mn))
         matched = (self._segments().where(F.col("term").isin(scan_terms))
@@ -1696,6 +1733,49 @@ class IndexSearcher:
         """
         queries = {qid: self._rewrite_expansion_spec(spec)
                    for qid, spec in queries.items()}
+
+        local = self._local_dispatch(k)
+        if local is not None:
+            out_l: dict[str, list[tuple[str, float]]] = {}
+            for qid, spec in queries.items():
+                typ = spec.get("type", "match")
+                if typ == "match":
+                    out_l[qid] = local.search(
+                        spec.get("q", ""), k=int(k),
+                        quantized=bool(spec.get("quantized", False)))
+                elif typ == "phrase":
+                    out_l[qid] = local.search_phrase(spec.get("q", ""),
+                                                     int(k))
+                elif typ == "phrase_scored":
+                    out_l[qid] = local.search_phrase_scored(
+                        spec.get("q", ""), int(k))
+                elif typ == "near":
+                    out_l[qid] = local.search_near(
+                        spec.get("q", ""), int(spec.get("slop", 0)),
+                        int(k))
+                elif typ == "bool":
+                    msm_l = int(spec.get("minimum_should_match", 1))
+                    if msm_l < 0:
+                        raise ValueError(
+                            f"minimum_should_match must be >= 0 for {qid!r}")
+                    from geospatial_spark.operators.metafilter import (
+                        normalize_meta,
+                    )
+
+                    self._check_meta_support(normalize_meta(spec.get("meta")))
+                    out_l[qid] = local.search_bool(
+                        should=spec.get("should", ""),
+                        filter_q=spec.get("filter", ""),
+                        must_not=spec.get("must_not", ""), k=int(k),
+                        meta=spec.get("meta"),
+                        quantized=bool(spec.get("quantized", False)),
+                        min_should_match=msm_l,
+                        boosts=spec.get("boosts") or None)
+                else:
+                    raise ValueError(
+                        f"unknown query type {typ!r} for {qid!r}")
+            return out_l
+
         norm = self.manifest.get("normalization") or {}
 
         def toks_set(text: str) -> list[str]:
