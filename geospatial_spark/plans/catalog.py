@@ -36,6 +36,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+# (N, avgdl) per (session, sf_dir): corpus constants of an immutable
+# input, memoized exactly like _SEARCHER_CACHE's dictionary state — the
+# stats ACTION (a full tokenize pass) otherwise re-runs for every
+# relational-scorer entry in the same session
+_STATS_CACHE: dict[tuple[int, str], tuple[int, float]] = {}
+
+
 def _doc_index(spark: SparkSession, sf_dir: str, with_stats: bool = True):
     tok = P.tokenized_generic(_docs(spark, sf_dir))
     dl = tok.select("doc_id", "dl")
@@ -45,7 +52,12 @@ def _doc_index(spark: SparkSession, sf_dir: str, with_stats: bool = True):
         # boolean ops, percolate) skip the (N, avgdl) action — one
         # fewer corpus pass per query
         return post, dl, None, None
-    n, avgdl = P.corpus_stats(dl)
+    key = (id(spark), sf_dir)
+    stats = _STATS_CACHE.get(key)
+    if stats is None:
+        stats = P.corpus_stats(dl)
+        _STATS_CACHE[key] = stats
+    n, avgdl = stats
     return post, dl, n, avgdl
 
 

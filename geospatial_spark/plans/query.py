@@ -181,6 +181,30 @@ class IndexSearcher:
     # corpus-sized candidate sets executor-side) and federated roots.
     LOCAL_SEARCH_MAX_K = int(os.environ.get(
         "SPARK_GRAFT_LOCAL_SEARCH_MAX_K", "4096"))
+    # positions bound: phrase/near queries decode the full position
+    # streams of every doc containing ALL query terms — work the match
+    # path's impact copies cannot cap. Beyond this estimated
+    # co-occurrence count the single-coordinator decode loses to the
+    # n_shards-way distributed kernels (measured 4.7x on a two-term
+    # near query whose terms each cover >90% of the corpus).
+    LOCAL_SEARCH_MAX_COOC = int(os.environ.get(
+        "SPARK_GRAFT_LOCAL_SEARCH_MAX_COOC", "400000"))
+
+    def _cooc_est(self, df_global: dict, terms) -> float:
+        """Expected docs containing ALL terms under independence:
+        n · Π(df_t / n) — the scaling term of a positions decode."""
+        nd = max(self.n_docs, 1)
+        est = float(nd)
+        for t in terms:
+            est *= df_global.get(t, 0) / nd
+        return est
+
+    def _positions_local(self, k: int, est: float):
+        """_local_dispatch for position-decoding queries, bounded by
+        the estimated intersection size."""
+        if est > self.LOCAL_SEARCH_MAX_COOC:
+            return None
+        return self._local_dispatch(k)
 
     def _local_dispatch(self, k: int):
         """The serving-tier searcher for this index, or None when the
@@ -580,7 +604,7 @@ class IndexSearcher:
         if len(df_global) < len(distinct):
             return None  # a phrase term absent from the corpus ⇒ no doc matches
 
-        local = self._local_dispatch(k)
+        local = self._positions_local(k, self._cooc_est(df_global, distinct))
         if local is not None:
             return self.spark.createDataFrame(
                 [(d, float(s), int(tf)) for d, s, tf
@@ -624,9 +648,6 @@ class IndexSearcher:
         return per_shard.orderBy(F.desc("score"), *merge_tie_break()).limit(kk)
 
     def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[str, float]]:
-        local = self._local_dispatch(k)
-        if local is not None:
-            return local.search_phrase(phrase, int(k))
         df = self.search_phrase_df(phrase, k)
         if df is None:
             return []
@@ -662,7 +683,12 @@ class IndexSearcher:
         if any(t not in df_global for t in set(fixed)):
             return None  # a fixed term absent corpus-wide ⇒ no doc matches
 
-        local = self._local_dispatch(k)
+        # est over the FIXED tokens (the variants OR on top of that
+        # intersection); a single-token prefix phrase bounds by the
+        # union of variant dfs instead
+        est = (self._cooc_est(df_global, set(fixed)) if fixed
+               else float(sum(df_global.get(t, 0) for t in exp)))
+        local = self._positions_local(k, est)
         if local is not None:
             return self.spark.createDataFrame(
                 [(d, float(s)) for d, s in local.search_phrase_prefix(
@@ -736,7 +762,7 @@ class IndexSearcher:
         if len(df_global) < len(distinct):
             return []
 
-        local = self._local_dispatch(k)
+        local = self._positions_local(k, self._cooc_est(df_global, distinct))
         if local is not None:
             return local.search_phrase_scored(phrase, int(k))
 
@@ -816,7 +842,7 @@ class IndexSearcher:
         if len(df_global) < len(terms):
             return None  # AND semantics: a missing term ⇒ no match
 
-        local = self._local_dispatch(k)
+        local = self._positions_local(k, self._cooc_est(df_global, terms))
         if local is not None:
             return self.spark.createDataFrame(
                 [(d, float(s), int(sp)) for d, s, sp
@@ -860,9 +886,6 @@ class IndexSearcher:
 
     def search_near(self, query: str, slop: int, k: int = 10
                     ) -> list[tuple[str, float]]:
-        local = self._local_dispatch(k)
-        if local is not None:
-            return local.search_near(query, int(slop), int(k))
         df = self.search_near_df(query, slop, k)
         if df is None:
             return []
@@ -1735,6 +1758,19 @@ class IndexSearcher:
                    for qid, spec in queries.items()}
 
         local = self._local_dispatch(k)
+        if local is not None:
+            # positions bound, per spec: one over-budget phrase/near
+            # entry sends the WHOLE batch down the one-job Spark path
+            # (the batch contract is a single dispatch decision)
+            for spec in queries.values():
+                if spec.get("type") in ("phrase", "phrase_scored", "near"):
+                    ts = sorted({(self.manifest.get("normalization") or {})
+                                 .get(t, t)
+                                 for t in tokenize_py(spec.get("q", ""))})
+                    if ts and (self._cooc_est(self._df_for(ts), ts)
+                               > self.LOCAL_SEARCH_MAX_COOC):
+                        local = None
+                        break
         if local is not None:
             out_l: dict[str, list[tuple[str, float]]] = {}
             for qid, spec in queries.items():

@@ -74,6 +74,24 @@ def test_big_k_stays_distributed(spark, idx_root):
     assert s._local_dispatch(s.LOCAL_SEARCH_MAX_K + 1) is None
 
 
+def test_cooc_guard_routes_hot_positions_distributed(spark, idx_root):
+    """A phrase/near query whose terms co-occur beyond the bound must
+    run distributed — and stay row-identical to the local path."""
+    s = IndexSearcher(spark, idx_root)
+    guarded = IndexSearcher(spark, idx_root)
+    guarded.LOCAL_SEARCH_MAX_COOC = 0  # everything over budget
+    assert guarded._positions_local(10, est=1.0) is None
+    for q in ("the spark", "deploy index"):
+        da, db = s.search_phrase_df(q, 8), guarded.search_phrase_df(q, 8)
+        ra = None if da is None else [tuple(r) for r in da.collect()]
+        rb = None if db is None else [tuple(r) for r in db.collect()]
+        assert ra == rb, q
+        assert s.search_near(q, 4, 8) == guarded.search_near(q, 4, 8), q
+    qs = {"p1": {"type": "phrase", "q": "the spark"},
+          "m1": {"type": "match", "q": "deploy"}}
+    assert s.search_many_mixed(qs, 6) == guarded.search_many_mixed(qs, 6)
+
+
 def test_stale_generation_view_falls_back(spark, idx_root):
     from geospatial_spark.plans.compact import merge_generations
 
