@@ -206,6 +206,24 @@ class IndexSearcher:
             return None
         return self._local_dispatch(k)
 
+    # match-path bulk bound: a MULTI-term query whose saturated terms
+    # jointly cover most of the corpus takes the kernel's bulk-hot
+    # route — decode volume ≈ Σ df, which the single coordinator pays
+    # serially while the distributed kernels split it per shard.
+    # Single-term hot queries stay local at any df (the impact HEAD is
+    # O(k)). The crossover is where Σ df / decode-rate (measured
+    # ~2.5-3M postings/s single-thread) exceeds the distributed job's
+    # fixed cost — the default caps the coordinator at ~1 s of decode.
+    LOCAL_SEARCH_MAX_POSTINGS = int(os.environ.get(
+        "SPARK_GRAFT_LOCAL_SEARCH_MAX_POSTINGS", "3200000"))
+
+    def _match_local(self, k: int, df_global: dict):
+        if (len(df_global) >= 2
+                and sum(df_global.values())
+                > self.LOCAL_SEARCH_MAX_POSTINGS):
+            return None
+        return self._local_dispatch(k)
+
     def _local_dispatch(self, k: int):
         """The serving-tier searcher for this index, or None when the
         query must run distributed (k beyond the local cap, federated
@@ -272,7 +290,7 @@ class IndexSearcher:
         if not df_global:
             return None
 
-        local = self._local_dispatch(k)
+        local = self._match_local(k, df_global)
         if local is not None:
             hits = local.search("", k=int(k), quantized=quantized,
                                 terms=terms)
@@ -318,7 +336,13 @@ class IndexSearcher:
                meta: dict | None = None) -> list[tuple[str, float]]:
         """Top-k (doc_id, score), exact BM25, rank/score-identical to the
         oracle; tie-break (conv_id, turn_idx) asc."""
-        local = self._local_dispatch(k)
+        if meta is not None:
+            local = self._local_dispatch(k)
+        else:
+            norm = self.manifest.get("normalization") or {}
+            terms = sorted({norm.get(t, t) for t in tokenize_py(query)})
+            local = (self._match_local(k, self._df_for(terms))
+                     if terms and self.n_docs else None)
         if local is not None:
             # list-shaped fast path: skip the DataFrame round-trip
             return local.search(query, k=int(k), quantized=quantized,
@@ -1648,6 +1672,17 @@ class IndexSearcher:
 
         local = self._local_dispatch(k)
         if local is not None:
+            # one over-budget multi-hot query sends the WHOLE batch
+            # down the one-job Spark path (single dispatch decision)
+            nrm = self.manifest.get("normalization") or {}
+            for text in queries.values():
+                if not self.n_docs:
+                    break
+                ts = sorted({nrm.get(t, t) for t in tokenize_py(text)})
+                if ts and self._match_local(k, self._df_for(ts)) is None:
+                    local = None
+                    break
+        if local is not None:
             # serving-tier batch: per-query local top-k (same kernel,
             # same tie-break as the one-job Spark batch; the shared
             # term-row LRU de-duplicates reads across the batch)
@@ -1759,16 +1794,26 @@ class IndexSearcher:
 
         local = self._local_dispatch(k)
         if local is not None:
-            # positions bound, per spec: one over-budget phrase/near
-            # entry sends the WHOLE batch down the one-job Spark path
-            # (the batch contract is a single dispatch decision)
+            # volume bounds, per spec: one over-budget phrase/near
+            # (positions) or multi-hot match entry sends the WHOLE
+            # batch down the one-job Spark path (single dispatch
+            # decision)
+            nrm = self.manifest.get("normalization") or {}
             for spec in queries.values():
-                if spec.get("type") in ("phrase", "phrase_scored", "near"):
-                    ts = sorted({(self.manifest.get("normalization") or {})
-                                 .get(t, t)
+                typ = spec.get("type", "match")
+                if typ in ("phrase", "phrase_scored", "near", "match"):
+                    if not self.n_docs:
+                        break
+                    ts = sorted({nrm.get(t, t)
                                  for t in tokenize_py(spec.get("q", ""))})
-                    if ts and (self._cooc_est(self._df_for(ts), ts)
-                               > self.LOCAL_SEARCH_MAX_COOC):
+                    if not ts:
+                        continue
+                    dfg = self._df_for(ts)
+                    over = (self._cooc_est(dfg, ts)
+                            > self.LOCAL_SEARCH_MAX_COOC
+                            if typ != "match"
+                            else self._match_local(k, dfg) is None)
+                    if over:
                         local = None
                         break
         if local is not None:
