@@ -38,9 +38,16 @@ def ranking_of(scored: DataFrame, depth: int, score_col: str = "score",
     shares with the oracle."""
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.round(F.col(score_col), ORDER_DP).desc(),
-                       F.asc(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    # bound BEFORE the unpartitioned window: orderBy+limit is a
+    # distributed take-ordered, so the single-partition row_number only
+    # ever sees <= depth rows even when a caller hands a corpus-sized
+    # frame (e.g. an adaptive-overfetch 0.0-score plateau). Identical
+    # output: the same total order (ids unique per ranking) selects the
+    # same depth-prefix the rank filter kept.
+    key = [F.round(F.col(score_col), ORDER_DP).desc(), F.asc(id_col)]
+    w = Window.orderBy(*key)
+    return (scored.orderBy(*key).limit(int(depth))
+            .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= int(depth))
             .select(F.col(id_col).alias("doc_id"), "rank"))
 
