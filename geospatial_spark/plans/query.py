@@ -211,11 +211,14 @@ class IndexSearcher:
     # route — decode volume ≈ Σ df, which the single coordinator pays
     # serially while the distributed kernels split it per shard.
     # Single-term hot queries stay local at any df (the impact HEAD is
-    # O(k)). The crossover is where Σ df / decode-rate (measured
-    # ~2.5-3M postings/s single-thread) exceeds the distributed job's
-    # fixed cost — the default caps the coordinator at ~1 s of decode.
+    # O(k)). The crossover is where the coordinator's cold decode
+    # (measured ~2.5-3M postings/s single-thread) exceeds the
+    # distributed job's fixed-plus-parallel cost (measured ~1.2-2 s at
+    # an 8M-posting query on 8-32 cores, i.e. crossover ~5-6M): the
+    # default caps the coordinator at ~1.5 s of worst-case cold decode,
+    # and warm repeats are near-free (per-row impact memos).
     LOCAL_SEARCH_MAX_POSTINGS = int(os.environ.get(
-        "SPARK_GRAFT_LOCAL_SEARCH_MAX_POSTINGS", "3200000"))
+        "SPARK_GRAFT_LOCAL_SEARCH_MAX_POSTINGS", "4000000"))
 
     def _match_local(self, k: int, df_global: dict):
         if (len(df_global) >= 2
